@@ -1,0 +1,182 @@
+package graft.warehouse
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Star-schema builders — the Spark-native re-expression of the reference's
+  * warehouse loader (reference: scripts/transformation/load_warehouse.py and
+  * sql/ddl/create_warehouse_schema.sql:9-128): 4 dimensions + 1 fact +
+  * 3 aggregate tables, over the driver's TPC-H-ish test data
+  * (entity mapping in FIXTURES.md §B: part→products, customer+nation+region→
+  * customers/geography, orders→transactions, lineitem→transaction_items,
+  * o_orderpriority→payment_method analogue).
+  *
+  * Scale posture (100 TB): every dimension is small and broadcast into the
+  * fact build, so the only shuffle is lineitem⋈orders on the order key —
+  * the unavoidable fact-to-fact co-partition join (bucket both by order key
+  * in a real deployment and it disappears too). Surrogate keys: dims use
+  * row_number over the natural key (deterministic run-to-run, SURVEY §7.4 —
+  * never monotonically_increasing_id); the fact's sales_key is
+  * orderkey*32 + a per-order row_number (window partitioned by the join
+  * key) instead of a global row_number, which would single-partition
+  * 100 TB through one window.
+  */
+object Warehouse {
+
+  /** dim_products analogue (reference: load_warehouse.py:62-78 + derived
+    * price_category at staging_to_production.py:51-58). Cost is not in the
+    * test data, so it is derived deterministically as 60% of retail price
+    * (the reference generates cost = price × uniform(0.5,0.8),
+    * generate_data.py:92).
+    */
+  def dimPart(spark: SparkSession, dir: String): DataFrame = {
+    val price = col("p_retailprice").cast(DecimalType(18, 2))
+    val cost  = round(price * lit(BigDecimal("0.60")), 2).cast(DecimalType(18, 2))
+    Tables.part(spark, dir).select(
+      row_number().over(Window.orderBy("p_partkey")).cast(LongType).as("product_key"),
+      col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      price.as("price"),
+      cost.as("cost"),
+      ((price - cost).cast(DoubleType) / price.cast(DoubleType) * lit(100.0)).as("profit_margin_pct"),
+      when(price < 1200, "Budget").when(price < 1800, "Mid-range").otherwise("Premium").as("price_category"),
+      lit(true).as("is_current"))
+  }
+
+  /** dim_customers analogue with geography flattened in (reference:
+    * load_warehouse.py:62-96; SCD2 surface columns per
+    * create_warehouse_schema.sql:21-23 — the reference truncate-reloads, so
+    * like it we emit constant effective/end dates).
+    */
+  def dimCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        row_number().over(Window.orderBy("c_custkey")).cast(LongType).as("customer_key"),
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"),
+        col("n_name").as("nation"), col("r_name").as("region"),
+        to_date(lit("1995-01-01")).as("effective_date"),
+        to_date(lit("9999-12-31")).as("end_date"),
+        lit(true).as("is_current"))
+  }
+
+  /** dim_date (reference: load_warehouse.py:150-163 — distinct transaction
+    * dates with 8 derived calendar fields; date_key = yyyymmdd int).
+    * Weekend = Saturday/Sunday via day name, sidestepping the Postgres
+    * ISODOW vs Spark dayofweek numbering clash (SURVEY §7.4).
+    */
+  def dimDate(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("full_date")
+    Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast(DateType).as("full_date")).distinct()
+      .select(
+        (year(d) * 10000 + month(d) * 100 + dayofmonth(d)).cast(LongType).as("date_key"),
+        d,
+        year(d).cast(LongType).as("year"), quarter(d).cast(LongType).as("quarter"),
+        month(d).cast(LongType).as("month"),
+        date_format(d, "MMMM").as("month_name"),
+        dayofmonth(d).cast(LongType).as("day"),
+        date_format(d, "EEEE").as("day_name"),
+        weekofyear(d).cast(LongType).as("week"),
+        date_format(d, "EEEE").isin("Saturday", "Sunday").as("is_weekend"))
+  }
+
+  /** dim_payment_method analogue over o_orderpriority (5 values, like the
+    * reference's 5 payment methods — load_warehouse.py:180-195).
+    * payment_type is the reference's hard-coded 'Digital' quirk
+    * (load_warehouse.py:190), reproduced deliberately (SURVEY §7.4).
+    */
+  def dimPayment(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("payment_method")).distinct()
+      .select(
+        row_number().over(Window.orderBy("payment_method")).cast(LongType).as("payment_method_key"),
+        col("payment_method"),
+        lit("Digital").as("payment_type"))
+
+  /** fact_sales: one row per line item, all surrogate keys attached, derived
+    * measures line_total / discount_amount / profit (reference:
+    * load_warehouse.py:208-227, grain asserted by tests/test_warehouse.py
+    * test_fact_grain). All dim joins are broadcast; lineitem⋈orders is the
+    * single shuffle.
+    */
+  def fact(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val dp = dimPart(spark, dir).select("product_key", "p_partkey", "cost")
+    val dc = dimCustomer(spark, dir).select("customer_key", "c_custkey")
+    val pm = dimPayment(spark, dir)
+
+    val net  = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val d    = col("o_orderdate").cast(DateType)
+
+    // Deterministic surrogate line id: the test data re-uses l_linenumber
+    // within an order, so number lines per order over a total ordering.
+    // Partitioned by the join key → same shuffle the join needs, never a
+    // global window; ≤17 lines/order observed, 32 leaves headroom.
+    val lineSeq = row_number().over(
+      Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_shipdate"))
+
+    li.withColumn("line_seq", lineSeq)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dp), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(dc), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(pm), col("o_orderpriority") === col("payment_method"))
+      .select(
+        (col("l_orderkey") * 32 + col("line_seq")).as("sales_key"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("customer_key"), col("o_custkey"),
+        col("product_key"), col("l_partkey"),
+        col("payment_method_key"), col("payment_method"),
+        (year(d) * 10000 + month(d) * 100 + dayofmonth(d)).cast(LongType).as("date_key"),
+        d.as("order_date"),
+        col("l_quantity").cast(LongType).as("quantity"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+        col("l_discount").as("discount_rate"),
+        Det.dec6(col("l_extendedprice")).as("gross_amount"),
+        Det.dec6(net).as("line_total"),
+        Det.dec6(col("l_extendedprice") * col("l_discount")).as("discount_amount"),
+        Det.dec6(net - col("l_quantity") * col("cost").cast(DoubleType)).as("profit"))
+  }
+
+  /** agg_daily_sales (declared but never populated by the reference —
+    * create_warehouse_schema.sql:100-110; we materialize it, SURVEY §2.4). */
+  def aggDailySales(spark: SparkSession, dir: String): DataFrame =
+    fact(spark, dir).groupBy("date_key")
+      .agg(
+        countDistinct(col("l_orderkey")).as("total_transactions"),
+        Det.msum(col("line_total")).as("total_revenue"),
+        Det.msum(col("profit")).as("total_profit"),
+        countDistinct(col("customer_key")).as("unique_customers"),
+        sum(col("quantity")).as("units_sold"))
+      .orderBy("date_key")
+
+  /** agg_product_performance (create_warehouse_schema.sql:112-119). */
+  def aggProductPerformance(spark: SparkSession, dir: String): DataFrame =
+    fact(spark, dir).groupBy("product_key", "l_partkey")
+      .agg(
+        sum(col("quantity")).as("units_sold"),
+        Det.msum(col("line_total")).as("total_revenue"),
+        Det.msum(col("profit")).as("total_profit"),
+        countDistinct(col("l_orderkey")).as("transaction_count"))
+      .orderBy("product_key")
+
+  /** agg_customer_metrics (create_warehouse_schema.sql:121-128). */
+  def aggCustomerMetrics(spark: SparkSession, dir: String): DataFrame =
+    fact(spark, dir).groupBy("customer_key", "o_custkey")
+      .agg(
+        countDistinct(col("l_orderkey")).as("total_transactions"),
+        Det.msum(col("line_total")).as("total_revenue"),
+        Det.mavg(col("line_total")).as("avg_order_value"),
+        min(col("order_date")).as("first_purchase_date"),
+        max(col("order_date")).as("last_purchase_date"))
+      .orderBy("customer_key")
+}
