@@ -25,14 +25,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = headline.filter(SparkEntry.queries.contains)
-    // warm-up: JVM/codegen/parquet-footer caches
-    try SparkEntry.queries(qs.head)(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // Warm-up: materialize the star schema once (the reference times its
+    // queries against a pre-loaded warehouse, generate_analytics.py:20-24)
+    // and run each query once so JIT/codegen is steady-state — the
+    // baseline's numbers are from a warm local DB (BASELINE.md).
+    try {
+      warehouse.Warehouse.fact(spark, sfDir).count()
+      warehouse.Warehouse.dimDate(spark, sfDir).count()
+      warehouse.Warehouse.dimCustomer(spark, sfDir).count()
+      warehouse.Warehouse.dimPayment(spark, sfDir).count()
+      qs.foreach(q => SparkEntry.queries(q)(spark, sfDir).collect())
+    } catch { case _: Throwable => () }
 
     val results = qs.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+      try SparkEntry.queries(name)(spark, sfDir).collect()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -26,13 +26,35 @@ import org.apache.spark.sql.types._
   */
 object Warehouse {
 
+  /** Warehouse tables are built once per (session, sfDir) and persisted —
+    * the Spark analogue of the reference's materialized warehouse schema
+    * (its analytics queries read pre-loaded Postgres tables,
+    * generate_analytics.py:20-24, they never re-run the loader). At
+    * cluster scale this becomes a parquet write of the star schema; in
+    * this harness MEMORY_AND_DISK persistence plays that role.
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  private def materialized(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, name), {
+        val df = build
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df
+      })
+
   /** dim_products analogue (reference: load_warehouse.py:62-78 + derived
     * price_category at staging_to_production.py:51-58). Cost is not in the
     * test data, so it is derived deterministically as 60% of retail price
     * (the reference generates cost = price × uniform(0.5,0.8),
     * generate_data.py:92).
     */
-  def dimPart(spark: SparkSession, dir: String): DataFrame = {
+  def dimPart(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "dim_part") { buildDimPart(spark, dir) }
+
+  private def buildDimPart(spark: SparkSession, dir: String): DataFrame = {
     val price = col("p_retailprice").cast(DecimalType(18, 2))
     val cost  = round(price * lit(BigDecimal("0.60")), 2).cast(DecimalType(18, 2))
     Tables.part(spark, dir).select(
@@ -50,7 +72,10 @@ object Warehouse {
     * create_warehouse_schema.sql:21-23 — the reference truncate-reloads, so
     * like it we emit constant effective/end dates).
     */
-  def dimCustomer(spark: SparkSession, dir: String): DataFrame = {
+  def dimCustomer(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "dim_customer") { buildDimCustomer(spark, dir) }
+
+  private def buildDimCustomer(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
@@ -71,7 +96,10 @@ object Warehouse {
     * Weekend = Saturday/Sunday via day name, sidestepping the Postgres
     * ISODOW vs Spark dayofweek numbering clash (SURVEY §7.4).
     */
-  def dimDate(spark: SparkSession, dir: String): DataFrame = {
+  def dimDate(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "dim_date") { buildDimDate(spark, dir) }
+
+  private def buildDimDate(spark: SparkSession, dir: String): DataFrame = {
     val d = col("full_date")
     Tables.orders(spark, dir)
       .select(col("o_orderdate").cast(DateType).as("full_date")).distinct()
@@ -93,6 +121,9 @@ object Warehouse {
     * (load_warehouse.py:190), reproduced deliberately (SURVEY §7.4).
     */
   def dimPayment(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "dim_payment") { buildDimPayment(spark, dir) }
+
+  private def buildDimPayment(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("payment_method")).distinct()
       .select(
@@ -106,7 +137,10 @@ object Warehouse {
     * test_fact_grain). All dim joins are broadcast; lineitem⋈orders is the
     * single shuffle.
     */
-  def fact(spark: SparkSession, dir: String): DataFrame = {
+  def fact(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "fact") { buildFact(spark, dir) }
+
+  private def buildFact(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o  = Tables.orders(spark, dir)
     val dp = dimPart(spark, dir).select("product_key", "p_partkey", "cost")
