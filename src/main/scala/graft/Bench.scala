@@ -8,9 +8,11 @@ import org.apache.spark.sql.SparkSession
   * the baseline's warm local DB.
   */
 object Bench {
-  val headline: Seq[String] = (1 to 10).map { i =>
-    analytics.Analytics.inventory.keys.toSeq.sorted.apply(i - 1)
-  }
+  val headline: Seq[String] = Seq(
+    "q01_top_products", "q02_monthly_trend", "q03_customer_segments",
+    "q04_category_performance", "q05_payment_distribution", "q06_geo_revenue",
+    "q07_customer_ltv", "q08_product_profitability", "q09_dow_pattern",
+    "q10_discount_impact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -29,6 +29,8 @@ import org.apache.spark.sql.types._
   */
 object Det {
   val AsOfDate = "2002-01-01"
+  /** `events` lives in Jan 2024 — windows over it anchor here. */
+  val AsOfEventDate = "2024-02-01"
   val AsOfTs   = "2024-02-01 00:00:00"
 
   /** Per-row money cast: double → DECIMAL(18,6). */

@@ -17,10 +17,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.Analytics.inventory
+    analytics.Analytics.inventory ++
+      etl.Cleanse.inventory ++
+      etl.Load.inventory ++
+      quality.Quality.inventory ++
+      monitor.Monitor.inventory ++
+      warehouse.WarehouseQueries.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    analytics.Analytics.oracle
+    analytics.Analytics.oracle ++
+      etl.Cleanse.oracle ++
+      etl.Load.oracle ++
+      quality.Quality.oracle ++
+      monitor.Monitor.oracle ++
+      warehouse.WarehouseQueries.oracle
 }

@@ -210,7 +210,7 @@ object Warehouse {
         countDistinct(col("l_orderkey")).as("total_transactions"),
         Det.msum(col("line_total")).as("total_revenue"),
         Det.mavg(col("line_total")).as("avg_order_value"),
-        min(col("order_date")).as("first_purchase_date"),
-        max(col("order_date")).as("last_purchase_date"))
+        date_format(min(col("order_date")), "yyyy-MM-dd").as("first_purchase_date"),
+        date_format(max(col("order_date")), "yyyy-MM-dd").as("last_purchase_date"))
       .orderBy("customer_key")
 }

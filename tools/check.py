@@ -47,8 +47,12 @@ for name, sql in sorted(oracle.items()):
             eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
             if not eq.all():
                 i = int(np.argmin(eq))
+                try:
+                    rd = f"{abs(float(av[i])-float(bv[i]))/max(1e-300,abs(float(bv[i]))):.2e}"
+                except Exception:
+                    rd = "n/a"
                 print(f"FAIL {name}: col {c} row {i}: spark={av[i]!r} duck={bv[i]!r} "
-                      f"(reldiff={abs(av[i]-bv[i])/max(1e-300,abs(bv[i])):.2e})")
+                      f"(reldiff={rd})")
                 ok = False
         else:
             try:
