@@ -22,7 +22,9 @@ object SparkEntry {
       etl.Load.inventory ++
       quality.Quality.inventory ++
       monitor.Monitor.inventory ++
-      warehouse.WarehouseQueries.inventory
+      warehouse.WarehouseQueries.inventory ++
+      text.TextOps.inventory ++
+      sim.Similarity.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +34,7 @@ object SparkEntry {
       etl.Load.oracle ++
       quality.Quality.oracle ++
       monitor.Monitor.oracle ++
-      warehouse.WarehouseQueries.oracle
+      warehouse.WarehouseQueries.oracle ++
+      text.TextOps.oracle ++
+      sim.Similarity.oracle
 }

@@ -1,0 +1,156 @@
+package graft.sim
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, Array[Float]
+  * embedding, label) — the ANN surface of a training-data pipeline
+  * (BASELINE.json north star).
+  *
+  * Determinism across engines: float components are quantized to a 1e-7
+  * integer grid (floor(x * 1e7) — floor of an identical double is
+  * identical everywhere, unlike double→decimal casts, where Spark
+  * quantizes the shortest decimal representation while DuckDB quantizes
+  * the exact binary expansion, which differ at the last digit). Dot
+  * products and norms are then exact BIGINT sums — associative, so
+  * partition order can't perturb them — and the final cosine is a fixed
+  * double expression tree over those integers. The 1e-7 quantization
+  * error (~1e-6 relative on these vectors) is far below any ranking
+  * granularity ANN cares about.
+  *
+  * Scale posture: brute-force cosine is the correctness baseline
+  * (embarrassingly parallel, one broadcast of the query set, no shuffle).
+  * The LSH-bucketed variant is the 100 TB path: sign-random-projection
+  * signatures put each vector in a bucket; candidate generation becomes
+  * an equality join on (bucket), turning O(N·Q) into O(N + collisions).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 1e-7-grid quantized component. */
+  private def qz(x: String): String =
+    s"cast(floor(cast($x as double) * 1e7) as bigint)"
+
+  /** Exact integer dot product of two float arrays (in-row fold — no
+    * shuffle, no explode). Magnitudes: |x|<1 → |q|<1e7, 64 products of
+    * |q a·q b|<1e14 sum to <1e16 — no 64-bit overflow. */
+  private def dotE(a: String, b: String): String =
+    s"""cast(aggregate(zip_with($a, $b,
+          (x, y) -> ${qz("x")} * ${qz("y")}),
+          cast(0 as bigint), (acc, v) -> acc + v) as double)"""
+
+  private def normE(a: String): String =
+    s"""sqrt(cast(aggregate(transform($a, x -> ${qz("x")} * ${qz("x")}),
+          cast(0 as bigint), (acc, v) -> acc + v) as double))"""
+
+  /** Brute-force cosine top-10 for the first five vectors as queries
+    * (self excluded): broadcast the query set, score every vector,
+    * rank per query. */
+  def annCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val scored = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        (expr(dotE("q", "embedding"))
+          / (expr(normE("q")) * expr(normE("embedding")))).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("rank") <= 10)
+  }
+
+  private def duckQz(x: String): String =
+    s"CAST(floor(CAST($x AS DOUBLE) * 1e7) AS BIGINT)"
+  private val duckDot =
+    s"""list_sum(list_transform(generate_series(1, len(q)),
+         i -> ${duckQz("q[i]")} * ${duckQz("e[i]")}))"""
+  private val duckNorm = (a: String) =>
+    s"""sqrt(CAST(list_sum(list_transform($a,
+          x -> ${duckQz("x")} * ${duckQz("x")})) AS DOUBLE))"""
+
+  val annCosineTopKSql: String = s"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         CAST($duckDot AS DOUBLE)
+           / (${duckNorm("q")} * ${duckNorm("e")}) AS cosine
+  FROM q CROSS JOIN (SELECT vec_id, embedding AS e FROM embeddings) v
+  WHERE v.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10"""
+
+  /** All-pairs cosine >= 0.4 ("near-duplicate" embeddings at this
+    * synthetic data's similarity ceiling of ~0.51). Exact; the LSH
+    * variant below is the scale path. */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr(normE("embedding")).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (expr(dotE("a.embedding", "b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+  }
+
+  val embeddingNearDupPairsSql: String = s"""
+WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
+              i -> ${duckQz("a.embedding[i]")} * ${duckQz("b.embedding[i]")})) AS DOUBLE)
+         / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> ${duckQz("a.embedding[i]")} * ${duckQz("b.embedding[i]")})) AS DOUBLE)
+        / (a.nrm * b.nrm) >= 0.4"""
+
+  /** Sign-random-projection LSH bucketing: 8 md5-derived ±1 hyperplanes →
+    * an 8-bit bucket per vector; candidates are same-bucket pairs, scored
+    * exactly within the bucket. Registered with an oracle (the
+    * hyperplanes are md5-derived, so DuckDB reproduces the buckets). */
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // plane p (0..7), dim i (1..64): sign from one md5-derived bit.
+    val sigE =
+      s"""aggregate(sequence(0, 7), 0, (acc, p) ->
+           acc + if(aggregate(sequence(1, size(embedding)), cast(0 as bigint), (a, i) ->
+                      a + ${qz("element_at(embedding, i)")}
+                          * if((cast(conv(substr(md5(concat(cast(p as string), '_', cast(i as string))), 1, 8), 16, 10) as bigint) & 1) = 1,
+                               cast(1 as bigint), cast(-1 as bigint))) > cast(0 as bigint),
+                    shiftleft(1, p), 0))"""
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(sigE).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("bucket_size"), min("vec_id").as("min_vec_id"))
+  }
+
+  val annLshBucketsSql: String = """
+WITH s AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(generate_series(0, 7), p ->
+           CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i ->
+                       CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT)
+                       * CASE WHEN (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) & 1) = 1
+                              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)) > 0
+                THEN (1 << p) ELSE 0 END)) AS INT) AS bucket
+  FROM embeddings)
+SELECT bucket, COUNT(*) AS bucket_size, MIN(vec_id) AS min_vec_id
+FROM s GROUP BY bucket"""
+
+  val inventory: Map[String, Q] = Map(
+    "ann_cosine_topk"          -> (annCosineTopK _),
+    "embedding_near_dup_pairs" -> (embeddingNearDupPairs _),
+    "ann_lsh_buckets"          -> (annLshBuckets _))
+
+  val oracle: Map[String, String] = Map(
+    "ann_cosine_topk"          -> annCosineTopKSql,
+    "embedding_near_dup_pairs" -> embeddingNearDupPairsSql,
+    "ann_lsh_buckets"          -> annLshBucketsSql)
+}

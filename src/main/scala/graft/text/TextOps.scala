@@ -1,0 +1,317 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication operators over the `documents` table —
+  * the training-data-pipeline surface beyond the reference's own scope
+  * (BASELINE.json north star; SURVEY §7.5): per-document statistics and
+  * quality scoring, n-gram-heuristic language ID, content fingerprinting,
+  * exact dedup, exact n-gram Jaccard near-dup pairs, MinHash+LSH
+  * candidate generation, and SimHash near-dup pairs.
+  *
+  * Every operator here is expressed with codegen'd built-in/higher-order
+  * functions (`transform`/`aggregate`/`filter` — no UDFs), and all hashes
+  * are md5-derived so the DuckDB oracle can reproduce them bit-for-bit:
+  * h(s) = first 14 (or 8) hex chars of md5 → integer. That makes even
+  * MinHash signatures and LSH band buckets exactly verifiable — not just
+  * "rows > 0".
+  *
+  * Scale posture (100 TB of documents):
+  *  - per-doc ops (stats, lang-id, fingerprint, signatures) are narrow
+  *    projections — no shuffle, linear scan, whole-stage codegen;
+  *  - exact dedup is one hash-groupBy (map-side partial);
+  *  - Jaccard pairs shuffle (shingle, doc) pairs — shingle blocking keeps
+  *    the join sparse (measured max 7 docs/shingle here); skew-prone hot
+  *    shingles would be dropped by a frequency cap, the standard trick;
+  *  - MinHash-LSH is the scale path: candidates come from equality joins
+  *    on 4 band hashes instead of all-pairs comparison.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokens of trimmed text (shared definition, mirrored as
+    * regexp_split_to_array in the oracle). */
+  private val toksE = "split(trim(text), '\\\\s+')"
+  /** Distinct word-trigram shingles over the tokens. */
+  private val shinglesE =
+    s"""array_distinct(CASE WHEN size($toksE) >= 3 THEN
+          transform(sequence(1, size($toksE) - 2),
+            i -> concat(element_at($toksE, i), ' ',
+                        element_at($toksE, i + 1), ' ',
+                        element_at($toksE, i + 2)))
+        ELSE array() END)"""
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  // ---------------------------------------------------------------- stats
+
+  /** Per-document statistics + quality score: token/char counts, average
+    * token length, punctuation ratio, stopword ratio, a ceil(len/4)
+    * BPE-ish token estimate, and a weighted quality score. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      expr(s"size($toksE)").cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      (expr(s"aggregate(transform($toksE, t -> length(t)), 0, (a, x) -> a + x)")
+        .cast("double") / expr(s"size($toksE)").cast("double"))
+        .as("avg_token_len"),
+      (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double")
+        / length(col("text")).cast("double")).as("punct_ratio"),
+      (expr(s"size(filter($toksE, t -> t IN ('the','a','of','and','to','in','is','it')))")
+        .cast("double") / expr(s"size($toksE)").cast("double"))
+        .as("stopword_ratio"),
+      ceil(length(col("text")).cast("double") / lit(4.0)).cast("long")
+        .as("est_bpe_tokens"))
+      .withColumn("quality_score",
+        lit(100.0) * (lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0))
+          + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.3) * least(lit(1.0), col("stopword_ratio") * lit(4.0))))
+
+  val textStatsSql: String = """
+WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len,
+       CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+         / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+       CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens,
+       100.0 * (0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0)
+              + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
+              + 0.3 * least(1.0, CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                                 / CAST(len(w) AS DOUBLE) * 4.0)) AS quality_score
+FROM t"""
+
+  // -------------------------------------------------------------- lang id
+
+  /** N-gram-heuristic language ID: count function-word markers per
+    * language, pick the argmax with a deterministic tie-break chain, and
+    * report agreement with the labeled `lang` column. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def markers(ws: String): String =
+      s"size(filter($toksE, t -> t IN ($ws)))"
+    val en = expr(markers("'the','a','is','of','and'")).cast("long")
+    val es = expr(markers("'el','la','de','que','los'")).cast("long")
+    val fr = expr(markers("'le','les','des','et','une'")).cast("long")
+    val de = expr(markers("'der','die','das','und','ist'")).cast("long")
+    docs(spark, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("en_markers"), es.as("es_markers"),
+      fr.as("fr_markers"), de.as("de_markers"))
+      .withColumn("predicted_lang",
+        when(col("en_markers") >= col("es_markers")
+          && col("en_markers") >= col("fr_markers")
+          && col("en_markers") >= col("de_markers"), "en")
+          .when(col("es_markers") >= col("fr_markers")
+            && col("es_markers") >= col("de_markers"), "es")
+          .when(col("fr_markers") >= col("de_markers"), "fr")
+          .otherwise("de"))
+      .withColumn("agrees", col("predicted_lang") === col("labeled_lang"))
+  }
+
+  val langIdSql: String = """
+WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+m AS (SELECT doc_id, lang AS labeled_lang,
+             CAST(len(list_filter(w, t -> t IN ('the','a','is','of','and'))) AS BIGINT) AS en_markers,
+             CAST(len(list_filter(w, t -> t IN ('el','la','de','que','los'))) AS BIGINT) AS es_markers,
+             CAST(len(list_filter(w, t -> t IN ('le','les','des','et','une'))) AS BIGINT) AS fr_markers,
+             CAST(len(list_filter(w, t -> t IN ('der','die','das','und','ist'))) AS BIGINT) AS de_markers
+      FROM t)
+SELECT *,
+       CASE WHEN en_markers >= es_markers AND en_markers >= fr_markers AND en_markers >= de_markers THEN 'en'
+            WHEN es_markers >= fr_markers AND es_markers >= de_markers THEN 'es'
+            WHEN fr_markers >= de_markers THEN 'fr'
+            ELSE 'de' END AS predicted_lang,
+       CASE WHEN en_markers >= es_markers AND en_markers >= fr_markers AND en_markers >= de_markers THEN 'en'
+            WHEN es_markers >= fr_markers AND es_markers >= de_markers THEN 'es'
+            WHEN fr_markers >= de_markers THEN 'fr'
+            ELSE 'de' END = labeled_lang AS agrees
+FROM m"""
+
+  // --------------------------------------------------------- fingerprints
+
+  /** Content fingerprints: full md5 plus a 56-bit integer fingerprint
+    * (first 14 hex chars — stays positive in a signed 64-bit int in both
+    * engines). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("content_md5"),
+      expr("cast(conv(substr(md5(text), 1, 14), 16, 10) as bigint)")
+        .as("fingerprint56"))
+
+  val docFingerprintSql: String = """
+SELECT doc_id, md5(text) AS content_md5,
+       CAST(('0x' || substr(md5(text), 1, 14))::UBIGINT AS BIGINT) AS fingerprint56
+FROM documents"""
+
+  // -------------------------------------------------------------- dedup
+
+  /** Exact deduplication: hash-groupBy on content, keep the minimum
+    * doc_id per cluster. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(count(lit(1)).as("dup_count"), min("doc_id").as("keeper_doc_id"))
+
+  val dedupExactSql: String = """
+SELECT md5(text) AS content_md5, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text)"""
+
+  /** Exact word-trigram Jaccard near-duplicate pairs (J >= 0.7): explode
+    * distinct shingles, sparse self-join on shingle equality, count
+    * intersections, compute |A∩B| / (|A|+|B|-|A∩B|). */
+  def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), explode(expr(shinglesE)).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+  }
+
+  val dedupJaccardPairsSql: String = """
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(CASE WHEN len(w) >= 3 THEN
+                       list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     ELSE [] END) AS s
+       FROM tok),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) AS jaccard
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.7"""
+
+  // ------------------------------------------------------- MinHash + LSH
+
+  /** 16-permutation MinHash signature (md5-derived hash per seed) as an
+    * in-row higher-order expression. */
+  private val minhashE: String =
+    s"""transform(sequence(1, 16), i ->
+          array_min(transform($shinglesE,
+            s -> cast(conv(substr(md5(concat(cast(i as string), ':', s)), 1, 14), 16, 10) as bigint))))"""
+
+  /** MinHash + LSH near-duplicate candidates: 16 minhashes → 4 bands of 4
+    * hashed to buckets; pairs sharing a band bucket are candidates;
+    * estimated Jaccard = fraction of matching signature positions.
+    * Fully oracle-verified (hashes are md5-derived in both engines). */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = docs(spark, dir)
+      .filter(expr(s"size($toksE)") >= 3)
+      .select(col("doc_id"), expr(minhashE).as("mhs"))
+    val bands = sigs.select(
+      col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> md5(concat_ws(',', transform(slice(mhs, b * 4 + 1, 4), x -> cast(x as string)))))"))
+        .as(Seq("band", "band_hash")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("mhs").as("ma")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("mhs").as("mb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v))").cast("double")
+          / lit(16.0)).as("est_jaccard"))
+  }
+
+  val dedupMinhashLshSql: String = """
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+shl AS (SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM tok WHERE len(w) >= 3),
+mh AS (SELECT doc_id,
+              list_transform(generate_series(1, 16), i ->
+                list_min(list_transform(sh,
+                  s -> CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 14))::UBIGINT AS BIGINT)))) AS mhs
+       FROM shl),
+bands AS (SELECT doc_id, b.b AS band,
+                 md5(array_to_string(list_transform(mhs[b.b*4+1:b.b*4+4], x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+          FROM mh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(list_transform(generate_series(1, 16), i -> x.mhs[i] = y.mhs[i]), v -> v)) AS DOUBLE) / 16.0 AS est_jaccard
+FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash per document (md5-derived token hashes, +1/-1 bit
+    * votes over all token occurrences) plus near-duplicate pairs at
+    * Hamming distance <= 4. All-pairs comparison is exact at test scale;
+    * at 100 TB the standard banding trick (join on equal 8-bit blocks)
+    * bounds the pair space — noted, not needed here. */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val harrE =
+      s"transform($toksE, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
+    val simhashE =
+      s"""aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
+            acc + if(aggregate($harrE, 0, (a, h) ->
+                       a + if(((shiftright(h, j) & 1)) = 1, 1, -1)) > 0,
+                     shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""
+    val sh = docs(spark, dir).select(col("doc_id"), expr(simhashE).as("simhash32"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash32 ^ b.simhash32)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 4)
+  }
+
+  val dedupSimhashPairsSql: String = """
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+hs AS (SELECT doc_id,
+              list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT AS BIGINT)) AS harr
+       FROM tok),
+sh AS (SELECT doc_id,
+              list_sum(list_transform(generate_series(0, 31), j ->
+                CASE WHEN list_sum(list_transform(harr, h ->
+                            CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                     THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS simhash32
+       FROM hs)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash32, b.simhash32)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 4"""
+
+  val inventory: Map[String, Q] = Map(
+    "text_stats"           -> (textStats _),
+    "text_lang_id"         -> (langId _),
+    "doc_fingerprint"      -> (docFingerprint _),
+    "dedup_exact"          -> (dedupExact _),
+    "dedup_jaccard_pairs"  -> (dedupJaccardPairs _),
+    "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
+    "dedup_simhash_pairs"  -> (dedupSimhashPairs _))
+
+  val oracle: Map[String, String] = Map(
+    "text_stats"           -> textStatsSql,
+    "text_lang_id"         -> langIdSql,
+    "doc_fingerprint"      -> docFingerprintSql,
+    "dedup_exact"          -> dedupExactSql,
+    "dedup_jaccard_pairs"  -> dedupJaccardPairsSql,
+    "dedup_minhash_lsh"    -> dedupMinhashLshSql,
+    "dedup_simhash_pairs"  -> dedupSimhashPairsSql)
+}
