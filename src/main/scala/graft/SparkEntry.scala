@@ -24,7 +24,9 @@ object SparkEntry {
       monitor.Monitor.inventory ++
       warehouse.WarehouseQueries.inventory ++
       text.TextOps.inventory ++
-      sim.Similarity.inventory
+      sim.Similarity.inventory ++
+      streaming.Streams.inventory ++
+      multimodal.Multimodal.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +38,7 @@ object SparkEntry {
       monitor.Monitor.oracle ++
       warehouse.WarehouseQueries.oracle ++
       text.TextOps.oracle ++
-      sim.Similarity.oracle
+      sim.Similarity.oracle ++
+      streaming.Streams.oracle ++
+      multimodal.Multimodal.oracle
 }

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File sources and sinks — the reference's ingestion boundary
+  * (reference: scripts/ingestion/ingest_to_staging.py:80 reads header
+  * CSVs with inferred dtypes; generate_analytics.py:26-27 writes result
+  * CSVs; four JSON report documents are written across the pipeline,
+  * SURVEY §2.1 S1/S2/S8).
+  *
+  * Differences by design: schemas are EXPLICIT at the boundary (the
+  * reference infers, then its DDL re-asserts types downstream — we
+  * declare once, SURVEY §1.2); writes are partitioned parquet/CSV, not
+  * driver-batched INSERTs (S4's page_size=1000 batching is subsumed by
+  * columnar bulk writes, SURVEY §4).
+  */
+object Sources {
+
+  /** Header CSV with an explicit schema — never inferSchema in
+    * production paths: inference is a full extra pass over 100 TB and
+    * can drift types between runs. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** CSV sink, header row, overwrite (analytics exports). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Full-refresh load: TRUNCATE-then-insert becomes an atomic
+    * overwrite (reference ingest_to_staging.py:150-154, S5). */
+  def fullRefresh(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Incremental append: insert only keys not already present
+    * (reference staging_to_production.py:160-181, S6) — a left_anti
+    * join, never a collected key set. */
+  def incrementalAppend(spark: SparkSession, df: DataFrame, path: String,
+                        keys: Seq[String]): Long = {
+    val fresh =
+      if (new java.io.File(path).exists()) {
+        val existing = spark.read.parquet(path).select(keys.map(col): _*)
+        df.join(existing, keys, "left_anti")
+      } else df
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path)
+    n
+  }
+
+  /** Single JSON report document (ingestion summaries, quality reports —
+    * S8): driver-side write, content from a pre-rendered JSON string. */
+  def writeJsonReport(json: String, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, json)
+  }
+}

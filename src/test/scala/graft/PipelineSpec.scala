@@ -1,0 +1,96 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.orchestrate.Orchestrator
+import graft.sources.Sources
+import graft.warehouse.Scd2
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PipelineSpec extends SparkSpec {
+
+  test("orchestrator retries with backoff then succeeds") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val r = Orchestrator.run(
+      Seq("flaky" -> (() => { calls += 1; if (calls < 3) sys.error("boom") })),
+      sleeper = sleeps += _)
+    assert(r.status == "success")
+    assert(r.steps.head.attempts == 3)
+    assert(sleeps.toSeq == Seq(1, 2))
+  }
+
+  test("orchestrator fails fast and skips downstream steps") {
+    var ran = false
+    val r = Orchestrator.run(
+      Seq(
+        "always_fails" -> (() => sys.error("nope")),
+        "never_runs" -> (() => { ran = true })),
+      sleeper = _ => ())
+    assert(r.status == "failed" && !ran)
+    assert(r.steps.map(_.status) == Seq("failed", "skipped"))
+    val json = Orchestrator.toJson(r)
+    assert(json.contains("\"status\":\"failed\"") && json.contains("never_runs"))
+  }
+
+  test("csv round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val df = Tables.nation(spark, sf)
+    Sources.writeCsv(df, s"$dir/nation_csv")
+    val back = Sources.readCsv(spark, s"$dir/nation_csv", df.schema)
+    assert(back.count() == df.count())
+    assert(back.except(df).count() == 0)
+  }
+
+  test("incremental append loads only new keys") {
+    val dir = Files.createTempDirectory("graft_inc").toString + "/t"
+    val all = Tables.region(spark, sf)
+    val first = all.filter(col("r_regionkey") < 3)
+    assert(Sources.incrementalAppend(spark, first, dir, Seq("r_regionkey")) == 3)
+    // re-loading the same rows inserts nothing
+    assert(Sources.incrementalAppend(spark, first, dir, Seq("r_regionkey")) == 0)
+    // the rest appends
+    val n = all.count() - 3
+    assert(Sources.incrementalAppend(spark, all, dir, Seq("r_regionkey")) == n)
+    assert(spark.read.parquet(dir).count() == all.count())
+  }
+
+  test("scd2 from history assigns version ranges via lead") {
+    import spark.implicits._
+    val hist = Seq(
+      (1L, "gold", "2020-01-01"), (1L, "silver", "2021-06-15"),
+      (2L, "bronze", "2020-03-01")).toDF("id", "tier", "changed_on")
+    val dim = Scd2.fromHistory(hist, "id", "changed_on").collect()
+    assert(dim.length == 3)
+    val v1 = dim.find(r => r.getLong(0) == 1L && r.getString(1) == "gold").get
+    assert(v1.getAs[java.sql.Date]("end_date").toString == "2021-06-15")
+    assert(!v1.getAs[Boolean]("is_current"))
+    val v2 = dim.find(r => r.getLong(0) == 1L && r.getString(1) == "silver").get
+    assert(v2.getAs[Boolean]("is_current"))
+  }
+
+  test("scd2 applyUpdates closes changed rows and opens new versions") {
+    import spark.implicits._
+    val current = Seq(
+      (1L, "gold", "2020-01-01", "9999-12-31", true),
+      (2L, "bronze", "2020-01-01", "9999-12-31", true))
+      .toDF("id", "tier", "effective_date", "end_date", "is_current")
+      .withColumn("effective_date", col("effective_date").cast("date"))
+      .withColumn("end_date", col("end_date").cast("date"))
+    val updates = Seq((1L, "platinum"), (2L, "bronze")).toDF("id", "tier")
+    val out = Scd2.applyUpdates(current, updates, "id", Seq("tier"), "2024-06-01")
+    assert(out.count() == 3)
+    assert(out.filter(col("id") === 1 && col("is_current")).head.getAs[String]("tier") == "platinum")
+    assert(out.filter(col("id") === 1 && !col("is_current")).head
+      .getAs[java.sql.Date]("end_date").toString == "2024-06-01")
+    // unchanged key untouched
+    assert(out.filter(col("id") === 2).count() == 1)
+  }
+
+  test("multimodal decode pipeline produces sane features") {
+    val feats = Multimodal.decodeFeatures(spark, sf).collect()
+    assert(feats.length == Tables.documents(spark, sf).count())
+    assert(feats.forall(f => f.n_bytes > 0 && f.checksum > 0 &&
+      f.mean_byte > 0 && f.mean_byte < 256))
+  }
+}
