@@ -1,0 +1,87 @@
+package graft.datagen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed synthetic data generator — the Spark-native
+  * re-expression of the reference's Faker-based generator (reference:
+  * scripts/data_generation/generate_data.py:45-175: customers, products,
+  * transactions with FK-consistent keys, items with computed line totals
+  * rolled back up to transaction totals).
+  *
+  * Faker's RNG is replaced by md5-derived uniform values (deterministic,
+  * seedable, and partition-independent — each row's randomness depends
+  * only on (seed, table, row id), never on iteration order), so the same
+  * call always generates the identical dataset on any cluster layout.
+  * `spark.range` is the backbone: distributed, no driver materialization
+  * (the reference builds Python lists in memory, generate_data.py:49-66).
+  */
+object DataGen {
+
+  /** Uniform double in [0,1) from (seed, tag, id) — 48 bits of md5. */
+  private def u(seed: Long, tag: String, idCol: String): org.apache.spark.sql.Column =
+    expr(s"cast(conv(substr(md5(concat('$seed', ':', '$tag', ':', cast($idCol as string))), 1, 12), 16, 10) as double) / 281474976710656.0")
+
+  private def pick(seed: Long, tag: String, idCol: String, values: Seq[String]) = {
+    val arr = values.map(v => s"'$v'").mkString("array(", ", ", ")")
+    expr(s"element_at($arr, 1 + cast(cast(conv(substr(md5(concat('$seed', ':', '$tag', ':', cast($idCol as string))), 1, 12), 16, 10) as double) / 281474976710656.0 * ${values.size} as int))")
+  }
+
+  def customers(spark: SparkSession, n: Long, seed: Long = 42): DataFrame =
+    spark.range(n).select(
+      col("id").as("customer_id"),
+      concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0")).as("name"),
+      concat(lit("customer"), col("id").cast("string"), lit("@example.com")).as("email"),
+      pick(seed, "seg", "id", Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")).as("segment"),
+      date_add(to_date(lit("1995-01-01")), (u(seed, "reg", "id") * 2000).cast("int")).as("registration_date"))
+
+  def products(spark: SparkSession, n: Long, seed: Long = 42): DataFrame = {
+    val price = round((u(seed, "price", "id") * 2400 + 100).cast("decimal(18,6)"), 2)
+    spark.range(n).select(
+      col("id").as("product_id"),
+      concat(lit("Product "), col("id").cast("string")).as("product_name"),
+      pick(seed, "cat", "id", Seq("Electronics", "Clothing", "Home", "Sports", "Books")).as("category"),
+      price.as("price"),
+      // cost = price * U(0.5, 0.8) (generate_data.py:92)
+      round((price * (u(seed, "cost", "id") * lit(0.3) + lit(0.5)).cast("decimal(18,6)")), 2).as("cost"),
+      (u(seed, "stock", "id") * 500).cast("int").as("stock_quantity"))
+  }
+
+  def transactions(spark: SparkSession, n: Long, nCustomers: Long, seed: Long = 42): DataFrame =
+    spark.range(n).select(
+      col("id").as("transaction_id"),
+      (u(seed, "cust", "id") * nCustomers).cast("long").as("customer_id"),
+      date_add(to_date(lit("2024-01-01")), (u(seed, "date", "id") * 365).cast("int")).as("transaction_date"),
+      pick(seed, "pay", "id", Seq("Credit Card", "Debit Card", "PayPal", "Cash on Delivery", "UPI")).as("payment_method"))
+
+  /** Items: 1-4 per transaction, FK-consistent; line_total =
+    * qty * unit_price * (1 - discount/100) rounded to 2 (generate_data.py:
+    * 139-152). */
+  def transactionItems(spark: SparkSession, nTransactions: Long, nProducts: Long,
+                       seed: Long = 42): DataFrame = {
+    val base = spark.range(nTransactions)
+      .select(col("id").as("transaction_id"),
+        (u(seed, "nitems", "id") * 4 + 1).cast("int").as("n_items"))
+      .select(col("transaction_id"), explode(expr("sequence(1, n_items)")).as("item_seq"))
+    val itemId = concat(col("transaction_id"), lit("_"), col("item_seq"))
+    val qty = (u(seed, "qty", "itm") * 5 + 1).cast("int")
+    val unitPrice = round((u(seed, "uprice", "itm") * 2400 + 100).cast("decimal(18,6)"), 2)
+    val disc = (u(seed, "disc", "itm") * 20).cast("decimal(18,6)")
+    base.withColumn("itm", itemId)
+      .select(
+        col("transaction_id"), col("item_seq"),
+        (u(seed, "prod", "itm") * nProducts).cast("long").as("product_id"),
+        qty.as("quantity"),
+        unitPrice.as("unit_price"),
+        round(disc, 2).as("discount_percentage"),
+        round((qty * unitPrice * (lit(1).cast("decimal(18,6)") - disc / 100)).cast("decimal(28,6)"), 2)
+          .as("line_total"))
+  }
+
+  /** Transaction totals = sum of item line totals (generate_data.py:
+    * 157-174's dict-lookup rollup, as a join — SURVEY §2.3 J5). */
+  def withTotals(transactions: DataFrame, items: DataFrame): DataFrame =
+    transactions.join(
+      items.groupBy("transaction_id").agg(sum("line_total").as("total_amount")),
+      Seq("transaction_id"), "left")
+}

@@ -1,0 +1,68 @@
+package graft.orchestrate
+
+import java.nio.file.{Files, Path, Paths}
+import java.time.{Instant, LocalDate, ZoneOffset}
+import scala.jdk.CollectionConverters._
+
+/** Operational housekeeping — the reference's retention cleanup and
+  * YAML-config-with-env-override surface (reference:
+  * scripts/cleanup_old_data.py:39-111 deletes files older than 7 days
+  * while preserving summary/report/metadata files and today's files;
+  * scripts/ingestion/ingest_to_staging.py:26-32 layers env vars over
+  * config/config.yaml, env winning).
+  */
+object Housekeeping {
+
+  /** Names always preserved regardless of age (cleanup_old_data.py:39-40). */
+  val PreservePatterns: Seq[String] = Seq("summary", "report", "metadata")
+
+  /** Delete regular files under `dir` older than `retentionDays` relative
+    * to `today`, preserving protected name patterns and files modified
+    * today. Returns deleted paths. Ages derive from file mtime; `today` is
+    * injectable so tests are deterministic. */
+  def cleanupOldFiles(dir: String, retentionDays: Int = 7,
+                      today: LocalDate = LocalDate.now(ZoneOffset.UTC)): Seq[Path] = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val cutoff = today.minusDays(retentionDays.toLong)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[Path]
+    Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .foreach { p =>
+        val name = p.getFileName.toString.toLowerCase
+        val preserved = PreservePatterns.exists(name.contains)
+        val mday = Instant.ofEpochMilli(Files.getLastModifiedTime(p).toMillis)
+          .atZone(ZoneOffset.UTC).toLocalDate
+        if (!preserved && mday.isBefore(cutoff) && !mday.isEqual(today)) {
+          Files.delete(p)
+          deleted += p
+        }
+      }
+    deleted.toSeq
+  }
+
+  /** Flat key config: `key: value` lines (the YAML subset the reference
+    * uses), with environment-variable override — env wins, mirroring
+    * ingest_to_staging.py:26-32. `envKey` maps config keys to env names
+    * (e.g. "db.host" → "DB_HOST"). */
+  def loadConfig(path: String,
+                 env: Map[String, String] = sys.env): Map[String, String] = {
+    val fromFile: Map[String, String] =
+      if (Files.exists(Paths.get(path)))
+        Files.readAllLines(Paths.get(path)).asScala
+          .map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains(":"))
+          .map { l =>
+            val i = l.indexOf(':')
+            l.substring(0, i).trim -> l.substring(i + 1).trim.stripPrefix("\"").stripSuffix("\"")
+          }.toMap
+      else Map.empty
+    fromFile.map { case (k, v) =>
+      k -> env.getOrElse(envKey(k), v)
+    } ++ env.collect { case (ek, ev) if fromFile.keys.exists(k => envKey(k) == ek) =>
+      fromFile.keys.find(k => envKey(k) == ek).get -> ev
+    }
+  }
+
+  def envKey(k: String): String = k.toUpperCase.replaceAll("[^A-Z0-9]", "_")
+}

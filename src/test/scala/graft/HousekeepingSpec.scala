@@ -1,0 +1,59 @@
+package graft
+
+import graft.datagen.DataGen
+import graft.orchestrate.Housekeeping
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+import java.time.LocalDate
+
+class HousekeepingSpec extends SparkSpec {
+
+  test("retention cleanup deletes only old unprotected files") {
+    val dir = Files.createTempDirectory("graft_clean")
+    val today = LocalDate.of(2026, 8, 12)
+    def mk(name: String, ageDays: Int) = {
+      val p = dir.resolve(name)
+      Files.writeString(p, "x")
+      val t = today.minusDays(ageDays.toLong).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      Files.setLastModifiedTime(p, FileTime.from(t))
+      p
+    }
+    val old = mk("old_data.csv", 10)
+    val recent = mk("recent_data.csv", 2)
+    val protectedOld = mk("quality_report.json", 30)
+    val metadataOld = mk("generation_metadata.json", 30)
+    val deleted = Housekeeping.cleanupOldFiles(dir.toString, 7, today)
+    assert(deleted.map(_.getFileName.toString) == Seq("old_data.csv"))
+    assert(!Files.exists(old) && Files.exists(recent)
+      && Files.exists(protectedOld) && Files.exists(metadataOld))
+  }
+
+  test("config loads flat yaml keys with env override winning") {
+    val p = Files.createTempFile("graft_cfg", ".yaml")
+    Files.writeString(p, "db.host: localhost\nbatch_size: 1000\n# comment\n")
+    val cfg = Housekeeping.loadConfig(p.toString, env = Map("DB_HOST" -> "prod-db"))
+    assert(cfg("db.host") == "prod-db")
+    assert(cfg("batch_size") == "1000")
+  }
+
+  test("datagen is deterministic, FK-consistent, with correct totals") {
+    val c = DataGen.customers(spark, 50)
+    val t = DataGen.transactions(spark, 200, 50)
+    val p = DataGen.products(spark, 30)
+    val i = DataGen.transactionItems(spark, 200, 30)
+    assert(c.count() == 50 && t.count() == 200 && p.count() == 30)
+    // FK integrity
+    assert(t.join(c, t("customer_id") === c("customer_id"), "left_anti").count() == 0)
+    assert(i.join(p, i("product_id") === p("product_id"), "left_anti").count() == 0)
+    // determinism across regeneration
+    assert(DataGen.transactionItems(spark, 200, 30).except(i).count() == 0)
+    // totals roll up
+    val withT = DataGen.withTotals(t, i)
+    val direct = i.groupBy("transaction_id").agg(sum("line_total").as("s"))
+    val joined = withT.join(direct, "transaction_id")
+    assert(joined.filter(col("total_amount") =!= col("s")).count() == 0)
+    // cost < price invariant (U(0.5,0.8) multiplier)
+    assert(p.filter(col("cost") >= col("price")).count() == 0)
+  }
+}
