@@ -93,7 +93,10 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10"""
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         expr(normE("embedding")).as("nrm"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // single-file input = one partition; spread the streamed side so the
+    // O(N^2) dot products parallelize
+    e.repartition(spark.sparkContext.defaultParallelism).as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (expr(dotE("a.embedding", "b.embedding"))

@@ -215,23 +215,26 @@ WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.7"""
     * estimated Jaccard = fraction of matching signature positions.
     * Fully oracle-verified (hashes are md5-derived in both engines). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // repartition: the single-file input would otherwise compute every
+    // signature on one core; carrying mhs through the band join (instead
+    // of joining sigs back per side) evaluates the md5 signature subtree
+    // once per side instead of three times.
     val sigs = docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .filter(expr(s"size($toksE)") >= 3)
       .select(col("doc_id"), expr(minhashE).as("mhs"))
     val bands = sigs.select(
-      col("doc_id"),
+      col("doc_id"), col("mhs"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> md5(concat_ws(',', transform(slice(mhs, b * 4 + 1, 4), x -> cast(x as string)))))"))
         .as(Seq("band", "band_hash")))
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("mhs").as("ma")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("mhs").as("mb")), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.mhs").as("ma"), col("b.mhs").as("mb"))
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v))").cast("double")
           / lit(16.0)).as("est_jaccard"))
@@ -274,7 +277,10 @@ FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
                        a + if(((shiftright(h, j) & 1)) = 1, 1, -1)) > 0,
                      shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""
     val sh = docs(spark, dir).select(col("doc_id"), expr(simhashE).as("simhash32"))
-    sh.as("a")
+    // all-pairs via nested-loop join: the parquet side is one small file
+    // (= one partition), so repartition the streamed side or a single
+    // core evaluates every pair
+    sh.repartition(spark.sparkContext.defaultParallelism).as("a")
       .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash32 ^ b.simhash32)").cast("long").as("hamming"))
