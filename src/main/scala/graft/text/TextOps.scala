@@ -265,9 +265,11 @@ FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
 
   /** 32-bit SimHash per document (md5-derived token hashes, +1/-1 bit
     * votes over all token occurrences) plus near-duplicate pairs at
-    * Hamming distance <= 4. All-pairs comparison is exact at test scale;
-    * at 100 TB the standard banding trick (join on equal 8-bit blocks)
-    * bounds the pair space — noted, not needed here. */
+    * Hamming distance <= 4 — found EXACTLY via pigeonhole banding: split
+    * the hash into 5 blocks (7+7+6+6+6 bits); any pair differing in <= 4
+    * bits must agree on at least one block, so candidates come from
+    * block-equality joins (the 100 TB path — no all-pairs comparison),
+    * then the exact Hamming filter keeps no false positives. */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val harrE =
       s"transform($toksE, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
@@ -276,15 +278,26 @@ FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
             acc + if(aggregate($harrE, 0, (a, h) ->
                        a + if(((shiftright(h, j) & 1)) = 1, 1, -1)) > 0,
                      shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""
-    val sh = docs(spark, dir).select(col("doc_id"), expr(simhashE).as("simhash32"))
-    // all-pairs via nested-loop join: the parquet side is one small file
-    // (= one partition), so repartition the streamed side or a single
-    // core evaluates every pair
-    sh.repartition(spark.sparkContext.defaultParallelism).as("a")
-      .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val sh = docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(simhashE).as("simhash32"))
+    // blocks: [bits 0-6], [7-13], [14-19], [20-25], [26-31]
+    val blocks = sh.select(col("doc_id"), col("simhash32"),
+      posexplode(expr(
+        """array(simhash32 & 127,
+                 shiftright(simhash32, 7) & 127,
+                 shiftright(simhash32, 14) & 63,
+                 shiftright(simhash32, 20) & 63,
+                 shiftright(simhash32, 26) & 63)"""))
+        .as(Seq("block", "block_bits")))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.block") === col("b.block") && col("a.block_bits") === col("b.block_bits")
+          && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash32 ^ b.simhash32)").cast("long").as("hamming"))
       .filter(col("hamming") <= 4)
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   val dedupSimhashPairsSql: String = """
@@ -293,14 +306,23 @@ hs AS (SELECT doc_id,
               list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT AS BIGINT)) AS harr
        FROM tok),
 sh AS (SELECT doc_id,
-              list_sum(list_transform(generate_series(0, 31), j ->
+              CAST(list_sum(list_transform(generate_series(0, 31), j ->
                 CASE WHEN list_sum(list_transform(harr, h ->
                             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                     THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS simhash32
-       FROM hs)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash32
+       FROM hs),
+blocks AS (
+  SELECT doc_id, simhash32, b.block,
+         CASE b.block WHEN 0 THEN simhash32 & 127
+                      WHEN 1 THEN (simhash32 >> 7) & 127
+                      WHEN 2 THEN (simhash32 >> 14) & 63
+                      WHEN 3 THEN (simhash32 >> 20) & 63
+                      ELSE (simhash32 >> 26) & 63 END AS block_bits
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS block) b)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash32, b.simhash32)) AS BIGINT) AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+FROM blocks a JOIN blocks b
+  ON a.block = b.block AND a.block_bits = b.block_bits AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 4"""
 
   val inventory: Map[String, Q] = Map(
