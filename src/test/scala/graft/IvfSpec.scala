@@ -1,0 +1,29 @@
+package graft
+
+import graft.sim.{Ivf, Similarity}
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+
+  test("ivf index assigns every vector to a cell, deterministically") {
+    val idx = Ivf.buildIndex(spark, sf, k = 8, iterations = 2)
+    assert(idx.count() == Tables.embeddings(spark, sf).count())
+    assert(idx.filter(col("cell").isNull || col("cell") < 0 || col("cell") >= 8).count() == 0)
+    val again = Ivf.buildIndex(spark, sf, k = 8, iterations = 2)
+      .select("vec_id", "cell")
+    assert(idx.select("vec_id", "cell").except(again).count() == 0)
+  }
+
+  test("ivf search recall against exact top-k is reasonable") {
+    val exact = Similarity.annCosineTopK(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ivf.search(spark, sf, k = 8, nprobe = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // nprobe/k = half the space probed; uniform synthetic vectors have
+    // weak cluster structure, so the bar is intentionally modest
+    assert(recall >= 0.3, s"IVF recall was $recall")
+  }
+}
