@@ -1,0 +1,77 @@
+package graft
+
+import graft.orchestrate.Orchestrator
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end pipeline main — the runnable analogue of the reference's
+  * orchestrator entry point (reference: scripts/pipeline_orchestrator.py
+  * main(): generate → ingest → quality → production → warehouse →
+  * analytics, each retried, fail-fast, JSON execution report).
+  *
+  * Stages here are in-process DataFrame jobs over one SparkSession; the
+  * inter-stage medium is Parquet in `outDir` (the reference's is CSV +
+  * Postgres tables). Usage: `runMain graft.Pipeline <sfDir> <outDir>`.
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val report = run(spark, sfDir, outDir)
+    Orchestrator.writeReport(report, s"$outDir/pipeline_execution_report.json")
+    println(Orchestrator.toJson(report))
+    spark.stop()
+    if (report.status != "success") sys.exit(1)
+  }
+
+  /** The six-stage DAG as orchestrated steps. */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Orchestrator.Report =
+    Orchestrator.run(Seq(
+      "cleanse_production" -> { () =>
+        etl.Cleanse.cleanseCustomers(spark, sfDir)
+          .write.mode("overwrite").parquet(s"$outDir/production/customers")
+        etl.Cleanse.cleanseProducts(spark, sfDir)
+          .write.mode("overwrite").parquet(s"$outDir/production/products")
+        etl.Cleanse.cleanseLineitems(spark, sfDir)
+          .write.mode("overwrite").parquet(s"$outDir/production/lineitems")
+      },
+      "quality_checks" -> { () =>
+        val checks = quality.Quality.qualityChecks(spark, sfDir)
+        checks.write.mode("overwrite").parquet(s"$outDir/quality/checks")
+        val score = quality.Quality.qualityScore(spark, sfDir).head
+        sources.Sources.writeJsonReport(
+          s"""{"total_records":${score.getAs[Long]("total_records")},""" +
+            s""""total_violations":${score.getAs[Long]("total_violations")},""" +
+            s""""quality_score":${score.getAs[Double]("quality_score")},""" +
+            s""""grade":"${score.getAs[String]("grade")}"}""",
+          s"$outDir/quality/quality_report.json")
+      },
+      "load_warehouse" -> { () =>
+        warehouse.WarehouseQueries.inventory.foreach { case (name, q) =>
+          q(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/warehouse/$name")
+        }
+      },
+      "analytics" -> { () =>
+        analytics.Analytics.inventory.foreach { case (name, q) =>
+          sources.Sources.writeCsv(q(spark, sfDir).repartition(1),
+            s"$outDir/analytics/$name")
+        }
+      },
+      "monitoring" -> { () =>
+        monitor.Monitor.volumeAnomaly(spark, sfDir)
+          .write.mode("overwrite").parquet(s"$outDir/monitoring/volume_anomaly")
+        monitor.Monitor.freshnessLag(spark, sfDir)
+          .write.mode("overwrite").parquet(s"$outDir/monitoring/freshness")
+      },
+      "retention_cleanup" -> { () =>
+        orchestrate.Housekeeping.cleanupOldFiles(s"$outDir/tmp", retentionDays = 7)
+        ()
+      }))
+}

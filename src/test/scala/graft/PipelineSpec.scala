@@ -93,4 +93,15 @@ class PipelineSpec extends SparkSpec {
     assert(feats.forall(f => f.n_bytes > 0 && f.checksum > 0 &&
       f.mean_byte > 0 && f.mean_byte < 256))
   }
+
+  test("end-to-end pipeline produces all artifacts with a success report") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val report = Pipeline.run(spark, sf, out)
+    assert(report.status == "success")
+    assert(report.steps.map(_.name) == Seq("cleanse_production", "quality_checks",
+      "load_warehouse", "analytics", "monitoring", "retention_cleanup"))
+    assert(new java.io.File(s"$out/quality/quality_report.json").exists())
+    assert(spark.read.parquet(s"$out/warehouse/fact_sales").count() > 0)
+    assert(new java.io.File(s"$out/analytics/q01_top_products").exists())
+  }
 }
