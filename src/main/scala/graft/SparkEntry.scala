@@ -26,7 +26,8 @@ object SparkEntry {
       text.TextOps.inventory ++
       sim.Similarity.inventory ++
       streaming.Streams.inventory ++
-      multimodal.Multimodal.inventory
+      multimodal.Multimodal.inventory ++
+      ext.Extensions.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       text.TextOps.oracle ++
       sim.Similarity.oracle ++
       streaming.Streams.oracle ++
-      multimodal.Multimodal.oracle
+      multimodal.Multimodal.oracle ++
+      ext.Extensions.oracle
 }

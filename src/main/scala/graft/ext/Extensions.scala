@@ -1,0 +1,154 @@
+package graft.ext
+
+import graft.{Det, Sql, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second extension batch — operators a production training-data /
+  * analytics pipeline needs that neither the reference nor the first
+  * extension wave covered: PII scrubbing, corpus n-gram statistics,
+  * JSON property extraction, ROLLUP subtotal aggregation, and the
+  * approximate-distinct scale escape hatch (SURVEY §7.4).
+  */
+object Extensions {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** PII scrubbing: redact emails, URLs and long digit runs (the id/phone
+    * shape) via regexp passes — the standard pre-training scrub. Applied
+    * to `customer` whose names carry 9-digit id runs, so the redaction
+    * provably fires. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("c_name"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+        "https?://[^\\s]+", "[URL]"),
+      "[0-9]{6,}", "[ID]")
+    Tables.customer(spark, dir).select(
+      col("c_custkey").as("customer_id"),
+      col("c_name").as("original"),
+      scrubbed.as("scrubbed"),
+      (length(col("c_name")) - length(scrubbed)).cast(LongType).as("chars_redacted"))
+  }
+
+  val piiScrubSql: String = """
+SELECT c_custkey AS customer_id,
+       c_name AS original,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         'https?://[^\s]+', '[URL]', 'g'),
+         '[0-9]{6,}', '[ID]', 'g') AS scrubbed,
+       CAST(length(c_name) - length(regexp_replace(regexp_replace(regexp_replace(c_name,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         'https?://[^\s]+', '[URL]', 'g'),
+         '[0-9]{6,}', '[ID]', 'g')) AS BIGINT) AS chars_redacted
+FROM customer"""
+
+  /** Corpus-wide top-50 word bigrams — the n-gram frequency table that
+    * feeds tokenizer/contamination analyses. One explode + one groupBy:
+    * map-side partial counts keep the shuffle at |distinct bigrams|. */
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
+    val toks = "split(trim(text), '\\\\s+')"
+    Tables.documents(spark, dir)
+      .select(explode(expr(
+        s"""CASE WHEN size($toks) >= 2 THEN
+              transform(sequence(1, size($toks) - 1),
+                i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1)))
+            ELSE array() END""")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(desc("occurrences"), asc("bigram"))
+      .limit(50)
+  }
+
+  val ngramFreqSql: String = """
+WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+bg AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN
+                       list_transform(generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1])
+                     ELSE [] END) AS bigram
+       FROM tok)
+SELECT bigram, COUNT(*) AS occurrences
+FROM bg GROUP BY bigram
+ORDER BY occurrences DESC, bigram
+LIMIT 50"""
+
+  /** JSON property extraction over the events `props` column
+    * (semi-structured payload → typed column → aggregation). */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("k").as("k_sum"),
+        (sum("k").cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("k_avg"))
+      .orderBy("event_type")
+
+  val propsExtractSql: String = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS k_avg
+FROM events
+GROUP BY event_type
+ORDER BY event_type"""
+
+  /** ROLLUP subtotals: revenue by (year, month) with month subtotals and
+    * a grand total — the reporting shape the reference's agg tables
+    * approximate by hand. Grouping-null keys are stringified so the
+    * hierarchy level is explicit (and output stays DATE/DECIMAL-free). */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate").cast(DateType)).as("year"),
+        month(col("o_orderdate").cast(DateType)).as("month"),
+        col("o_totalprice"))
+      .rollup("year", "month")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.msum(col("o_totalprice")).as("total_amount"))
+      .select(
+        coalesce(col("year").cast(StringType), lit("ALL")).as("year"),
+        coalesce(col("month").cast(StringType), lit("ALL")).as("month"),
+        col("n_orders"), col("total_amount"))
+
+  val rollupRevenueSql: String = s"""
+SELECT coalesce(CAST(year AS VARCHAR), 'ALL') AS year,
+       coalesce(CAST(month AS VARCHAR), 'ALL') AS month,
+       COUNT(*) AS n_orders,
+       ${Sql.msum("o_totalprice")} AS total_amount
+FROM (SELECT year(CAST(o_orderdate AS DATE)) AS year,
+             month(CAST(o_orderdate AS DATE)) AS month, o_totalprice
+      FROM orders)
+GROUP BY ROLLUP(year, month)"""
+
+  /** Approximate count-distinct — the scale escape hatch for the exact
+    * countDistinct queries (SURVEY §7.4). HLL sketches are
+    * engine-specific, so this is registered WITHOUT an oracle (the
+    * driver records a rows-only check); the test bounds its error
+    * against the exact count instead. */
+  def approxMonthlyTransactions(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.warehouse.Warehouse.fact(spark, dir)
+    val d = graft.warehouse.Warehouse.dimDate(spark, dir).select("date_key", "year", "month")
+    f.join(broadcast(d), "date_key")
+      .groupBy("year", "month")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_transactions"))
+      .orderBy("year", "month")
+  }
+
+  val inventory: Map[String, Q] = Map(
+    "pii_scrub"            -> (piiScrub _),
+    "text_ngram_freq"      -> (ngramFreq _),
+    "events_props_extract" -> (propsExtract _),
+    "rollup_revenue"       -> (rollupRevenue _),
+    "approx_monthly_transactions" -> (approxMonthlyTransactions _))
+
+  /** approx_monthly_transactions deliberately omitted (sketches are
+    * engine-specific — rows-only check). */
+  val oracle: Map[String, String] = Map(
+    "pii_scrub"            -> piiScrubSql,
+    "text_ngram_freq"      -> ngramFreqSql,
+    "events_props_extract" -> propsExtractSql,
+    "rollup_revenue"       -> rollupRevenueSql)
+}

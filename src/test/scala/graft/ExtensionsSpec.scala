@@ -1,0 +1,52 @@
+package graft
+
+import graft.ext.Extensions
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("pii scrub actually redacts the digit runs") {
+    val rows = Extensions.piiScrub(spark, sf).collect()
+    assert(rows.forall(_.getAs[String]("scrubbed").contains("[ID]")))
+    assert(rows.forall(_.getAs[Long]("chars_redacted") > 0))
+    assert(rows.forall(r => !r.getAs[String]("scrubbed").exists(_.isDigit)))
+  }
+
+  test("ngram frequencies are descending and capped at 50") {
+    val rows = Extensions.ngramFreq(spark, sf).collect()
+    assert(rows.length == 50)
+    val counts = rows.map(_.getAs[Long]("occurrences"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("json props extraction yields sane aggregates") {
+    val rows = Extensions.propsExtract(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val avg = r.getAs[Double]("k_avg"); avg > 0 && avg < 1000
+    })
+  }
+
+  test("rollup grand total equals the direct sum") {
+    val rows = Extensions.rollupRevenue(spark, sf).collect()
+    val grand = rows.filter(r =>
+      r.getAs[String]("year") == "ALL" && r.getAs[String]("month") == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_orders") == Tables.orders(spark, sf).count())
+    // subtotal consistency: month rows of a year sum to the year subtotal
+    val y = rows.filter(r => r.getAs[String]("year") != "ALL"
+      && r.getAs[String]("month") == "ALL").head
+    val months = rows.filter(r => r.getAs[String]("year") == y.getAs[String]("year")
+      && r.getAs[String]("month") != "ALL")
+    assert(months.map(_.getAs[Long]("n_orders")).sum == y.getAs[Long]("n_orders"))
+  }
+
+  test("approx count distinct stays within 5% of exact") {
+    val approx = Extensions.approxMonthlyTransactions(spark, sf)
+      .agg(sum("approx_transactions")).head.getLong(0)
+    val exact = graft.warehouse.Warehouse.fact(spark, sf)
+      .select("l_orderkey", "date_key").distinct().count()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
