@@ -27,7 +27,8 @@ object SparkEntry {
       sim.Similarity.inventory ++
       streaming.Streams.inventory ++
       multimodal.Multimodal.inventory ++
-      ext.Extensions.inventory
+      ext.Extensions.inventory ++
+      text.DedupClusters.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       sim.Similarity.oracle ++
       streaming.Streams.oracle ++
       multimodal.Multimodal.oracle ++
-      ext.Extensions.oracle
+      ext.Extensions.oracle ++
+      text.DedupClusters.oracle
 }

@@ -1,0 +1,123 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The deduplication endgame: near-duplicate PAIRS become CLUSTERS
+  * (connected components over the similarity graph), and each cluster
+  * elects one representative — the row set a training pipeline actually
+  * keeps. Plus deterministic stratified sampling, the other standard
+  * corpus-shaping operator.
+  *
+  * Connected components run as iterative minimum-label propagation over
+  * the edge list (each round: every node takes the min label among
+  * itself and its neighbors; converges in graph-diameter rounds — near-dup
+  * components are shallow in practice). The DuckDB oracle computes the
+  * same fixpoint with a recursive CTE, so even the iterative algorithm
+  * is value-verified.
+  *
+  * Scale posture: each round is one shuffle join edge⋈labels + one
+  * groupBy min — the standard large-graph CC pattern (no driver-side
+  * graph). Convergence is checked with a count of changed labels.
+  */
+object DedupClusters {
+
+  /** Cluster assignment: every document → the min doc_id reachable
+    * through Jaccard >= 0.7 edges (itself if isolated), with cluster
+    * size and a keeper flag. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.dedupJaccardPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // undirected edge list
+    val edges = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label")).cache()
+
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "b")
+          .withColumnRenamed("label", "nlabel"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min("nlabel").as("minNeighbor"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
+        .cache()
+      next.count()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+  }
+
+  /** Recursive-CTE twin: reach(node,label) closure over the same edges,
+    * min label per node. */
+  val dedupClustersSql: String = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(CASE WHEN len(w) >= 3 THEN
+                       list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     ELSE [] END) AS s
+       FROM tok),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+prs AS (SELECT doc_a AS a, doc_b AS b
+        FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.7),
+edges AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON r.node = e.b),
+rch AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+sizes AS (SELECT label AS cluster_id, COUNT(*) AS cluster_size FROM rch GROUP BY label)
+SELECT r.node AS doc_id, r.label AS cluster_id, s.cluster_size,
+       r.node = r.label AS is_keeper
+FROM rch r JOIN sizes s ON r.label = s.cluster_id"""
+
+  /** Deterministic stratified sampling: per-language rates via an
+    * md5-derived uniform per doc — reproducible on any cluster layout
+    * (Spark's sampleBy is seed-dependent on partitioning; hashing the
+    * row identity is not). en kept at 20%, others at 60%. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = expr("cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100")
+    Tables.documents(spark, dir)
+      .withColumn("u", u)
+      .filter((col("lang") === "en" && col("u") < 20) ||
+        (col("lang") =!= "en" && col("u") < 60))
+      .select(col("doc_id"), col("lang"), col("u").as("bucket"))
+  }
+
+  val stratifiedSampleSql: String = """
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 100 AS bucket
+FROM documents
+WHERE (lang = 'en' AND CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 100 < 20)
+   OR (lang <> 'en' AND CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 100 < 60)"""
+
+  val inventory: Map[String, TextOps.Q] = Map(
+    "dedup_clusters"    -> (dedupClusters _),
+    "stratified_sample" -> (stratifiedSample _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_clusters"    -> dedupClustersSql,
+    "stratified_sample" -> stratifiedSampleSql)
+}
