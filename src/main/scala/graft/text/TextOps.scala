@@ -65,7 +65,10 @@ object TextOps {
         .cast("double") / expr(s"size($toksE)").cast("double"))
         .as("stopword_ratio"),
       ceil(length(col("text")).cast("double") / lit(4.0)).cast("long")
-        .as("est_bpe_tokens"))
+        .as("est_bpe_tokens"),
+      // BPE-ish regex tokenization: letter runs, digit runs, single punct
+      expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))")
+        .cast("long").as("n_tokens_regex"))
       .withColumn("quality_score",
         lit(100.0) * (lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0))
           + lit(0.3) * (lit(1.0) - col("punct_ratio"))
@@ -82,6 +85,7 @@ SELECT doc_id,
        CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
          / CAST(len(w) AS DOUBLE) AS stopword_ratio,
        CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_regex,
        100.0 * (0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0)
               + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
               + 0.3 * least(1.0, CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
