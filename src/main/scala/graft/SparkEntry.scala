@@ -28,7 +28,8 @@ object SparkEntry {
       streaming.Streams.inventory ++
       multimodal.Multimodal.inventory ++
       ext.Extensions.inventory ++
-      text.DedupClusters.inventory
+      text.DedupClusters.inventory ++
+      analytics.WindowOps.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       streaming.Streams.oracle ++
       multimodal.Multimodal.oracle ++
       ext.Extensions.oracle ++
-      text.DedupClusters.oracle
+      text.DedupClusters.oracle ++
+      analytics.WindowOps.oracle
 }

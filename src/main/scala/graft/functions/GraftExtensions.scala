@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injection point: registers graft's custom
+  * expressions into the SQL function registry, so `minhash_sig(arr)` is
+  * callable from `spark.sql(...)` exactly like a built-in.
+  *
+  * Usage: `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.minhashSigFunction)
+}
+
+object GraftExtensions {
+  val minhashSigFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => children match {
+      case Seq(arr) => MinHashSig(arr)
+      case Seq(arr, perms) => MinHashSig(arr,
+        perms.eval().asInstanceOf[Number].intValue())
+      case _ => throw new IllegalArgumentException(
+        "minhash_sig(array<string>[, perms]) takes 1 or 2 arguments")
+    })
+
+  /** Register on an already-running session (tests, shells). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = minhashSigFunction
+    org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
+  }
+}

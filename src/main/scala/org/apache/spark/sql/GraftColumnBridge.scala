@@ -8,4 +8,15 @@ import org.apache.spark.sql.classic.ExpressionColumnNode
   * one conversion custom Catalyst expressions need. */
 object GraftColumnBridge {
   def toColumn(e: Expression): Column = new Column(ExpressionColumnNode(e))
+
+  /** Register a function on an ALREADY-RUNNING session (builder-time
+    * `withExtensions` only applies to new sessions; `sessionState` is
+    * private[sql]). */
+  def registerFunction(
+      spark: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(name, info, builder)
 }
