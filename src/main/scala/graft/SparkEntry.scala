@@ -29,7 +29,8 @@ object SparkEntry {
       multimodal.Multimodal.inventory ++
       ext.Extensions.inventory ++
       text.DedupClusters.inventory ++
-      analytics.WindowOps.inventory
+      analytics.WindowOps.inventory ++
+      etl.Skew.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       multimodal.Multimodal.oracle ++
       ext.Extensions.oracle ++
       text.DedupClusters.oracle ++
-      analytics.WindowOps.oracle
+      analytics.WindowOps.oracle ++
+      etl.Skew.oracle
 }

@@ -1,0 +1,57 @@
+package graft.etl
+
+import graft.{Det, Sql, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by salting — the standard fix when one grouping key
+  * dominates a shuffle (SURVEY §7.4 "skewed keys → salting or AQE
+  * skew-join"). The aggregation runs in two phases: partial aggregate on
+  * (key, salt) — spreading a hot key over `saltBuckets` reducers — then
+  * final aggregate on key. Results are EXACTLY the unsalted aggregation
+  * (sums/counts re-aggregate losslessly), which the DuckDB oracle — a
+  * plain GROUP BY with no salt — proves.
+  */
+object Skew {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic salt from row identity (never rand() — reruns and
+    * retried tasks must agree). */
+  private def salt(idCol: Column, buckets: Int): Column =
+    pmod(hash(idCol), lit(buckets))
+
+  /** Two-phase salted aggregation: revenue and row count per order
+    * priority (5 hot keys over the whole fact — exactly the shape that
+    * skews). */
+  def saltedPriorityRevenue(spark: SparkSession, dir: String,
+                            saltBuckets: Int = 16): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val partial = o
+      .withColumn("_salt", salt(col("o_orderkey"), saltBuckets))
+      .groupBy(col("o_orderpriority"), col("_salt"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Det.dec6(col("o_totalprice"))).as("amt"))
+    partial
+      .groupBy("o_orderpriority")
+      .agg(
+        sum("n").as("n_orders"),
+        round(sum("amt"), 2).cast("decimal(18,2)").cast("double").as("total_amount"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The oracle has no salt — proving the two-phase rewrite is lossless. */
+  val saltedPriorityRevenueSql: String = s"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ${Sql.msum("o_totalprice")} AS total_amount
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+  val inventory: Map[String, Q] = Map(
+    "salted_priority_revenue" -> ((s: SparkSession, d: String) => saltedPriorityRevenue(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "salted_priority_revenue" -> saltedPriorityRevenueSql)
+}
