@@ -53,16 +53,25 @@ object Bench {
         qs.foreach(q => SparkEntry.queries(q)(spark, sfDir).collect()))
     } catch { case _: Throwable => () }
 
+    // A failing query must not record a near-zero time and silently
+    // improve the total: emit -1 for it, count it, and exit nonzero.
     val results = qs.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).collect()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).collect()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          name -> -1.0
+      }
     }
+    val failures = results.count(_._2 < 0)
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }

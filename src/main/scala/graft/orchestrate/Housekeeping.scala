@@ -26,18 +26,20 @@ object Housekeeping {
     if (!Files.isDirectory(root)) return Seq.empty
     val cutoff = today.minusDays(retentionDays.toLong)
     val deleted = scala.collection.mutable.ArrayBuffer.empty[Path]
-    Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .foreach { p =>
-        val name = p.getFileName.toString.toLowerCase
-        val preserved = PreservePatterns.exists(name.contains)
-        val mday = Instant.ofEpochMilli(Files.getLastModifiedTime(p).toMillis)
-          .atZone(ZoneOffset.UTC).toLocalDate
-        if (!preserved && mday.isBefore(cutoff) && !mday.isEqual(today)) {
-          Files.delete(p)
-          deleted += p
+    scala.util.Using.resource(Files.walk(root)) { stream =>
+      stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .foreach { p =>
+          val name = p.getFileName.toString.toLowerCase
+          val preserved = PreservePatterns.exists(name.contains)
+          val mday = Instant.ofEpochMilli(Files.getLastModifiedTime(p).toMillis)
+            .atZone(ZoneOffset.UTC).toLocalDate
+          if (!preserved && mday.isBefore(cutoff) && !mday.isEqual(today)) {
+            Files.delete(p)
+            deleted += p
+          }
         }
-      }
+    }
     deleted.toSeq
   }
 

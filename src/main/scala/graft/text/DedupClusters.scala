@@ -38,7 +38,8 @@ object DedupClusters {
 
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    val maxRounds = 20
+    while (changed > 0 && rounds < maxRounds) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "b")
           .withColumnRenamed("label", "nlabel"), "b")
@@ -55,6 +56,13 @@ object DedupClusters {
       labels = next
       rounds += 1
     }
+    // Silent early exit would yield wrong clusters for graphs deeper
+    // than maxRounds hops — fail loudly instead of diverging from the
+    // oracle's recursive-CTE fixpoint.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxRounds rounds ($changed labels still changing); " +
+          "the similarity graph has components deeper than expected — raise maxRounds")
 
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))

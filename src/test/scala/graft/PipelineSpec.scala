@@ -87,6 +87,26 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(col("id") === 2).count() == 1)
   }
 
+  test("scd2 applyUpdates inserts brand-new keys as open versions") {
+    import spark.implicits._
+    val current = Seq(
+      (1L, "gold", "2020-01-01", "9999-12-31", true))
+      .toDF("id", "tier", "effective_date", "end_date", "is_current")
+      .withColumn("effective_date", col("effective_date").cast("date"))
+      .withColumn("end_date", col("end_date").cast("date"))
+    // key 3 has never been seen before
+    val updates = Seq((1L, "gold"), (3L, "silver")).toDF("id", "tier")
+    val out = Scd2.applyUpdates(current, updates, "id", Seq("tier"), "2024-06-01")
+    assert(out.count() == 2)
+    val fresh = out.filter(col("id") === 3).head
+    assert(fresh.getAs[String]("tier") == "silver")
+    assert(fresh.getAs[Boolean]("is_current"))
+    assert(fresh.getAs[java.sql.Date]("effective_date").toString == "2024-06-01")
+    assert(fresh.getAs[java.sql.Date]("end_date").toString == "9999-12-31")
+    // existing unchanged key untouched
+    assert(out.filter(col("id") === 1 && col("is_current")).count() == 1)
+  }
+
   test("multimodal decode pipeline produces sane features") {
     val feats = Multimodal.decodeFeatures(spark, sf).collect()
     assert(feats.length == Tables.documents(spark, sf).count())
