@@ -30,7 +30,9 @@ object SparkEntry {
       ext.Extensions.inventory ++
       text.DedupClusters.inventory ++
       analytics.WindowOps.inventory ++
-      etl.Skew.inventory
+      etl.Skew.inventory ++
+      ext.TemporalJoins.inventory ++
+      ext.Reshape.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +50,7 @@ object SparkEntry {
       ext.Extensions.oracle ++
       text.DedupClusters.oracle ++
       analytics.WindowOps.oracle ++
-      etl.Skew.oracle
+      etl.Skew.oracle ++
+      ext.TemporalJoins.oracle ++
+      ext.Reshape.oracle
 }

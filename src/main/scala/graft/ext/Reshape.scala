@@ -1,0 +1,102 @@
+package graft.ext
+
+import graft.{Det, Sql, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reshaping aggregations the reporting layer of a warehouse needs
+  * beyond plain GROUP BY: PIVOT (long→wide) and CUBE (all-subtotal
+  * grids). ROLLUP lives in [[Extensions.rollupRevenue]]; together the
+  * three cover Spark's multi-grouping family.
+  *
+  * Scale posture: pivot with an explicit value list is a single hash
+  * aggregation (one shuffle — Spark never scans twice when the values
+  * are given); CUBE expands each row into the 2^k grouping combinations
+  * before the shuffle, so keep k small and the pre-aggregation partial.
+  */
+object Reshape {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val priorities = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val prioAlias = Map(
+    "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+    "4-NOT SPECIFIED" -> "not_specified", "5-LOW" -> "low")
+
+  /** PIVOT: order revenue by nation (rows) × order priority (columns).
+    * The explicit value list keeps it one aggregation pass and makes the
+    * output schema static. */
+  def pivotNationPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val wide = o
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .pivot("o_orderpriority", priorities)
+      .agg(Det.msum(col("o_totalprice")))
+    priorities.foldLeft(wide) { (df, p) =>
+      df.withColumnRenamed(p, prioAlias(p))
+    }.orderBy("nation")
+  }
+
+  val pivotNationPrioritySql: String = {
+    val cells = priorities.map { p =>
+      s"${Sql.msum(s"CASE WHEN o_orderpriority = '$p' THEN o_totalprice END")} AS ${prioAlias(p)}"
+    }.mkString(",\n       ")
+    s"""
+SELECT n_name AS nation,
+       $cells
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY nation"""
+  }
+
+  /** CUBE: order counts and revenue over every subset of
+    * (region, market segment) — the full subtotal grid. Grouping-null
+    * keys are stringified to 'ALL' so the level is explicit and the
+    * output stays string/long/double. */
+  def cubeRegionSegment(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey", "c_mktsegment")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name").as("region"), col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.msum(col("o_totalprice")).as("total_revenue"))
+      .select(
+        coalesce(col("region"), lit("ALL")).as("region"),
+        coalesce(col("segment"), lit("ALL")).as("segment"),
+        col("n_orders"), col("total_revenue"))
+      .orderBy("region", "segment")
+  }
+
+  val cubeRegionSegmentSql: String = s"""
+SELECT coalesce(region, 'ALL') AS region,
+       coalesce(segment, 'ALL') AS segment,
+       COUNT(*) AS n_orders,
+       ${Sql.msum("o_totalprice")} AS total_revenue
+FROM (SELECT r_name AS region, c_mktsegment AS segment, o_totalprice
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey)
+GROUP BY CUBE(region, segment)
+ORDER BY coalesce(region, 'ALL'), coalesce(segment, 'ALL')"""
+
+  val inventory: Map[String, Q] = Map(
+    "pivot_nation_priority" -> (pivotNationPriority _),
+    "cube_region_segment"   -> (cubeRegionSegment _))
+
+  val oracle: Map[String, String] = Map(
+    "pivot_nation_priority" -> pivotNationPrioritySql,
+    "cube_region_segment"   -> cubeRegionSegmentSql)
+}

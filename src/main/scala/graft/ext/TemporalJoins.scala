@@ -1,0 +1,160 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Temporal join operators Spark lacks natively: AS-OF join and bounded
+  * time-RANGE join. Both are composed from built-in operators (the
+  * preference order in SURVEY §7.3 — no custom SparkPlan needed: the
+  * compositions below already produce the physical shape a dedicated
+  * operator would).
+  *
+  * Scale posture:
+  *  - [[asofJoin]] is the sort-based formulation: ONE shuffle on the key,
+  *    one sort per partition, no row explosion — the same cost profile as
+  *    a dedicated as-of physical operator, and it survives arbitrarily
+  *    large sides (no broadcast, no range materialization).
+  *  - [[rangeJoin]] is the banded (bucketed) formulation: each left row
+  *    lands in exactly one time bucket, each right row probes two
+  *    buckets, so the equi-join key is (key, bucket) and the shuffle
+  *    stays hash-partitioned — never the quadratic cross-join a naive
+  *    inequality join plans. Bucket width = the range bound, so a
+  *    matching pair is always in the same or adjacent bucket and each
+  *    pair is produced exactly once (no dedup pass).
+  */
+object TemporalJoins {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Generic AS-OF join: for every left row, attach `payload` columns from
+    * the single right row with the greatest `rightTs` <= the left row's
+    * `leftTs`, per `key`. Ties on rightTs are broken by `rightTieBreak`
+    * ascending (the last one wins), so the result is deterministic.
+    *
+    * Left and right are unioned with a side tag, shuffled once on the
+    * key, and sorted by (ts, side, tiebreak) — right rows sort before
+    * left rows at equal timestamps, so an exactly-simultaneous right row
+    * IS visible to the left row (inclusive as-of, DuckDB ASOF JOIN
+    * semantics). A running `last(payload, ignoreNulls)` then carries the
+    * most recent right payload forward onto each left row.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String],
+               rightTieBreak: Seq[String]): DataFrame = {
+    val r = right.select(
+      (key.map(col) :+ col(rightTs).as(leftTs)) ++ payload.map(col): _*)
+      .withColumn("_side", lit(0))
+    val all = left.withColumn("_side", lit(1))
+      .unionByName(r, allowMissingColumns = true)
+    val order: Seq[Column] =
+      Seq(col(leftTs), col("_side")) ++ rightTieBreak.map(col)
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload.foldLeft(all) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }.filter(col("_side") === 1).drop("_side")
+  }
+
+  /** Generic bounded time-range join: all (left, right) pairs with the
+    * same `key` and `0 <= right.ts - left.ts <= boundMicros` (timestamps
+    * as epoch-micros columns). Left rows are exploded into their own and
+    * the next bucket, so every qualifying pair meets on exactly one
+    * (key, bucket) equi-key. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+                leftUs: String, rightUs: String, boundMicros: Long): DataFrame = {
+    val l = left.withColumn("_jb",
+      explode(array(expr(s"$leftUs div $boundMicros"),
+        expr(s"$leftUs div $boundMicros") + 1)))
+    val r = right.withColumn("_jb", expr(s"$rightUs div $boundMicros"))
+    l.join(r, key :+ "_jb")
+      .filter(col(rightUs) >= col(leftUs) &&
+        col(rightUs) <= col(leftUs) + boundMicros)
+      .drop("_jb")
+  }
+
+  /** AS-OF attribution: each purchase event joined to the user's most
+    * recent click at or before it (the classic marketing-attribution
+    * as-of). DuckDB expresses the same with its native ASOF JOIN; the
+    * oracle uses the window formulation so tie-breaks are bit-identical. */
+  def asofClickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"), col("value").as("click_value"),
+        unix_micros(col("ts")).as("click_us"))
+    asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+      payload = Seq("click_event_id", "click_value", "click_us"),
+      rightTieBreak = Seq("click_event_id"))
+      .select(
+        col("purchase_event_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("purchase_ts"),
+        col("click_event_id"), col("click_value"),
+        (unix_micros(col("ts")) - col("click_us")).as("gap_us"))
+      .orderBy("purchase_event_id")
+  }
+
+  val asofClickAttributionSql: String = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+  FROM events),
+m AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER w AS click_event_id,
+         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER w AS click_value,
+         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS) OVER w AS click_us
+  FROM e
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id AS purchase_event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       click_event_id, click_value,
+       epoch_us(ts) - click_us AS gap_us
+FROM m
+WHERE event_type = 'purchase'
+ORDER BY purchase_event_id"""
+
+  /** Bounded range join: every (click, purchase) pair of the same user
+    * with the purchase 0–6 hours after the click. */
+  def rangeClickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val bound = 6L * 3600 * 1000000
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_event_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    rangeJoin(clicks, purchases, Seq("user_id"), "click_us", "purchase_us", bound)
+      .select(col("user_id"), col("click_event_id"), col("purchase_event_id"),
+        (col("purchase_us") - col("click_us")).as("gap_us"))
+      .orderBy("click_event_id", "purchase_event_id")
+  }
+
+  val rangeClickPurchaseSql: String = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events)
+SELECT c.user_id, c.event_id AS click_event_id, p.event_id AS purchase_event_id,
+       p.us - c.us AS gap_us
+FROM e c JOIN e p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.us >= c.us AND p.us <= c.us + 21600000000
+ORDER BY click_event_id, purchase_event_id"""
+
+  val inventory: Map[String, Q] = Map(
+    "asof_click_attribution"    -> (asofClickAttribution _),
+    "range_join_click_purchase" -> (rangeClickPurchase _))
+
+  val oracle: Map[String, String] = Map(
+    "asof_click_attribution"    -> asofClickAttributionSql,
+    "range_join_click_purchase" -> rangeClickPurchaseSql)
+}

@@ -199,6 +199,30 @@ GROUP BY user_id, session_seq"""
     }.toDF()
   }
 
+  /** Stream-stream interval join: clicks joined to the same user's
+    * purchases 0–6 hours later. Watermarks on BOTH sides plus the time
+    * bound make the join state finite: once the watermark passes
+    * click_ts + 6h, the click row can never match again and Spark evicts
+    * it. Same output as [[graft.ext.TemporalJoins.rangeClickPurchase]]
+    * (its batch twin, asserted equal in StreamingSpec). */
+  def clickPurchaseJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_event_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "6 hours")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_event_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "6 hours")
+    clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts >= c_ts AND p_ts <= c_ts + interval 6 hours"""))
+      .select(col("c_user").as("user_id"),
+        col("click_event_id"), col("purchase_event_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   val inventory: Map[String, Q] = Map(
     "events_hourly_windows"  -> (eventsHourly _),
     "events_sliding_windows" -> (eventsSliding _),

@@ -40,6 +40,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0, "batch sessions not in stream")
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val q = Streams.clickPurchaseJoinStream(spark, sf).writeStream
+      .format("memory").queryName("sj_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sj_stream")
+    val batch = graft.ext.TemporalJoins.rangeClickPurchase(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0, "streamed pairs not in batch")
+    assert(batch.except(streamed).count() == 0, "batch pairs not in stream")
+  }
+
   test("sliding windows double-count each event") {
     val total = Streams.eventsSliding(spark, sf)
       .agg(sum("n_events")).head.getLong(0)
