@@ -32,7 +32,8 @@ object SparkEntry {
       analytics.WindowOps.inventory ++
       etl.Skew.inventory ++
       ext.TemporalJoins.inventory ++
-      ext.Reshape.inventory
+      ext.Reshape.inventory ++
+      analytics.Quantiles.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
       analytics.WindowOps.oracle ++
       etl.Skew.oracle ++
       ext.TemporalJoins.oracle ++
-      ext.Reshape.oracle
+      ext.Reshape.oracle ++
+      analytics.Quantiles.oracle
 }

@@ -1,0 +1,68 @@
+package graft.analytics
+
+import graft.warehouse.{OracleSql, Warehouse}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact distributed quantiles — discrete (type-1) quantiles computed by
+  * rank selection, not interpolation: the p-quantile of n values is the
+  * element at rank ceil(p·n) of the sorted multiset. Selecting an actual
+  * element keeps the computation in integer space end-to-end (the value
+  * column is exact micros), so the result is reproducible across engines
+  * and partitionings — interpolating quantiles (Spark `percentile`,
+  * DuckDB `quantile_cont`) average in floating point and are not.
+  *
+  * Scale posture: one shuffle on the group key; the per-group sort is
+  * the window sort Spark would do for any ranked analytic. Groups here
+  * are low-cardinality (5 payment methods), so per-group data is large —
+  * at 100 TB this exact form still works (sort-based window, spills),
+  * but `approx_percentile` (a mergeable sketch) is the escape hatch when
+  * a bounded error is acceptable, mirroring SURVEY §7.4's
+  * countDistinct/approx_count_distinct pairing.
+  */
+object Quantiles {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+
+  /** p50/p90/p99 of line_total (as exact micros) per payment method. */
+  def quantilesLineTotal(spark: SparkSession, dir: String): DataFrame = {
+    val f = Warehouse.fact(spark, dir).select(
+      col("payment_method"),
+      (col("line_total") * lit(1000000)).cast(LongType).as("v"))
+    val byPm = Window.partitionBy("payment_method")
+    val ranked = f
+      .withColumn("rn", row_number().over(byPm.orderBy("v")))
+      .withColumn("n", count(lit(1)).over(byPm))
+    val cells = ps.map { case (name, p) =>
+      max(when(col("rn") === ceil(col("n") * lit(p)), col("v"))).as(s"${name}_micros")
+    }
+    ranked.groupBy("payment_method")
+      .agg(max("n").as("n_rows"), cells: _*)
+      .orderBy("payment_method")
+  }
+
+  val quantilesLineTotalSql: String = {
+    val cells = ps.map { case (name, p) =>
+      s"MAX(CASE WHEN rn = CAST(ceil(n * $p) AS BIGINT) THEN v END) AS ${name}_micros"
+    }.mkString(",\n       ")
+    OracleSql.q(s"""
+SELECT payment_method, MAX(n) AS n_rows,
+       $cells
+FROM (
+  SELECT payment_method, v,
+         ROW_NUMBER() OVER (PARTITION BY payment_method ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY payment_method) AS n
+  FROM (SELECT payment_method, CAST(line_total * 1000000 AS BIGINT) AS v FROM fact))
+GROUP BY payment_method
+ORDER BY payment_method""")
+  }
+
+  val inventory: Map[String, Q] = Map(
+    "quantiles_line_total" -> (quantilesLineTotal _))
+
+  val oracle: Map[String, String] = Map(
+    "quantiles_line_total" -> quantilesLineTotalSql)
+}

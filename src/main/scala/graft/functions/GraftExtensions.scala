@@ -13,8 +13,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashSigFunction)
+    ext.injectFunction(GraftExtensions.qdotFunction)
+  }
 }
 
 object GraftExtensions {
@@ -29,9 +31,18 @@ object GraftExtensions {
         "minhash_sig(array<string>[, perms]) takes 1 or 2 arguments")
     })
 
+  val qdotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("qdot"),
+    new ExpressionInfo(classOf[QDot].getName, "qdot"),
+    (children: Seq[Expression]) => children match {
+      case Seq(a, b) => QDot(a, b)
+      case _ => throw new IllegalArgumentException(
+        "qdot(array<float>, array<float>) takes 2 arguments")
+    })
+
   /** Register on an already-running session (tests, shells). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = minhashSigFunction
-    org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(minhashSigFunction, qdotFunction).foreach { case (id, info, builder) =>
+      org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
+    }
 }

@@ -35,15 +35,23 @@ object Similarity {
 
   /** Exact integer dot product of two float arrays (in-row fold — no
     * shuffle, no explode). Magnitudes: |x|<1 → |q|<1e7, 64 products of
-    * |q a·q b|<1e14 sum to <1e16 — no 64-bit overflow. */
-  private def dotE(a: String, b: String): String =
+    * |q a·q b|<1e14 sum to <1e16 — no 64-bit overflow.
+    * HOF reference form — [[graft.functions.QDot]] is the compiled twin
+    * used on the hot paths below; QDotSpec asserts they are bit-equal. */
+  private[graft] def dotE(a: String, b: String): String =
     s"""cast(aggregate(zip_with($a, $b,
           (x, y) -> ${qz("x")} * ${qz("y")}),
           cast(0 as bigint), (acc, v) -> acc + v) as double)"""
 
-  private def normE(a: String): String =
+  private[graft] def normE(a: String): String =
     s"""sqrt(cast(aggregate(transform($a, x -> ${qz("x")} * ${qz("x")}),
           cast(0 as bigint), (acc, v) -> acc + v) as double))"""
+
+  /** Compiled twins (native Catalyst expression, codegen'd). */
+  private def dotN(a: String, b: String) =
+    graft.functions.QDot.of(a, b).cast("double")
+  private def normN(a: String) =
+    sqrt(graft.functions.QDot.of(a, a).cast("double"))
 
   /** Brute-force cosine top-10 for the first five vectors as queries
     * (self excluded): broadcast the query set, score every vector,
@@ -56,8 +64,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id"),
-        (expr(dotE("q", "embedding"))
-          / (expr(normE("q")) * expr(normE("embedding")))).as("cosine"))
+        (dotN("q", "embedding")
+          / (normN("q") * normN("embedding"))).as("cosine"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
@@ -92,14 +100,14 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10"""
   def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
-        expr(normE("embedding")).as("nrm"))
+        normN("embedding").as("nrm"))
     // single-file input = one partition; spread the streamed side so the
     // O(N^2) dot products parallelize
     e.repartition(spark.sparkContext.defaultParallelism).as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (expr(dotE("a.embedding", "b.embedding"))
+        (dotN("a.embedding", "b.embedding")
           / (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= 0.4)
   }

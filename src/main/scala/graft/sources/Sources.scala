@@ -48,6 +48,16 @@ object Sources {
     n
   }
 
+  /** JSON-lines source with an explicit schema (same no-inference rule
+    * as [[readCsv]]) — the interchange format training-data corpora
+    * actually ship in. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSON-lines sink (one JSON object per line, splittable downstream). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** Single JSON report document (ingestion summaries, quality reports —
     * S8): driver-side write, content from a pre-rendered JSON string. */
   def writeJsonReport(json: String, path: String): Unit = {

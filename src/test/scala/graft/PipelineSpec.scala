@@ -42,6 +42,15 @@ class PipelineSpec extends SparkSpec {
     assert(back.except(df).count() == 0)
   }
 
+  test("jsonl round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    val df = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    Sources.writeJsonl(df, dir)
+    val back = Sources.readJsonl(spark, dir, df.schema)
+    assert(back.count() == df.count())
+    assert(back.except(df).count() == 0)
+  }
+
   test("incremental append loads only new keys") {
     val dir = Files.createTempDirectory("graft_inc").toString + "/t"
     val all = Tables.region(spark, sf)
