@@ -4,7 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Scratch profiling main (not part of the library surface). */
+/** Ad-hoc profiling harness (dev tool, not part of the library surface):
+  * times micro-variants of the headline aggregations against the cached
+  * fact to attribute per-query cost (JIT warm-up, decimal vs bigint
+  * sums, countDistinct). Findings feed Bench.scala's methodology notes.
+  */
 object Profile {
   def time[A](label: String, n: Int = 5)(f: => A): Unit = {
     val ts = (1 to n).map { _ =>
@@ -29,11 +33,8 @@ object Profile {
 
     val f = warehouse.Warehouse.fact(spark, sfDir)
     f.count(); f.count()
-
-    // warm all headline queries
     Bench.headline.foreach(q => SparkEntry.queries(q)(spark, sfDir).collect())
 
-    time("q01 (current)")(Analytics01.collect(spark, sfDir))
     time("noop count on cached fact")(f.count())
     time("plain long sum quantity by product")(
       f.groupBy("product_key").agg(sum("quantity")).collect())
@@ -44,18 +45,8 @@ object Profile {
         .agg(sum((col("line_total") * lit(1000000)).cast(LongType))).collect())
     time("countDistinct orderkey by product")(
       f.groupBy("product_key").agg(countDistinct(col("l_orderkey"))).collect())
-    time("q02 (current)")(SparkEntry.queries("q02_monthly_trend")(spark, sfDir).collect())
-    time("q07 (current)")(SparkEntry.queries("q07_customer_ltv")(spark, sfDir).collect())
-    time("q09 (current)")(SparkEntry.queries("q09_dow_pattern")(spark, sfDir).collect())
-    time("analysis only q01") {
-      val df = SparkEntry.queries("q01_top_products")(spark, sfDir)
-      df.queryExecution.executedPlan
-    }
+    Bench.headline.foreach(q =>
+      time(q)(SparkEntry.queries(q)(spark, sfDir).collect()))
     spark.stop()
-  }
-
-  object Analytics01 {
-    def collect(spark: SparkSession, dir: String): Unit =
-      SparkEntry.queries("q01_top_products")(spark, dir).collect()
   }
 }

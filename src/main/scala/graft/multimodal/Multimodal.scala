@@ -119,11 +119,46 @@ SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
             ELSE CAST(checksum AS DOUBLE) / CAST(n_bytes AS DOUBLE) END AS mean_byte
 FROM b"""
 
+  // ------------------------------------------------------------- resize
+
+  /** STUB resize — the downsample analogue: sample up to 64 evenly-
+    * strided bytes from the payload (an 8×8 "thumbnail"), emit the
+    * sample hash and output dimensions. A real deployment swaps the
+    * stride-sampling for the codec's scaler; the plumbing (binary in,
+    * fixed-size binary + metadata out, per-row, no shuffle) is what's
+    * exercised. ASCII payloads keep it SQL-expressible → oracled. */
+  def resizeThumbnails(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_bytes"))
+      .select(
+        col("doc_id"), col("n_bytes"),
+        lit(8L).as("out_w"), lit(8L).as("out_h"),
+        least(lit(64L), col("n_bytes")).as("n_samples"),
+        md5(expr(
+          """array_join(transform(
+               sequence(0, cast(least(64, length(text)) as int) - 1),
+               i -> substr(text, 1 + i * cast(greatest(1, length(text) div 64) as int), 1)),
+             '')""")).as("thumb_md5"))
+
+  val resizeThumbnailsSql: String = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+       CAST(least(64, length(text)) AS BIGINT) AS n_samples,
+       md5(list_aggregate(list_transform(
+             generate_series(0, CAST(least(64, length(text)) AS INT) - 1),
+             i -> substr(text, 1 + i * CAST(greatest(1, length(text) // 64) AS INT), 1)),
+           'string_agg', '')) AS thumb_md5
+FROM documents"""
+
   val inventory: Map[String, Q] = Map(
     "multimodal_features" -> (mediaFeatures _),
-    "multimodal_decode"   -> (decodeFeaturesQ _))
+    "multimodal_decode"   -> (decodeFeaturesQ _),
+    "multimodal_resize"   -> (resizeThumbnails _))
 
   val oracle: Map[String, String] = Map(
     "multimodal_features" -> mediaFeaturesSql,
-    "multimodal_decode"   -> decodeFeaturesSql)
+    "multimodal_decode"   -> decodeFeaturesSql,
+    "multimodal_resize"   -> resizeThumbnailsSql)
 }

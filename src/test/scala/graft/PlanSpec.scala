@@ -37,6 +37,20 @@ class PlanSpec extends SparkSpec {
       "dimension join fell back to sort-merge")
   }
 
+  test("fact build shuffles only on the order key (dims all broadcast)") {
+    // count Exchange operators in the UNCACHED fact plan: the only
+    // shuffle allowed is lineitem<->orders co-partitioning (2 exchange
+    // nodes, one per side) plus the line_seq window which reuses the
+    // same l_orderkey partitioning; dims must arrive via broadcast.
+    val plan = physicalPlan(SparkEntry.queries("fact_sales")(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected 3 broadcast dim joins, got $broadcasts")
+    assert(!plan.contains("CartesianProduct"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(_ => plan.contains("l_orderkey")),
+      "fact shuffle must be keyed by l_orderkey")
+  }
+
   test("no query plan contains a cartesian product") {
     // cross joins are only legal against single-row or broadcast stats
     // relations (grand totals); a CartesianProduct over two big inputs
