@@ -223,6 +223,26 @@ GROUP BY user_id, session_seq"""
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** Streaming sink via foreachBatch: every micro-batch is upserted
+    * into a parquet table with the SAME anti-join incremental append
+    * the batch loader uses ([[graft.sources.Sources.incrementalAppend]]).
+    * foreachBatch is the idiomatic bridge from a stream to batch
+    * writers, and keying the append makes the sink idempotent: replayed
+    * or re-delivered rows are filtered out by the key anti-join, so the
+    * effect is exactly-once-per-key even without sink transactions. */
+  def streamToIncrementalParquet(spark: SparkSession, dir: String,
+                                 outPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sources.incrementalAppend(
+          batch.sparkSession, batch.toDF(), outPath, Seq("event_id"))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   val inventory: Map[String, Q] = Map(
     "events_hourly_windows"  -> (eventsHourly _),
     "events_sliding_windows" -> (eventsSliding _),

@@ -54,6 +54,19 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0, "batch pairs not in stream")
   }
 
+  test("foreachBatch incremental sink is idempotent under replay") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString + "/events"
+    val q1 = Streams.streamToIncrementalParquet(spark, sf, out)
+    q1.awaitTermination(120000)
+    val n = Tables.events(spark, sf).count()
+    assert(spark.read.parquet(out).count() == n)
+    // replay the whole stream (fresh query, no checkpoint): the keyed
+    // anti-join append must insert nothing
+    val q2 = Streams.streamToIncrementalParquet(spark, sf, out)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == n)
+  }
+
   test("sliding windows double-count each event") {
     val total = Streams.eventsSliding(spark, sf)
       .agg(sum("n_events")).head.getLong(0)
