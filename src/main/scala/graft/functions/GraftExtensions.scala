@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashSigFunction)
     ext.injectFunction(GraftExtensions.qdotFunction)
+    ext.injectFunction(GraftExtensions.topkByFunction)
   }
 }
 
@@ -40,9 +41,19 @@ object GraftExtensions {
         "qdot(array<float>, array<float>) takes 2 arguments")
     })
 
+  val topkByFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_by"),
+    new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+    (children: Seq[Expression]) => children match {
+      case Seq(v, t, k) => TopKBy(v, t, k.eval().asInstanceOf[Number].intValue())
+      case _ => throw new IllegalArgumentException(
+        "topk_by(value double, tag bigint, k int) takes 3 arguments")
+    })
+
   /** Register on an already-running session (tests, shells). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(minhashSigFunction, qdotFunction).foreach { case (id, info, builder) =>
-      org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
+    Seq(minhashSigFunction, qdotFunction, topkByFunction).foreach {
+      case (id, info, builder) =>
+        org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
     }
 }

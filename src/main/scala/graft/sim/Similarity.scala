@@ -55,7 +55,12 @@ object Similarity {
 
   /** Brute-force cosine top-10 for the first five vectors as queries
     * (self excluded): broadcast the query set, score every vector,
-    * rank per query. */
+    * then grouped top-k via the bounded-heap aggregate
+    * ([[graft.functions.TopKBy]]) — a partial+final aggregation that
+    * ships at most k pairs per (map task, query) instead of window-
+    * sorting every scored row in one partition per query. Same result
+    * as the `row_number` window form (TopKBySpec asserts it; the DuckDB
+    * oracle keeps verifying the window semantics). */
   def annCosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 5)
@@ -66,10 +71,11 @@ object Similarity {
         col("query_id"), col("vec_id"),
         (dotN("q", "embedding")
           / (normN("q") * normN("embedding"))).as("cosine"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
-      .filter(col("rank") <= 10)
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKBy.of(col("cosine"), col("vec_id"), 10).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.tag").as("vec_id"), col("p.v").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   private def duckQz(x: String): String =

@@ -9,6 +9,11 @@ import org.apache.spark.sql.classic.ExpressionColumnNode
 object GraftColumnBridge {
   def toColumn(e: Expression): Column = new Column(ExpressionColumnNode(e))
 
+  /** Inverse direction (Column → Expression), for custom aggregates that
+    * take computed columns as children. */
+  def toExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Register a function on an ALREADY-RUNNING session (builder-time
     * `withExtensions` only applies to new sessions; `sessionState` is
     * private[sql]). */
