@@ -33,7 +33,8 @@ object SparkEntry {
       etl.Skew.inventory ++
       ext.TemporalJoins.inventory ++
       ext.Reshape.inventory ++
-      analytics.Quantiles.inventory
+      analytics.Quantiles.inventory ++
+      ext.SetOps.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -54,5 +55,6 @@ object SparkEntry {
       etl.Skew.oracle ++
       ext.TemporalJoins.oracle ++
       ext.Reshape.oracle ++
-      analytics.Quantiles.oracle
+      analytics.Quantiles.oracle ++
+      ext.SetOps.oracle
 }

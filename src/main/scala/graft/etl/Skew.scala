@@ -49,9 +49,43 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority"""
 
+  /** Salted skewed JOIN — the replicate-and-salt pattern: the big side
+    * gets a deterministic salt on its row identity; the small side is
+    * replicated once per salt bucket, so a hot join key spreads over
+    * `saltBuckets` reducers instead of hot-spotting one. The join stays
+    * an equi-join on (key, salt). Replication multiplies the SMALL side
+    * only (dim × buckets — still broadcastable at scale); results are
+    * exactly the unsalted join, which the salt-free oracle proves. */
+  def saltedBrandRevenue(spark: SparkSession, dir: String,
+                         saltBuckets: Int = 8): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
+      .withColumn("_salt",
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(saltBuckets)))
+      .drop("l_orderkey", "l_linenumber")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
+      .withColumn("_salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    li.join(p, col("l_partkey") === col("p_partkey") && li("_salt") === p("_salt"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        Det.msum(col("l_extendedprice")).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  val saltedBrandRevenueSql: String = s"""
+SELECT p_brand,
+       COUNT(*) AS n_lines,
+       ${Sql.msum("l_extendedprice")} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand"""
+
   val inventory: Map[String, Q] = Map(
-    "salted_priority_revenue" -> ((s: SparkSession, d: String) => saltedPriorityRevenue(s, d)))
+    "salted_priority_revenue" -> ((s: SparkSession, d: String) => saltedPriorityRevenue(s, d)),
+    "salted_brand_revenue"    -> ((s: SparkSession, d: String) => saltedBrandRevenue(s, d)))
 
   val oracle: Map[String, String] = Map(
-    "salted_priority_revenue" -> saltedPriorityRevenueSql)
+    "salted_priority_revenue" -> saltedPriorityRevenueSql,
+    "salted_brand_revenue"    -> saltedBrandRevenueSql)
 }
