@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factories encoding the two deployment profiles this library
+  * is tuned for. The settings differ because the bottlenecks differ:
+  * locally, task-scheduling overhead dominates tiny shuffles; on a
+  * cluster, data volume dominates and the adaptive machinery earns its
+  * overhead. Bench.scala documents the local measurements behind the
+  * small-scale numbers.
+  */
+object Sessions {
+
+  /** Local development/bench profile (single JVM, data ≤ a few GB):
+    * shuffle partitions sized to data not cores, AQE off (its stage
+    * re-materializations cost more than they save at this scale),
+    * shuffle compression off (pure CPU overhead on in-memory blocks). */
+  def local(cores: Int = 4, shufflePartitions: Int = 8): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new functions.GraftExtensions)
+      .getOrCreate()
+
+  /** Cluster profile (the 100 TB posture — values are the starting
+    * point a deployment tunes from, applied via builder so a spark-submit
+    * can still override):
+    *  - AQE ON with skew-join splitting and partition coalescing: at
+    *    real volume, runtime stats beat static planning (skewed keys
+    *    get split without manual salting; small shuffles coalesce).
+    *  - shuffle.partitions high (AQE coalesces down): target ~64-128 MB
+    *    per post-AQE partition.
+    *  - broadcast threshold raised to 64 MB: every dimension in this
+    *    schema fits and must never sort-merge.
+    *  - compression back ON (network/disk bound, not CPU bound).
+    *  - UTC timezone is load-bearing for the date logic; the
+    *    GraftExtensions registration makes minhash_sig/qdot/topk_by
+    *    available to plain SQL users.
+    */
+  def clusterDefaults(builder: SparkSession.Builder): SparkSession.Builder =
+    builder
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+      .config("spark.sql.shuffle.partitions", "2000")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+      .config("spark.sql.files.maxPartitionBytes", "256m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new functions.GraftExtensions)
+}
