@@ -34,7 +34,8 @@ object SparkEntry {
       ext.TemporalJoins.inventory ++
       ext.Reshape.inventory ++
       analytics.Quantiles.inventory ++
-      ext.SetOps.inventory
+      ext.SetOps.inventory ++
+      text.Curation.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -56,5 +57,6 @@ object SparkEntry {
       ext.TemporalJoins.oracle ++
       ext.Reshape.oracle ++
       analytics.Quantiles.oracle ++
-      ext.SetOps.oracle
+      ext.SetOps.oracle ++
+      text.Curation.oracle
 }

@@ -61,9 +61,45 @@ FROM (
   GROUP BY o_custkey, l_orderkey, order_date)
 WINDOW w AS (PARTITION BY customer_id ORDER BY order_date, order_id)""")
 
+  /** RANGE-frame + ntile: per-customer trailing-30-day revenue (a RANGE
+    * frame over integer day offsets — peers at the same day aggregate
+    * together, unlike a ROWS frame) and per-customer spend quartiles.
+    * Grain: one row per (customer, order). */
+  def customerTrailing(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.warehouse.Warehouse.fact(spark, dir)
+    val orders = f.groupBy(col("o_custkey").as("customer_id"),
+        col("l_orderkey").as("order_id"), col("order_date"))
+      .agg(Det.msumDec(col("line_total")).as("order_total"))
+      .withColumn("days",
+        datediff(col("order_date"), to_date(lit("1992-01-01"))).cast(LongType))
+    val wRange = Window.partitionBy("customer_id").orderBy("days")
+      .rangeBetween(-29, 0)
+    val wQuart = Window.partitionBy("customer_id").orderBy("order_total", "order_id")
+    orders.select(
+      col("customer_id"), col("order_id"), col("days"),
+      col("order_total").cast(DoubleType).as("order_total"),
+      sum(col("order_total")).over(wRange).cast(DoubleType).as("trailing_30d"),
+      ntile(4).over(wQuart).cast(LongType).as("spend_quartile"))
+  }
+
+  val customerTrailingSql: String = OracleSql.q(s"""
+SELECT customer_id, order_id, days,
+       CAST(order_total AS DOUBLE) AS order_total,
+       CAST(SUM(order_total) OVER (PARTITION BY customer_id ORDER BY days
+              RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d,
+       CAST(NTILE(4) OVER (PARTITION BY customer_id ORDER BY order_total, order_id) AS BIGINT) AS spend_quartile
+FROM (
+  SELECT o_custkey AS customer_id, l_orderkey AS order_id,
+         date_diff('day', DATE '1992-01-01', order_date) AS days,
+         ${Sql.msumDec("line_total")} AS order_total
+  FROM fact
+  GROUP BY o_custkey, l_orderkey, order_date)""")
+
   val inventory: Map[String, Q] = Map(
-    "window_customer_timeline" -> (customerTimeline _))
+    "window_customer_timeline" -> (customerTimeline _),
+    "window_trailing_30d"      -> (customerTrailing _))
 
   val oracle: Map[String, String] = Map(
-    "window_customer_timeline" -> customerTimelineSql)
+    "window_customer_timeline" -> customerTimelineSql,
+    "window_trailing_30d"      -> customerTrailingSql)
 }

@@ -92,11 +92,44 @@ FROM (SELECT r_name AS region, c_mktsegment AS segment, o_totalprice
 GROUP BY CUBE(region, segment)
 ORDER BY coalesce(region, 'ALL'), coalesce(segment, 'ALL')"""
 
+  /** GROUPING SETS: two independent single-dimension rollups (by year,
+    * by priority) in ONE aggregation pass — the third member of the
+    * multi-grouping family next to ROLLUP and CUBE. The aggregate SQL
+    * fragment is shared verbatim with the DuckDB oracle (both engines
+    * give CAST/ROUND/SUM-on-DECIMAL the same HALF_UP semantics). */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate").cast(DateType)).as("yr"),
+        col("o_orderpriority").as("priority"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_gs_orders")
+    spark.sql(s"""
+SELECT coalesce(CAST(yr AS STRING), 'ALL') AS yr,
+       coalesce(priority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       ${graft.Sql.msum("o_totalprice")} AS total_amount
+FROM graft_gs_orders
+GROUP BY GROUPING SETS ((yr), (priority))
+ORDER BY yr, priority""")
+  }
+
+  val groupingSetsRevenueSql: String = s"""
+SELECT coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
+       coalesce(priority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       ${graft.Sql.msum("o_totalprice")} AS total_amount
+FROM (SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+             o_orderpriority AS priority, o_totalprice
+      FROM orders)
+GROUP BY GROUPING SETS ((yr), (priority))
+ORDER BY yr, priority"""
+
   val inventory: Map[String, Q] = Map(
-    "pivot_nation_priority" -> (pivotNationPriority _),
-    "cube_region_segment"   -> (cubeRegionSegment _))
+    "pivot_nation_priority"  -> (pivotNationPriority _),
+    "cube_region_segment"    -> (cubeRegionSegment _),
+    "grouping_sets_revenue"  -> (groupingSetsRevenue _))
 
   val oracle: Map[String, String] = Map(
-    "pivot_nation_priority" -> pivotNationPrioritySql,
-    "cube_region_segment"   -> cubeRegionSegmentSql)
+    "pivot_nation_priority"  -> pivotNationPrioritySql,
+    "cube_region_segment"    -> cubeRegionSegmentSql,
+    "grouping_sets_revenue"  -> groupingSetsRevenueSql)
 }
