@@ -14,16 +14,16 @@ import org.apache.spark.sql.types._
   * (value, tag) pairs per group in a bounded buffer, mergeable across
   * partitions.
   *
-  * This is the operator the window formulation
-  * (`row_number().over(partitionBy(g).orderBy(desc(v))) <= k`) cannot
-  * express efficiently at scale: the window shuffles EVERY row to its
-  * group's partition and sorts all of them, while this aggregate is a
-  * partial+final hash aggregation — each map task keeps at most k pairs
-  * per group, so the shuffle carries k rows per (partition, group)
-  * instead of all of them, and no sort of the full group ever happens.
-  * Exactly the bounded-heap pattern a dedicated physical top-k-per-group
-  * operator would implement, expressed at the (b) tier of SURVEY §7.3
-  * (custom aggregate function) rather than a whole SparkPlan.
+  * Versus the window formulation
+  * (`row_number().over(partitionBy(g).orderBy(desc(v))) <= k`): Spark
+  * 3.5+ already infers a partial WindowGroupLimit, so the window form
+  * also ships ≤k rows per (map partition, group) — but it must SORT
+  * each map partition on (group, value) to do so, and re-sort after the
+  * shuffle. This aggregate replaces both sorts with O(n log k) heap
+  * maintenance inside a hash aggregation, and composes with any other
+  * aggregates in the same pass. The bounded-heap pattern a dedicated
+  * top-k physical operator would implement, expressed at the (b) tier
+  * of SURVEY §7.3 (custom aggregate function) rather than a SparkPlan.
   *
   * Ordering: larger value wins; ties broken by SMALLER tag (matches
   * `orderBy(desc(value), asc(tag))`), so results are deterministic.

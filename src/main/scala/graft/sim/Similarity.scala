@@ -56,11 +56,11 @@ object Similarity {
   /** Brute-force cosine top-10 for the first five vectors as queries
     * (self excluded): broadcast the query set, score every vector,
     * then grouped top-k via the bounded-heap aggregate
-    * ([[graft.functions.TopKBy]]) — a partial+final aggregation that
-    * ships at most k pairs per (map task, query) instead of window-
-    * sorting every scored row in one partition per query. Same result
-    * as the `row_number` window form (TopKBySpec asserts it; the DuckDB
-    * oracle keeps verifying the window semantics). */
+    * ([[graft.functions.TopKBy]]) — a partial+final hash aggregation
+    * (no per-partition sort, unlike the window form's WindowGroupLimit
+    * plan). Same result as the `row_number` window form (TopKBySpec
+    * asserts it; the DuckDB oracle keeps verifying the window
+    * semantics). */
   def annCosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 5)
