@@ -67,6 +67,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == n)
   }
 
+  test("watermark drops late events from the windowed aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $m:00")
+
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+
+    // window A = [10:00, 10:10): two on-time events
+    mem.addData((ts("10:00"), "click"), (ts("10:05"), "click"))
+    q.processAllAvailable()
+    // advance event time so the watermark (max - 10m = 10:15) passes
+    // window A's end -> A is finalized and emitted
+    mem.addData((ts("10:25"), "click"))
+    q.processAllAvailable()
+    // a LATE event for window A (10:03 < watermark): must be dropped
+    mem.addData((ts("10:03"), "click"), (ts("10:45"), "click"))
+    q.processAllAvailable()
+    q.stop()
+
+    val a = spark.table("late_test")
+      .filter(col("window_start") === ts("10:00"))
+      .select("n").collect()
+    assert(a.length == 1 && a.head.getLong(0) == 2,
+      s"window A must finalize with the 2 on-time events only, got ${a.toSeq}")
+  }
+
   test("sliding windows double-count each event") {
     val total = Streams.eventsSliding(spark, sf)
       .agg(sum("n_events")).head.getLong(0)
