@@ -48,6 +48,15 @@ object Sources {
     n
   }
 
+  /** Hive-style partitioned parquet write — THE layout decision at
+    * 100 TB: queries that filter on the partition columns read only the
+    * matching directories (partition pruning happens at planning time,
+    * before any file is opened). Partition by low-cardinality columns
+    * queries actually filter on (date, region), never by high-cardinality
+    * keys (a directory per customer would be millions of tiny files). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
   /** JSON-lines source with an explicit schema (same no-inference rule
     * as [[readCsv]]) — the interchange format training-data corpora
     * actually ship in. */

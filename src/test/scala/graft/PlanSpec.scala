@@ -51,6 +51,26 @@ class PlanSpec extends SparkSpec {
       "fact shuffle must be keyed by l_orderkey")
   }
 
+  test("partitioned parquet layout prunes partitions at planning time") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders"
+    val orders = Tables.orders(spark, sf)
+      .withColumn("order_year", year(col("o_orderdate").cast("date")))
+    graft.sources.Sources.writePartitioned(orders, dir, Seq("order_year"))
+
+    val pruned = spark.read.parquet(dir).filter(col("order_year") === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("order_year"), s"expected a partition filter, plan:\n${plan.take(1500)}")
+    // pruning must reach the scan: only the one matching directory is read
+    val scanned = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.selectedPartitions.partitionCount
+    }
+    assert(scanned.contains(1), s"expected exactly 1 partition scanned, got $scanned")
+    // and the data round-trips
+    assert(pruned.count() == orders.filter(col("order_year") === 1995).count())
+  }
+
   test("no query plan contains a cartesian product") {
     // cross joins are only legal against single-row or broadcast stats
     // relations (grand totals); a CartesianProduct over two big inputs
