@@ -54,7 +54,12 @@ object Bench {
       (1 to 4).foreach(_ =>
         qs.foreach(q => SparkEntry.queries(q)(spark, sfDir).collect()))
       System.gc() // drain warm-up garbage so GC pauses don't land in the timed pass
-    } catch { case _: Throwable => () }
+    } catch {
+      // warm-up only: a real failure will surface as -1 in the timed
+      // pass below, but still log it so warm-up problems are visible
+      case e: Throwable =>
+        System.err.println(s"[bench] warm-up failed: ${e.getClass.getName}: ${e.getMessage}")
+    }
 
     // Timed pass: best of 3 consecutive runs per query (steady-state
     // per-query latency, same methodology as a warm JMH-style bench —
