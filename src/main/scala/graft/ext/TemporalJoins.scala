@@ -63,7 +63,11 @@ object TemporalJoins {
     * same `key` and `0 <= right.ts - left.ts <= boundMicros` (timestamps
     * as epoch-micros columns). Left rows are exploded into their own and
     * the next bucket, so every qualifying pair meets on exactly one
-    * (key, bucket) equi-key. */
+    * (key, bucket) equi-key.
+    *
+    * Timestamps must be non-negative (`div` truncates toward zero, so
+    * pre-1970 epochs would land in the wrong bucket — shift the column
+    * first if that ever matters). */
   def rangeJoin(left: DataFrame, right: DataFrame, key: Seq[String],
                 leftUs: String, rightUs: String, boundMicros: Long): DataFrame = {
     val l = left.withColumn("_jb",
