@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSigFunction)
     ext.injectFunction(GraftExtensions.qdotFunction)
     ext.injectFunction(GraftExtensions.topkByFunction)
+    ext.injectFunction(GraftExtensions.simhashSigFunction)
   }
 }
 
@@ -50,9 +51,18 @@ object GraftExtensions {
         "topk_by(value double, tag bigint, k int) takes 3 arguments")
     })
 
+  val simhashSigFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_sig"),
+    new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+    (children: Seq[Expression]) => children match {
+      case Seq(toks) => SimHashSig(toks)
+      case _ => throw new IllegalArgumentException(
+        "simhash_sig(array<string>) takes 1 argument")
+    })
+
   /** Register on an already-running session (tests, shells). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(minhashSigFunction, qdotFunction, topkByFunction).foreach {
+    Seq(minhashSigFunction, qdotFunction, topkByFunction, simhashSigFunction).foreach {
       case (id, info, builder) =>
         org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
     }

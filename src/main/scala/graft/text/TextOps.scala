@@ -279,17 +279,24 @@ FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
     * bits must agree on at least one block, so candidates come from
     * block-equality joins (the 100 TB path — no all-pairs comparison),
     * then the exact Hamming filter keeps no false positives. */
-  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** HOF reference form of the 32-bit SimHash (what the oracle mirrors);
+    * [[graft.functions.SimHashSig]] is the compiled twin used below —
+    * SimHashSigSpec asserts bit-equality. The HOF tree re-evaluates the
+    * per-token md5 array once per bit position, so it is ~30× the work. */
+  private[graft] val simhashHofE: String = {
     val harrE =
       s"transform($toksE, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
-    val simhashE =
-      s"""aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
-            acc + if(aggregate($harrE, 0, (a, h) ->
-                       a + if(((shiftright(h, j) & 1)) = 1, 1, -1)) > 0,
-                     shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""
+    s"""aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
+          acc + if(aggregate($harrE, 0, (a, h) ->
+                     a + if(((shiftright(h, j) & 1)) = 1, 1, -1)) > 0,
+                   shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""
+  }
+
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = docs(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), expr(simhashE).as("simhash32"))
+      .select(col("doc_id"),
+        graft.functions.SimHashSig.of(expr(toksE)).as("simhash32"))
     // blocks: [bits 0-6], [7-13], [14-19], [20-25], [26-31]
     val blocks = sh.select(col("doc_id"), col("simhash32"),
       posexplode(expr(
