@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.qdotFunction)
     ext.injectFunction(GraftExtensions.topkByFunction)
     ext.injectFunction(GraftExtensions.simhashSigFunction)
+    ext.injectFunction(GraftExtensions.srpSigFunction)
   }
 }
 
@@ -60,9 +61,21 @@ object GraftExtensions {
         "simhash_sig(array<string>) takes 1 argument")
     })
 
+  val srpSigFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("srp_sig"),
+    new ExpressionInfo(classOf[SrpSig].getName, "srp_sig"),
+    (children: Seq[Expression]) => children match {
+      case Seq(emb) => SrpSig(emb)
+      case Seq(emb, planes) => SrpSig(emb,
+        planes.eval().asInstanceOf[Number].intValue())
+      case _ => throw new IllegalArgumentException(
+        "srp_sig(array<float>[, planes]) takes 1 or 2 arguments")
+    })
+
   /** Register on an already-running session (tests, shells). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(minhashSigFunction, qdotFunction, topkByFunction, simhashSigFunction).foreach {
+    Seq(minhashSigFunction, qdotFunction, topkByFunction, simhashSigFunction,
+      srpSigFunction).foreach {
       case (id, info, builder) =>
         org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
     }

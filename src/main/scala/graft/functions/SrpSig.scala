@@ -1,0 +1,94 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Native Catalyst expression for the 8-plane sign-random-projection
+  * LSH bucket of a float vector.
+  *
+  * Semantically identical to the HOF formulation in
+  * [[graft.sim.Similarity.annLshBuckets]] (plane p's sign for dimension
+  * i is the low bit of the first 8 md5 hex chars of "p_i"; bucket bit p
+  * is set iff the signed sum of 1e-7-quantized components is strictly
+  * positive) — the DuckDB oracle keeps verifying that form. The HOF
+  * tree recomputes the md5-derived sign for every (row, plane, dim)
+  * triple even though it is a constant of (plane, dim); this expression
+  * reads the signs from a JVM-wide precomputed matrix.
+  */
+case class SrpSig(child: Expression, planes: Int = 8) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_sig requires array<float>, got $other")
+  }
+
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    SrpSig.compute(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SrpSig.compute($c, $planes);")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSig =
+    copy(child = newChild)
+}
+
+object SrpSig {
+  private val MaxPlanes = 16
+  private val MaxDims = 1024
+
+  /** sign(p)(i-1) for dimension i (1-based in the HOF form): +1 iff the
+    * low bit of the first 4 md5 bytes of "p_i" is 1. Built once per JVM. */
+  private lazy val signs: Array[Array[Byte]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(MaxPlanes) { p =>
+      val row = new Array[Byte](MaxDims)
+      var i = 1
+      while (i <= MaxDims) {
+        md.reset()
+        val d = md.digest(s"${p}_$i".getBytes(StandardCharsets.UTF_8))
+        // low bit of the 32-bit value = low bit of the 4th byte
+        row(i - 1) = if ((d(3) & 1) == 1) 1 else -1
+        i += 1
+      }
+      row
+    }
+  }
+
+  def compute(emb: ArrayData, planes: Int): Int = {
+    val n = math.min(emb.numElements(), MaxDims)
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      val row = signs(p)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val q = math.floor(emb.getFloat(i).toDouble * 1e7).toLong
+        acc += (if (row(i) == 1) q else -q)
+        i += 1
+      }
+      if (acc > 0L) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+
+  /** Column wrapper. */
+  def of(embedding: Column, planes: Int = 8): Column = {
+    val b = org.apache.spark.sql.GraftColumnBridge
+    b.toColumn(SrpSig(b.toExpression(embedding), planes))
+  }
+}

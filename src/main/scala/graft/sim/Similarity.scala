@@ -133,20 +133,24 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
     * an 8-bit bucket per vector; candidates are same-bucket pairs, scored
     * exactly within the bucket. Registered with an oracle (the
     * hyperplanes are md5-derived, so DuckDB reproduces the buckets). */
-  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    // plane p (0..7), dim i (1..64): sign from one md5-derived bit.
-    val sigE =
-      s"""aggregate(sequence(0, 7), 0, (acc, p) ->
-           acc + if(aggregate(sequence(1, size(embedding)), cast(0 as bigint), (a, i) ->
-                      a + ${qz("element_at(embedding, i)")}
-                          * if((cast(conv(substr(md5(concat(cast(p as string), '_', cast(i as string))), 1, 8), 16, 10) as bigint) & 1) = 1,
-                               cast(1 as bigint), cast(-1 as bigint))) > cast(0 as bigint),
-                    shiftleft(1, p), 0))"""
+  /** HOF reference form of the SRP bucket (what the oracle mirrors):
+    * plane p (0..7), dim i (1..64), sign from one md5-derived bit.
+    * [[graft.functions.SrpSig]] is the compiled twin used below — the
+    * HOF tree recomputes the constant md5 sign per (row, plane, dim);
+    * SrpSigSpec asserts bit-equality. */
+  private[graft] val srpHofE: String =
+    s"""aggregate(sequence(0, 7), 0, (acc, p) ->
+         acc + if(aggregate(sequence(1, size(embedding)), cast(0 as bigint), (a, i) ->
+                    a + ${qz("element_at(embedding, i)")}
+                        * if((cast(conv(substr(md5(concat(cast(p as string), '_', cast(i as string))), 1, 8), 16, 10) as bigint) & 1) = 1,
+                             cast(1 as bigint), cast(-1 as bigint))) > cast(0 as bigint),
+                  shiftleft(1, p), 0))"""
+
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr(sigE).as("bucket"))
+      .select(col("vec_id"), graft.functions.SrpSig.of(col("embedding")).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("bucket_size"), min("vec_id").as("min_vec_id"))
-  }
 
   val annLshBucketsSql: String = """
 WITH s AS (
