@@ -67,6 +67,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == n)
   }
 
+  test("streaming dedup suppresses duplicate event ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $m:00")
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = mem.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    // id 1 delivered three times (twice in one batch, once redelivered
+    // in the next), id 2 once
+    mem.addData((1L, ts("10:00")), (1L, ts("10:00")), (2L, ts("10:05")))
+    q.processAllAvailable()
+    mem.addData((1L, ts("10:06")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"expected each id once, got $ids")
+  }
+
   test("watermark drops late events from the windowed aggregation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
