@@ -51,10 +51,12 @@ object BenchExt {
           name -> -1.0
       }
     }
+    val failures = results.count(_._2 < 0)
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"ext_total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"ext_total","value":$total,"unit":"sec","queries":$qjson,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }

@@ -33,7 +33,8 @@ object TemporalJoins {
   /** Generic AS-OF join: for every left row, attach `payload` columns from
     * the single right row with the greatest `rightTs` <= the left row's
     * `leftTs`, per `key`. Ties on rightTs are broken by `rightTieBreak`
-    * ascending (the last one wins), so the result is deterministic.
+    * ascending (the last one wins; tie-break names must be a subset of
+    * `payload`), so the result is deterministic.
     *
     * Left and right are unioned with a side tag, shuffled once on the
     * key, and sorted by (ts, side, tiebreak) — right rows sort before
@@ -45,18 +46,27 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
                rightTieBreak: Seq[String]): DataFrame = {
+    // The payload travels as ONE struct, not independent columns: with
+    // per-column last(ignoreNulls), a NULL field on the latest right row
+    // would backfill from an OLDER right row, emitting a field mix that
+    // never co-occurred. The struct is non-null for every right row
+    // (even if all its fields are null), so ignoreNulls keys on the
+    // side, never on field nullability.
     val r = right.select(
-      (key.map(col) :+ col(rightTs).as(leftTs)) ++ payload.map(col): _*)
+      (key.map(col) :+ col(rightTs).as(leftTs)) :+
+        struct(payload.map(col): _*).as("_p"): _*)
       .withColumn("_side", lit(0))
     val all = left.withColumn("_side", lit(1))
       .unionByName(r, allowMissingColumns = true)
     val order: Seq[Column] =
-      Seq(col(leftTs), col("_side")) ++ rightTieBreak.map(col)
+      Seq(col(leftTs), col("_side")) ++ rightTieBreak.map(p => col("_p").getField(p))
     val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(all) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }.filter(col("_side") === 1).drop("_side")
+    val carried = all.withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(p, col("_p").getField(p))
+    }.drop("_p", "_side")
   }
 
   /** Generic bounded time-range join: all (left, right) pairs with the
@@ -70,6 +80,10 @@ object TemporalJoins {
     * first if that ever matters). */
   def rangeJoin(left: DataFrame, right: DataFrame, key: Seq[String],
                 leftUs: String, rightUs: String, boundMicros: Long): DataFrame = {
+    // bound 0 would divide by zero in the bucket math (silently NULLing
+    // every bucket with ANSI off); exact-timestamp matching is a plain
+    // equi-join on (key, ts), not a range join.
+    require(boundMicros > 0, s"rangeJoin bound must be positive, got $boundMicros")
     val l = left.withColumn("_jb",
       explode(array(expr(s"$leftUs div $boundMicros"),
         expr(s"$leftUs div $boundMicros") + 1)))

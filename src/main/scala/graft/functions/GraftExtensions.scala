@@ -29,7 +29,7 @@ object GraftExtensions {
     (children: Seq[Expression]) => children match {
       case Seq(arr) => MinHashSig(arr)
       case Seq(arr, perms) => MinHashSig(arr,
-        perms.eval().asInstanceOf[Number].intValue())
+        intLiteral(perms, "minhash_sig perms"))
       case _ => throw new IllegalArgumentException(
         "minhash_sig(array<string>[, perms]) takes 1 or 2 arguments")
     })
@@ -43,11 +43,24 @@ object GraftExtensions {
         "qdot(array<float>, array<float>) takes 2 arguments")
     })
 
+  /** Evaluate an argument that must be an integer literal (k, planes,
+    * perms), with a clean error instead of an unbound-attribute crash
+    * for column references or a ClassCastException for strings. */
+  private def intLiteral(e: Expression, what: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be an integer literal, got non-constant expression ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
+
   val topkByFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("topk_by"),
     new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
     (children: Seq[Expression]) => children match {
-      case Seq(v, t, k) => TopKBy(v, t, k.eval().asInstanceOf[Number].intValue())
+      case Seq(v, t, k) => TopKBy(v, t, intLiteral(k, "topk_by k"))
       case _ => throw new IllegalArgumentException(
         "topk_by(value double, tag bigint, k int) takes 3 arguments")
     })
@@ -67,7 +80,7 @@ object GraftExtensions {
     (children: Seq[Expression]) => children match {
       case Seq(emb) => SrpSig(emb)
       case Seq(emb, planes) => SrpSig(emb,
-        planes.eval().asInstanceOf[Number].intValue())
+        intLiteral(planes, "srp_sig planes"))
       case _ => throw new IllegalArgumentException(
         "srp_sig(array<float>[, planes]) takes 1 or 2 arguments")
     })

@@ -55,14 +55,21 @@ object SimHashSig {
     val counts = new Array[Int](32)
     var i = 0
     while (i < n) {
-      md.reset()
-      val d = md.digest(tokens.getUTF8String(i).getBytes)
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      var j = 0
-      while (j < 32) {
-        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
+      if (tokens.isNullAt(i)) {
+        // HOF twin: md5(null) -> null, the null bit test falls to the
+        // else branch -> every counter decrements
+        var j = 0
+        while (j < 32) { counts(j) -= 1; j += 1 }
+      } else {
+        md.reset()
+        val d = md.digest(tokens.getUTF8String(i).getBytes)
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var j = 0
+        while (j < 32) {
+          if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }

@@ -24,6 +24,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   */
 case class SrpSig(child: Expression, planes: Int = 8) extends UnaryExpression {
 
+  require(planes >= 1 && planes <= SrpSig.MaxPlanes,
+    s"srp_sig supports 1..${SrpSig.MaxPlanes} planes, got $planes")
+
   override def dataType: DataType = IntegerType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -46,8 +49,8 @@ case class SrpSig(child: Expression, planes: Int = 8) extends UnaryExpression {
 }
 
 object SrpSig {
-  private val MaxPlanes = 16
-  private val MaxDims = 1024
+  val MaxPlanes = 16
+  val MaxDims = 1024
 
   /** sign(p)(i-1) for dimension i (1-based in the HOF form): +1 iff the
     * low bit of the first 4 md5 bytes of "p_i" is 1. Built once per JVM. */
@@ -68,7 +71,11 @@ object SrpSig {
   }
 
   def compute(emb: ArrayData, planes: Int): Int = {
-    val n = math.min(emb.numElements(), MaxDims)
+    val n = emb.numElements()
+    // fail loudly instead of silently hashing a truncated vector (the
+    // bucket would diverge from the HOF/oracle form)
+    if (n > MaxDims) throw new IllegalArgumentException(
+      s"srp_sig sign matrix covers $MaxDims dims, embedding has $n")
     var bucket = 0
     var p = 0
     while (p < planes) {

@@ -35,11 +35,19 @@ object Scd2 {
   /** Apply a batch of updates to a current SCD2 dimension: rows whose
     * attributes changed get their current version closed (end_date =
     * asOf, is_current = false) and a new open version appended; keys
-    * present only in the updates batch are inserted as brand-new open
-    * versions; unchanged and absent keys pass through. `attrs` are the
-    * tracked columns. */
+    * with no OPEN version (brand-new members, or members whose history
+    * was closed earlier) get a new open version inserted; unchanged and
+    * absent keys pass through. `attrs` are the tracked columns. The
+    * updates batch must carry at most one row per key (the standard
+    * SCD2 batch contract) — duplicates would fan out the current rows
+    * through the join, so they are rejected loudly. */
   def applyUpdates(current: DataFrame, updates: DataFrame, key: String,
                    attrs: Seq[String], asOf: String): DataFrame = {
+    val dup = updates.groupBy(col(key)).count().filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"SCD2 updates batch has multiple rows for key $key=${dup.head.get(0)}; " +
+          "collapse the batch to one row per key first")
     // \u0001 separator / \u0000 null sentinel keep the change hash
     // unambiguous when attribute values contain each other's text.
     val changeHash = (df: DataFrame) => df.withColumn("_h", md5(concat_ws("\u0001",
@@ -66,10 +74,13 @@ object Scd2 {
       .withColumn("end_date", to_date(lit("9999-12-31")))
       .withColumn("is_current", lit(true))
 
-    // keys only in the updates batch: brand-new dimension members,
-    // inserted as open versions (effective asOf, end 9999-12-31).
+    // keys with no OPEN version: brand-new members AND members whose
+    // history was closed in an earlier batch (reactivation) — anti-join
+    // against the open keys only, not all of history, or a returning
+    // member's update silently vanishes.
     val inserted = updates
-      .join(current.select(key).distinct(), Seq(key), "left_anti")
+      .join(current.filter(col("is_current")).select(key).distinct(),
+        Seq(key), "left_anti")
       .select((Seq(col(key)) ++ attrs.map(col)): _*)
       .withColumn("effective_date", to_date(lit(asOf)))
       .withColumn("end_date", to_date(lit("9999-12-31")))

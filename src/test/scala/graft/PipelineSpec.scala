@@ -116,6 +116,36 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(col("id") === 1 && col("is_current")).count() == 1)
   }
 
+  test("scd2 applyUpdates reactivates keys whose history was fully closed") {
+    import spark.implicits._
+    val current = Seq(
+      // key 9's only version was closed in an earlier batch
+      (9L, "gold", "2020-01-01", "2023-01-01", false))
+      .toDF("id", "tier", "effective_date", "end_date", "is_current")
+      .withColumn("effective_date", col("effective_date").cast("date"))
+      .withColumn("end_date", col("end_date").cast("date"))
+    val updates = Seq((9L, "silver")).toDF("id", "tier")
+    val out = Scd2.applyUpdates(current, updates, "id", Seq("tier"), "2024-06-01")
+    assert(out.count() == 2)
+    val reopened = out.filter(col("is_current")).head
+    assert(reopened.getAs[String]("tier") == "silver")
+    assert(reopened.getAs[java.sql.Date]("effective_date").toString == "2024-06-01")
+    // the closed history row is untouched
+    assert(out.filter(!col("is_current")).head.getAs[String]("tier") == "gold")
+  }
+
+  test("scd2 applyUpdates rejects duplicate keys in one batch") {
+    import spark.implicits._
+    val current = Seq((1L, "gold", "2020-01-01", "9999-12-31", true))
+      .toDF("id", "tier", "effective_date", "end_date", "is_current")
+      .withColumn("effective_date", col("effective_date").cast("date"))
+      .withColumn("end_date", col("end_date").cast("date"))
+    val updates = Seq((1L, "silver"), (1L, "bronze")).toDF("id", "tier")
+    intercept[IllegalArgumentException] {
+      Scd2.applyUpdates(current, updates, "id", Seq("tier"), "2024-06-01")
+    }
+  }
+
   test("multimodal decode pipeline produces sane features") {
     val feats = Multimodal.decodeFeatures(spark, sf).collect()
     assert(feats.length == Tables.documents(spark, sf).count())

@@ -46,9 +46,23 @@ class PlanSpec extends SparkSpec {
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(broadcasts >= 3, s"expected 3 broadcast dim joins, got $broadcasts")
     assert(!plan.contains("CartesianProduct"))
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
-    assert(exchanges.forall(_ => plan.contains("l_orderkey")),
-      "fact shuffle must be keyed by l_orderkey")
+    // capture each hash exchange's actual key list (don't grep the whole
+    // plan). Legitimate shuffles: the lineitem<->orders co-partition on
+    // the order key, and the tiny dim-build distincts (payment_method /
+    // order-date) that feed broadcasts. A shuffle keyed on a dim JOIN
+    // key (part/customer) would mean a dim join fell back to sort-merge.
+    val exchangeKeys = """Exchange hashpartitioning\(([^)]*)\)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchangeKeys.exists(k => k.contains("l_orderkey") || k.contains("o_orderkey")),
+      "expected the lineitem<->orders shuffle")
+    val allowed = Seq("l_orderkey", "o_orderkey", "payment_method", "o_orderdate", "full_date")
+    exchangeKeys.foreach { keys =>
+      assert(allowed.exists(keys.contains),
+        s"unexpected fact-path shuffle keyed by [$keys]")
+      assert(!Seq("l_partkey", "p_partkey", "c_custkey", "customer_key", "product_key")
+        .exists(keys.contains),
+        s"dim join degenerated to a shuffle on [$keys]")
+    }
   }
 
   test("partitioned parquet layout prunes partitions at planning time") {

@@ -16,6 +16,21 @@ class SimHashSigSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("simhash handles null tokens like the HOF form (all counters decrement)") {
+    import spark.implicits._
+    val df = Seq(Seq(Some("alpha"), None), Seq(Some("alpha")))
+      .toDF("toks")
+      .select(col("toks").cast("array<string>").as("toks"))
+    val rows = df.select(
+      SimHashSig.of(col("toks")).as("native"),
+      expr("""aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
+        acc + if(aggregate(transform(toks, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)),
+                   0, (a, h) -> a + if(((shiftright(h, j) & 1)) = 1, 1, -1)) > 0,
+                 shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""").as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("simhash of an empty token array is 0 (all counters negative or zero)") {
     import spark.implicits._
     val out = Seq(Array.empty[String]).toDF("toks")

@@ -32,6 +32,26 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("v") == 7.0) // last in tiebreak order wins
   }
 
+  test("asofJoin payload stays row-consistent when the latest right row has null fields") {
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    // latest right row (t=90) has a NULL v; an older row (t=50) has v=5.0.
+    // The output must carry (id=2, v=null), never the mix (id=2, v=5.0).
+    val right = Seq((1L, 50L, Some(5.0), 1L), (1L, 90L, None, 2L))
+      .toDF("k", "rt", "v", "rid")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt",
+      payload = Seq("v", "rid"), rightTieBreak = Seq("rid")).head
+    assert(out.getAs[Long]("rid") == 2L)
+    assert(out.isNullAt(out.fieldIndex("v")),
+      s"payload mixed fields across right rows: $out")
+  }
+
+  test("rangeJoin rejects a non-positive bound instead of silently matching nothing") {
+    val df = Seq((1L, 10L)).toDF("k", "us")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoin(df, df, Seq("k"), "us", "us", 0L)
+    }
+  }
+
   test("rangeJoin emits each qualifying pair exactly once, bounds inclusive") {
     val left = Seq((1L, 10L, 0L), (1L, 11L, 500L)).toDF("k", "lid", "lus")
     val right = Seq(
