@@ -60,9 +60,32 @@ GROUP BY payment_method
 ORDER BY payment_method""")
   }
 
-  val inventory: Map[String, Q] = Map(
-    "quantiles_line_total" -> (quantilesLineTotal _))
+  /** Sketch escape hatch: approx_percentile is a mergeable KLL-style
+    * sketch — one partial+final aggregation, no per-group sort at all.
+    * Like approx_count_distinct, sketches are engine-specific, so this
+    * registers WITHOUT an oracle (rows-only check); QuantilesSpec bounds
+    * its error against the exact rank-selection result instead. */
+  def approxQuantilesLineTotal(spark: SparkSession, dir: String): DataFrame = {
+    val f = Warehouse.fact(spark, dir).select(
+      col("payment_method"),
+      (col("line_total") * lit(1000000)).cast(LongType).as("v"))
+    f.groupBy("payment_method")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("approx_percentile(v, array(0.5, 0.9, 0.99), 10000)").as("ps"))
+      .select(col("payment_method"), col("n_rows"),
+        col("ps").getItem(0).as("p50_micros"),
+        col("ps").getItem(1).as("p90_micros"),
+        col("ps").getItem(2).as("p99_micros"))
+      .orderBy("payment_method")
+  }
 
+  val inventory: Map[String, Q] = Map(
+    "quantiles_line_total"        -> (quantilesLineTotal _),
+    "approx_quantiles_line_total" -> (approxQuantilesLineTotal _))
+
+  /** approx_quantiles_line_total deliberately unoracled (sketches are
+    * engine-specific — rows-only check). */
   val oracle: Map[String, String] = Map(
     "quantiles_line_total" -> quantilesLineTotalSql)
 }

@@ -1,0 +1,36 @@
+package graft
+
+import graft.analytics.Quantiles
+import org.apache.spark.sql.functions._
+
+class QuantilesSpec extends SparkSpec {
+
+  test("approx quantiles stay within 2% of the exact rank-selection values") {
+    val exact = Quantiles.quantilesLineTotal(spark, sf)
+      .select("payment_method", "p50_micros", "p90_micros", "p99_micros")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approx = Quantiles.approxQuantilesLineTotal(spark, sf)
+      .select("payment_method", "p50_micros", "p90_micros", "p99_micros")
+      .collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (e50, e90, e99) = exact(r.getString(0))
+      Seq((r.getLong(1), e50), (r.getLong(2), e90), (r.getLong(3), e99)).foreach {
+        case (a, e) =>
+          assert(math.abs(a - e).toDouble / e <= 0.02,
+            s"${r.getString(0)}: approx $a vs exact $e off by >2%")
+      }
+    }
+  }
+
+  test("exact quantiles are ordered and within the data range") {
+    val rows = Quantiles.quantilesLineTotal(spark, sf).collect()
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Long]("p50_micros"),
+        r.getAs[Long]("p90_micros"), r.getAs[Long]("p99_micros"))
+      assert(p50 <= p90 && p90 <= p99, s"quantiles out of order: $r")
+      assert(p50 > 0)
+    }
+  }
+}
