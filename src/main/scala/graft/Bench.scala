@@ -25,18 +25,10 @@ object Bench {
     // scale flips both: partitions sized to ~64-128 MB of shuffle data,
     // AQE on for skew splits and runtime coalescing.
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.enabled", "false")
-      // tiny shuffle blocks: compression is pure CPU overhead, and
-      // locality waits never pay off in one local JVM
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-      .config("spark.locality.wait", "0")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the shared local profile (Sessions.local) — one place for the
+    // AQE-off/compression-off/locality-wait tuning story
+    val spark = Sessions.local(cores = cpus.toInt,
+      shufflePartitions = shufflePartitions.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = headline.filter(SparkEntry.queries.contains)

@@ -16,19 +16,16 @@ object BenchExt {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-      .config("spark.locality.wait", "0")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local(cores = 32, shufflePartitions = 8)
     spark.sparkContext.setLogLevel("WARN")
 
-    val qs = ops.filter(SparkEntry.queries.contains)
+    val (qs, missing) = ops.partition(SparkEntry.queries.contains)
+    if (missing.nonEmpty) {
+      // a renamed/unregistered op must not silently shrink the benchmark
+      System.err.println(s"[benchext] ops missing from SparkEntry.queries: ${missing.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
     try {
       (1 to 3).foreach(_ =>
         qs.foreach(q => SparkEntry.queries(q)(spark, sfDir).collect()))

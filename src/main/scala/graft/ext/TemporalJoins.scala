@@ -118,23 +118,26 @@ object TemporalJoins {
       .orderBy("purchase_event_id")
   }
 
+  /** The payload rides as ONE struct, mirroring [[asofJoin]]'s struct
+    * carry — per-column last_value(IGNORE NULLS) would backfill a NULL
+    * field of the latest click from an older click. */
   val asofClickAttributionSql: String = """
 WITH e AS (
   SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
   FROM events),
 m AS (
   SELECT *,
-         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER w AS click_event_id,
-         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER w AS click_value,
-         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS) OVER w AS click_us
+         last_value(CASE WHEN event_type = 'click'
+                         THEN struct_pack(id := event_id, v := value, us := epoch_us(ts)) END
+                    IGNORE NULLS) OVER w AS c
   FROM e
   WINDOW w AS (PARTITION BY user_id
                ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT event_id AS purchase_event_id, user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
-       click_event_id, click_value,
-       epoch_us(ts) - click_us AS gap_us
+       (c).id AS click_event_id, (c).v AS click_value,
+       epoch_us(ts) - (c).us AS gap_us
 FROM m
 WHERE event_type = 'purchase'
 ORDER BY purchase_event_id"""

@@ -49,14 +49,20 @@ case class QDot(left: Expression, right: Expression) extends BinaryExpression {
 }
 
 object QDot {
-  /** Exact quantized dot product; lengths must match (embedding columns
-    * are fixed-width) — extra trailing elements on either side are
-    * ignored, matching zip_with only on equal-length inputs. */
+  /** Exact quantized dot product. Embedding columns are fixed-width and
+    * non-null; ragged or null-element input is refused LOUDLY (the HOF
+    * twin would return NULL there — a primitive-long codegen expression
+    * cannot, and silently summing a truncated/zero-filled vector would
+    * diverge from the oracle without any signal). */
   def compute(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"qdot requires equal-length vectors, got $n and ${b.numElements()}")
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) throw new IllegalArgumentException(
+        s"qdot requires non-null components, found null at index $i")
       val qa = math.floor(a.getFloat(i).toDouble * 1e7).toLong
       val qb = math.floor(b.getFloat(i).toDouble * 1e7).toLong
       acc += qa * qb

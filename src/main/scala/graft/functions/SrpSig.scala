@@ -78,6 +78,14 @@ object SrpSig {
       s"srp_sig sign matrix covers $MaxDims dims, embedding has $n")
     var bucket = 0
     var p = 0
+    var i0 = 0
+    while (i0 < n) {
+      // null components are refused loudly (the HOF twin would NULL the
+      // plane sum; silently reading the slot as 0.0 would diverge)
+      if (emb.isNullAt(i0)) throw new IllegalArgumentException(
+        s"srp_sig requires non-null components, found null at index $i0")
+      i0 += 1
+    }
     while (p < planes) {
       val row = signs(p)
       var acc = 0L

@@ -135,11 +135,15 @@ FROM b"""
         col("doc_id"), col("n_bytes"),
         lit(8L).as("out_w"), lit(8L).as("out_h"),
         least(lit(64L), col("n_bytes")).as("n_samples"),
-        md5(expr(
-          """array_join(transform(
-               sequence(0, cast(least(64, length(text)) as int) - 1),
-               i -> substr(text, 1 + i * cast(greatest(1, length(text) div 64) as int), 1)),
-             '')""")).as("thumb_md5"))
+        // empty-text guard: Spark's sequence(0, -1) yields [0, -1] (a
+        // DESCENDING sequence), while DuckDB's generate_series(0, -1)
+        // is empty -> NULL hash; align on NULL for zero-length payloads
+        when(length(col("text")) === 0, lit(null).cast("string"))
+          .otherwise(md5(expr(
+            """array_join(transform(
+                 sequence(0, cast(least(64, length(text)) as int) - 1),
+                 i -> substr(text, 1 + i * cast(greatest(1, length(text) div 64) as int), 1)),
+               '')"""))).as("thumb_md5"))
 
   val resizeThumbnailsSql: String = """
 SELECT doc_id,

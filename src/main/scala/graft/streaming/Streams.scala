@@ -236,8 +236,12 @@ GROUP BY user_id, session_seq"""
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // dedupe WITHIN the batch too: the anti-join only sees rows
+        // already on disk, so two deliveries of one key in the same
+        // micro-batch would otherwise both append
         graft.sources.Sources.incrementalAppend(
-          batch.sparkSession, batch.toDF(), outPath, Seq("event_id"))
+          batch.sparkSession, batch.toDF().dropDuplicates("event_id"),
+          outPath, Seq("event_id"))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
