@@ -67,4 +67,26 @@ object Housekeeping {
   }
 
   def envKey(k: String): String = k.toUpperCase.replaceAll("[^A-Z0-9]", "_")
+
+  /** Lock-file mutual exclusion for scheduled runs (reference:
+    * scripts/scheduler.py:53-61 skips a run when a lockfile exists and
+    * reclaims stale ones). Returns Some(body result) when the lock was
+    * acquired, None when another run holds a fresh lock. Acquisition is
+    * atomic (createFile throws if the file appears concurrently); the
+    * lock is released even when body throws; locks older than
+    * `staleAfterMs` are treated as leftovers of a crashed run. */
+  def withLock[A](lockPath: String, staleAfterMs: Long = 2L * 3600 * 1000)(
+      body: => A): Option[A] = {
+    val p = Paths.get(lockPath)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    if (Files.exists(p)) {
+      val age = System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
+      if (age < staleAfterMs) return None
+      Files.deleteIfExists(p) // stale leftover of a crashed run
+    }
+    try Files.createFile(p)
+    catch { case _: java.nio.file.FileAlreadyExistsException => return None }
+    try Some(body)
+    finally Files.deleteIfExists(p)
+  }
 }

@@ -29,6 +29,28 @@ class HousekeepingSpec extends SparkSpec {
       && Files.exists(protectedOld) && Files.exists(metadataOld))
   }
 
+  test("lockfile mutual exclusion: second acquisition skips, stale locks reclaim") {
+    val lock = java.nio.file.Files.createTempDirectory("graft_lock").toString + "/run.lock"
+    // held lock blocks a concurrent run
+    val result = Housekeeping.withLock(lock) {
+      assert(Housekeeping.withLock(lock) { "inner" }.isEmpty)
+      "outer"
+    }
+    assert(result.contains("outer"))
+    // released after the body — a new run acquires
+    assert(Housekeeping.withLock(lock) { 1 }.contains(1))
+    // released even when the body throws
+    intercept[RuntimeException] {
+      Housekeeping.withLock(lock) { throw new RuntimeException("boom") }
+    }
+    assert(Housekeeping.withLock(lock) { 2 }.contains(2))
+    // a stale lock (older than the threshold) is reclaimed
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(lock))
+    java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(lock),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3L * 3600 * 1000))
+    assert(Housekeeping.withLock(lock) { 3 }.contains(3))
+  }
+
   test("config loads flat yaml keys with env override winning") {
     val p = Files.createTempFile("graft_cfg", ".yaml")
     Files.writeString(p, "db.host: localhost\nbatch_size: 1000\n# comment\n")
