@@ -45,11 +45,28 @@ EXCEPT
 SELECT o_custkey AS c_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1998
 ORDER BY c_custkey"""
 
+  /** UNION (distinct): the either-year buyer cohort — completes the set
+    * family (UNION ALL lives in etl.Load.freshnessUnion). Planned as
+    * union + aggregate-distinct, partial-combined map-side. */
+  def eitherYearBuyers(spark: SparkSession, dir: String): DataFrame =
+    buyersIn(spark, dir, 1995)
+      .union(buyersIn(spark, dir, 1996))
+      .distinct()
+      .orderBy("o_custkey")
+
+  val eitherYearBuyersSql: String = """
+SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+UNION
+SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+ORDER BY o_custkey"""
+
   val inventory: Map[String, Q] = Map(
-    "set_repeat_buyers"    -> (repeatBuyers _),
-    "set_lapsed_customers" -> (lapsedCustomers _))
+    "set_repeat_buyers"      -> (repeatBuyers _),
+    "set_lapsed_customers"   -> (lapsedCustomers _),
+    "set_either_year_buyers" -> (eitherYearBuyers _))
 
   val oracle: Map[String, String] = Map(
-    "set_repeat_buyers"    -> repeatBuyersSql,
-    "set_lapsed_customers" -> lapsedCustomersSql)
+    "set_repeat_buyers"      -> repeatBuyersSql,
+    "set_lapsed_customers"   -> lapsedCustomersSql,
+    "set_either_year_buyers" -> eitherYearBuyersSql)
 }
