@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.topkByFunction)
     ext.injectFunction(GraftExtensions.simhashSigFunction)
     ext.injectFunction(GraftExtensions.srpSigFunction)
+    ext.injectFunction(GraftExtensions.wordShinglesFunction)
   }
 }
 
@@ -85,10 +86,20 @@ object GraftExtensions {
         "srp_sig(array<float>[, planes]) takes 1 or 2 arguments")
     })
 
+  val wordShinglesFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+    (children: Seq[Expression]) => children match {
+      case Seq(toks) => WordShingles(toks)
+      case Seq(toks, n) => WordShingles(toks, intLiteral(n, "word_shingles n"))
+      case _ => throw new IllegalArgumentException(
+        "word_shingles(array<string>[, n]) takes 1 or 2 arguments")
+    })
+
   /** Register on an already-running session (tests, shells). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(minhashSigFunction, qdotFunction, topkByFunction, simhashSigFunction,
-      srpSigFunction).foreach {
+      srpSigFunction, wordShinglesFunction).foreach {
       case (id, info, builder) =>
         org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
     }

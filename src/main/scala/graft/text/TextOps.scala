@@ -43,6 +43,12 @@ object TextOps {
                         element_at($toksE, i + 2)))
         ELSE array() END)"""
 
+  /** Compiled twin of [[shinglesE]] ([[graft.functions.WordShingles]]
+    * over the token split) — same shingle set and first-occurrence
+    * order; WordShinglesSpec asserts bit-equality. */
+  def shinglesNative: org.apache.spark.sql.Column =
+    graft.functions.WordShingles.of(expr(toksE))
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
 
@@ -173,7 +179,7 @@ FROM documents GROUP BY md5(text)"""
     * intersections, compute |A∩B| / (|A|+|B|-|A∩B|). */
   def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = docs(spark, dir)
-      .select(col("doc_id"), explode(expr(shinglesE)).as("s"))
+      .select(col("doc_id"), explode(shinglesNative).as("s"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -229,7 +235,7 @@ WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.7"""
     val sigs = docs(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .filter(expr(s"size($toksE)") >= 3)
-      .select(col("doc_id"), expr(shinglesE).as("sh"))
+      .select(col("doc_id"), shinglesNative.as("sh"))
       .select(col("doc_id"),
         graft.functions.MinHashSig.signatureOf("sh").as("mhs"))
     val bands = sigs.select(
