@@ -49,8 +49,8 @@ FROM customer"""
     * generate_data.py:92), profit margin, and BOTH bucketing rules.
     */
   def cleanseProducts(spark: SparkSession, dir: String): DataFrame = {
-    val price = col("p_retailprice").cast(DecimalType(18, 2))
-    val cost  = round(price * lit(BigDecimal("0.60")), 2).cast(DecimalType(18, 2))
+    val price = graft.Pricing.price(col("p_retailprice"))
+    val cost  = graft.Pricing.cost(price)
     Tables.part(spark, dir)
       .filter(col("p_retailprice") > 0)
       .select(
@@ -60,8 +60,7 @@ FROM customer"""
         cost.cast(DoubleType).as("cost"),
         ((price - cost).cast(DoubleType) / price.cast(DoubleType) * lit(100.0))
           .as("profit_margin_pct"),
-        when(price < 1200, "Budget").when(price < 1800, "Mid-range")
-          .otherwise("Premium").as("price_category"),
+        graft.Pricing.priceCategory(price).as("price_category"),
         when(price < 500, "Low").when(price < 2000, "Medium")
           .otherwise("High").as("price_range"))
   }

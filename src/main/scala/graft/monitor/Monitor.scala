@@ -34,13 +34,19 @@ object Monitor {
       sum("event_count").as("s"),
       sum(col("event_count") * col("event_count")).as("sq"))
     val mean = col("s").cast(DoubleType) / col("n").cast(DoubleType)
-    val std = sqrt((col("sq").cast(DoubleType) - col("n").cast(DoubleType) * mean * mean)
-      / (col("n").cast(DoubleType) - lit(1.0)))
+    // n = 1 would divide by zero (Spark: NULL with ANSI off; DuckDB:
+    // NaN — the engines would then DISAGREE on is_anomaly). A single
+    // observation has no dispersion estimate: stddev NULL, not anomalous.
+    val std = when(col("n") > 1,
+      sqrt((col("sq").cast(DoubleType) - col("n").cast(DoubleType) * mean * mean)
+        / (col("n").cast(DoubleType) - lit(1.0))))
+      .otherwise(lit(null).cast(DoubleType))
     daily.crossJoin(broadcast(stats)).select(
       date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_count"),
       mean.as("mean_count"),
       std.as("stddev_count"),
-      (abs(col("event_count").cast(DoubleType) - mean) > lit(3.0) * std).as("is_anomaly"))
+      coalesce(abs(col("event_count").cast(DoubleType) - mean) > lit(3.0) * std,
+        lit(false)).as("is_anomaly"))
   }
 
   val volumeAnomalySql: String = s"""
@@ -55,11 +61,13 @@ stats AS (
   FROM daily)
 SELECT strftime(d.day, '%Y-%m-%d') AS day, d.event_count,
        CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE) AS mean_count,
-       sqrt((CAST(s.sq AS DOUBLE) - CAST(s.n AS DOUBLE) * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)) * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)))
-            / (CAST(s.n AS DOUBLE) - 1.0)) AS stddev_count,
-       ABS(CAST(d.event_count AS DOUBLE) - CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
-         > 3.0 * sqrt((CAST(s.sq AS DOUBLE) - CAST(s.n AS DOUBLE) * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)) * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)))
-                      / (CAST(s.n AS DOUBLE) - 1.0)) AS is_anomaly
+       CASE WHEN s.n > 1 THEN
+         sqrt((CAST(s.sq AS DOUBLE) - CAST(s.n AS DOUBLE) * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)) * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)))
+              / (CAST(s.n AS DOUBLE) - 1.0)) END AS stddev_count,
+       coalesce(ABS(CAST(d.event_count AS DOUBLE) - CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+         > 3.0 * CASE WHEN s.n > 1 THEN
+                    sqrt((CAST(s.sq AS DOUBLE) - CAST(s.n AS DOUBLE) * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)) * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)))
+                         / (CAST(s.n AS DOUBLE) - 1.0)) END, false) AS is_anomaly
 FROM daily d CROSS JOIN stats s"""
 
   /** Per-source freshness: hours since last event vs as-of, with the

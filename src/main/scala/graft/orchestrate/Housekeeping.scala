@@ -22,6 +22,7 @@ object Housekeeping {
     * injectable so tests are deterministic. */
   def cleanupOldFiles(dir: String, retentionDays: Int = 7,
                       today: LocalDate = LocalDate.now(ZoneOffset.UTC)): Seq[Path] = {
+    require(retentionDays >= 0, s"retentionDays must be >= 0, got $retentionDays")
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return Seq.empty
     val cutoff = today.minusDays(retentionDays.toLong)
@@ -34,7 +35,9 @@ object Housekeeping {
           val preserved = PreservePatterns.exists(name.contains)
           val mday = Instant.ofEpochMilli(Files.getLastModifiedTime(p).toMillis)
             .atZone(ZoneOffset.UTC).toLocalDate
-          if (!preserved && mday.isBefore(cutoff) && !mday.isEqual(today)) {
+          // mday.isBefore(cutoff) with cutoff <= today already excludes
+          // today's files (retentionDays >= 0 is required above)
+          if (!preserved && mday.isBefore(cutoff)) {
             Files.delete(p)
             deleted += p
           }
@@ -59,11 +62,7 @@ object Housekeeping {
             l.substring(0, i).trim -> l.substring(i + 1).trim.stripPrefix("\"").stripSuffix("\"")
           }.toMap
       else Map.empty
-    fromFile.map { case (k, v) =>
-      k -> env.getOrElse(envKey(k), v)
-    } ++ env.collect { case (ek, ev) if fromFile.keys.exists(k => envKey(k) == ek) =>
-      fromFile.keys.find(k => envKey(k) == ek).get -> ev
-    }
+    fromFile.map { case (k, v) => k -> env.getOrElse(envKey(k), v) }
   }
 
   def envKey(k: String): String = k.toUpperCase.replaceAll("[^A-Z0-9]", "_")
@@ -79,13 +78,27 @@ object Housekeeping {
       body: => A): Option[A] = {
     val p = Paths.get(lockPath)
     if (p.getParent != null) Files.createDirectories(p.getParent)
-    if (Files.exists(p)) {
-      val age = System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
-      if (age < staleAfterMs) return None
-      Files.deleteIfExists(p) // stale leftover of a crashed run
+
+    def tryAcquire(): Boolean =
+      try { Files.createFile(p); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+    val acquired = tryAcquire() || {
+      // lock exists: reclaim only if stale, and reclaim via an atomic
+      // rename — a delete-then-create sequence would let two processes
+      // both pass the age check, with the second deleting the first's
+      // freshly created lock (TOCTOU). Only one mover wins the rename.
+      val stale =
+        try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis >= staleAfterMs
+        catch { case _: java.nio.file.NoSuchFileException => true } // holder just released
+      stale && {
+        val tomb = p.resolveSibling(s"${p.getFileName}.reclaimed")
+        try { Files.move(p, tomb); Files.deleteIfExists(tomb); () }
+        catch { case _: Exception => () } // lost the reclaim race — fine
+        tryAcquire()
+      }
     }
-    try Files.createFile(p)
-    catch { case _: java.nio.file.FileAlreadyExistsException => return None }
+    if (!acquired) return None
     try Some(body)
     finally Files.deleteIfExists(p)
   }

@@ -49,8 +49,8 @@ object Quality {
     val badPrice = named("products_nonpositive_price", "validity",
       cnt(part.filter(col("p_retailprice") <= 0)))
     val costVsPrice = {
-      val price = col("p_retailprice").cast(DecimalType(18, 2))
-      val cost  = round(price * lit(BigDecimal("0.60")), 2).cast(DecimalType(18, 2))
+      val price = graft.Pricing.price(col("p_retailprice"))
+      val cost  = graft.Pricing.cost(price)
       named("products_cost_exceeds_price", "validity",
         cnt(part.filter(cost >= price)))
     }

@@ -38,14 +38,25 @@ object Sources {
     * join, never a collected key set. */
   def incrementalAppend(spark: SparkSession, df: DataFrame, path: String,
                         keys: Seq[String]): Long = {
+    // existence via the HADOOP filesystem, not java.io.File: a URI-style
+    // or non-local path (file://, hdfs://, s3a://) resolves fine for
+    // spark.read/write but java.io.File would answer false — silently
+    // disabling the dedup anti-join and appending duplicates.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
-      if (new java.io.File(path).exists()) {
+      if (fs.exists(hPath)) {
         val existing = spark.read.parquet(path).select(keys.map(col): _*)
         df.join(existing, keys, "left_anti")
       } else df
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path)
-    n
+    // persist across the two actions (count + write) so the anti-join
+    // and both scans run once, not twice
+    fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path)
+      n
+    } finally fresh.unpersist()
   }
 
   /** Hive-style partitioned parquet write — THE layout decision at

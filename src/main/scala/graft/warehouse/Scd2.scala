@@ -22,7 +22,13 @@ object Scd2 {
     * effective_date, end_date (= next version's effective date, else
     * 9999-12-31) and is_current. `lead()` over the per-key timeline. */
   def fromHistory(history: DataFrame, key: String, changedOn: String): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(changedOn)
+    // order by the full row, not changedOn alone: two versions with the
+    // same change date would otherwise get partition-order-dependent
+    // version numbering (which one ends up is_current would vary run to
+    // run). Remaining columns make the ordering total.
+    val order = col(changedOn) +:
+      history.columns.filterNot(_ == changedOn).sorted.map(col).toSeq
+    val w = Window.partitionBy(key).orderBy(order: _*)
     history
       .withColumn("effective_date", col(changedOn).cast("date"))
       .withColumn("end_date",

@@ -37,13 +37,18 @@ object Warehouse {
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
   private def materialized(spark: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    // entries of stopped applications can never hit again (fresh appId)
+    // but would pin their DataFrames for the JVM's lifetime — evict them
+    val appId = spark.sparkContext.applicationId
+    cache.keys.filter(_._1 != appId).foreach(cache.remove)
     cache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir, name), {
+      (appId, dir, name), {
         val df = build
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         df
       })
+  }
 
   /** dim_products analogue (reference: load_warehouse.py:62-78 + derived
     * price_category at staging_to_production.py:51-58). Cost is not in the
@@ -55,15 +60,15 @@ object Warehouse {
     materialized(spark, dir, "dim_part") { buildDimPart(spark, dir) }
 
   private def buildDimPart(spark: SparkSession, dir: String): DataFrame = {
-    val price = col("p_retailprice").cast(DecimalType(18, 2))
-    val cost  = round(price * lit(BigDecimal("0.60")), 2).cast(DecimalType(18, 2))
+    val price = graft.Pricing.price(col("p_retailprice"))
+    val cost  = graft.Pricing.cost(price)
     Tables.part(spark, dir).select(
       row_number().over(Window.orderBy("p_partkey")).cast(LongType).as("product_key"),
       col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
       price.as("price"),
       cost.as("cost"),
       ((price - cost).cast(DoubleType) / price.cast(DoubleType) * lit(100.0)).as("profit_margin_pct"),
-      when(price < 1200, "Budget").when(price < 1800, "Mid-range").otherwise("Premium").as("price_category"),
+      graft.Pricing.priceCategory(price).as("price_category"),
       lit(true).as("is_current"))
   }
 
