@@ -45,7 +45,7 @@ object Pipeline {
       "quality_checks" -> { () =>
         val checks = quality.Quality.qualityChecks(spark, sfDir)
         checks.write.mode("overwrite").parquet(s"$outDir/quality/checks")
-        val score = quality.Quality.qualityScore(spark, sfDir).head
+        val score = quality.Quality.qualityScore(spark, sfDir).head()
         sources.Sources.writeJsonReport(
           s"""{"total_records":${score.getAs[Long]("total_records")},""" +
             s""""total_violations":${score.getAs[Long]("total_violations")},""" +
