@@ -32,6 +32,12 @@ object Det {
   /** `events` lives in Jan 2024 — windows over it anchor here. */
   val AsOfEventDate = "2024-02-01"
   val AsOfTs   = "2024-02-01 00:00:00"
+  /** Fixed "previous pipeline run finished" instant for the monitoring
+    * health rollup (the reference reads it from the prior execution
+    * report — non-deterministic, replaced per SURVEY §7.4). 1.5h before
+    * [[AsOfTs]], so the registered query exercises the `ok` branch; the
+    * >25h `critical` branch is spec-covered with an injected timestamp. */
+  val LastRunTs = "2024-01-31 22:30:00"
 
   /** Per-row money cast: double → DECIMAL(18,6). */
   def dec6(c: Column): Column = c.cast(DecimalType(18, 6))

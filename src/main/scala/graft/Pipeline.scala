@@ -69,6 +69,21 @@ object Pipeline {
           .write.mode("overwrite").parquet(s"$outDir/monitoring/volume_anomaly")
         monitor.Monitor.freshnessLag(spark, sfDir)
           .write.mode("overwrite").parquet(s"$outDir/monitoring/freshness")
+        // Consolidated report (pipeline_monitor.py:213-266). The reference
+        // reads the PREVIOUS run's end time from its execution report; we
+        // use that file's mtime when present, else the fixed as-of run.
+        val prev = java.nio.file.Paths.get(s"$outDir/pipeline_execution_report.json")
+        val lastRun =
+          if (java.nio.file.Files.exists(prev))
+            java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+              .withZone(java.time.ZoneOffset.UTC)
+              .format(java.nio.file.Files.getLastModifiedTime(prev).toInstant)
+          else Det.LastRunTs
+        val now = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+          .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+        sources.Sources.writeJsonReport(
+          monitor.Monitor.monitoringReportJson(spark, sfDir, lastRun, now),
+          s"$outDir/monitoring/monitoring_report.json")
       },
       "retention_cleanup" -> { () =>
         orchestrate.Housekeeping.cleanupOldFiles(s"$outDir/tmp", retentionDays = 7)

@@ -99,11 +99,147 @@ SELECT event_type,
 FROM events
 GROUP BY event_type"""
 
+  /** The consolidated health rollup — the reference's overall verdict
+    * (pipeline_monitor.py:200-266): per-check statuses, alert counts by
+    * severity, and a healthy/degraded/critical pipeline_health, in one
+    * row. Checks mirrored:
+    *
+    *   - last_execution: hours since the previous run finished, critical
+    *     when > 25h (pipeline_monitor.py:84-91). The run timestamp is the
+    *     fixed [[graft.Det.LastRunTs]] (the reference reads the prior
+    *     execution report — non-deterministic).
+    *   - data_freshness: warning when any source in [[freshnessLag]] is
+    *     not 'fresh' (py:143-157, thresholds applied per source there).
+    *   - data_volume: the LATEST day's 3σ flag from [[volumeAnomaly]] —
+    *     the reference checks only "today" (py:171-183).
+    *   - data_quality: score from [[graft.quality.Quality.qualityScore]],
+    *     degraded below 95 (py:192-203).
+    *   - pipeline_health: critical if any critical alert, degraded if any
+    *     alert, else healthy (py:206-210); overall_health_score is the
+    *     quality score (py:260).
+    *
+    * Scale: every input is a scalar aggregate over an already-scalable
+    * relation; the rollup itself is four one-row broadcasts cross-joined —
+    * no data-sized shuffle is added.
+    */
+  def healthRollupAt(lastRunTs: String, asOfTs: String = Det.AsOfTs)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val hours = (unix_timestamp(lit(asOfTs), fmt) -
+      unix_timestamp(lit(lastRunTs), fmt)).cast(DoubleType) / lit(3600.0)
+    val lastExec = spark.range(1).select(hours.as("hours_since_last_run"))
+    val fresh = freshnessLag(spark, dir).agg(
+      max("lag_hours").as("max_lag_hours"),
+      max(when(col("status") =!= "fresh", 1L).otherwise(0L)).as("fresh_warn"))
+    // day is yyyy-MM-dd formatted → lexicographic max is chronological;
+    // days are unique (group key) so max_by is deterministic.
+    val vol = volumeAnomaly(spark, dir).agg(
+      max_by(col("is_anomaly"), col("day")).as("anomaly_detected"))
+    val qual = graft.quality.Quality.qualityScore(spark, dir)
+      .select(col("quality_score"))
+
+    val critical = when(col("hours_since_last_run") > 25.0, 1L).otherwise(0L)
+    val warnings = col("fresh_warn") +
+      when(col("anomaly_detected"), 1L).otherwise(0L) +
+      when(col("quality_score") < 95.0, 1L).otherwise(0L)
+    lastExec.crossJoin(broadcast(fresh)).crossJoin(broadcast(vol))
+      .crossJoin(broadcast(qual))
+      .select(
+        col("hours_since_last_run"),
+        when(col("hours_since_last_run") > 25.0, "critical").otherwise("ok")
+          .as("last_execution_status"),
+        col("max_lag_hours"),
+        when(col("fresh_warn") > 0L, "warning").otherwise("ok")
+          .as("freshness_status"),
+        col("anomaly_detected"),
+        when(col("anomaly_detected"), "anomaly_detected").otherwise("ok")
+          .as("volume_status"),
+        col("quality_score"),
+        when(col("quality_score") < 95.0, "degraded").otherwise("ok")
+          .as("quality_status"),
+        critical.as("alerts_critical"),
+        warnings.as("alerts_warning"),
+        when(critical > 0L, "critical").when(warnings > 0L, "degraded")
+          .otherwise("healthy").as("pipeline_health"),
+        col("quality_score").as("overall_health_score"))
+  }
+
+  def healthRollup(spark: SparkSession, dir: String): DataFrame =
+    healthRollupAt(Det.LastRunTs)(spark, dir)
+
+  val healthRollupSql: String = s"""
+WITH fresh AS ($freshnessLagSql),
+vol AS ($volumeAnomalySql),
+qual AS (SELECT quality_score FROM (${graft.quality.Quality.qualityScoreSql}) qs),
+le AS (SELECT CAST(CAST(floor(epoch(TIMESTAMP '${Det.AsOfTs}')) AS BIGINT)
+                   - CAST(floor(epoch(TIMESTAMP '${Det.LastRunTs}')) AS BIGINT) AS DOUBLE)
+              / 3600.0 AS hours_since_last_run),
+fa AS (SELECT MAX(lag_hours) AS max_lag_hours,
+              MAX(CASE WHEN status <> 'fresh' THEN 1 ELSE 0 END) AS fresh_warn
+       FROM fresh),
+va AS (SELECT max_by(is_anomaly, day) AS anomaly_detected FROM vol),
+j AS (SELECT * FROM le CROSS JOIN fa CROSS JOIN va CROSS JOIN qual),
+c AS (SELECT *,
+        CASE WHEN hours_since_last_run > 25.0 THEN 1 ELSE 0 END AS n_crit,
+        (fresh_warn + CASE WHEN anomaly_detected THEN 1 ELSE 0 END
+                    + CASE WHEN quality_score < 95.0 THEN 1 ELSE 0 END) AS n_warn
+      FROM j)
+SELECT hours_since_last_run,
+       CASE WHEN hours_since_last_run > 25.0 THEN 'critical' ELSE 'ok' END AS last_execution_status,
+       max_lag_hours,
+       CASE WHEN fresh_warn > 0 THEN 'warning' ELSE 'ok' END AS freshness_status,
+       anomaly_detected,
+       CASE WHEN anomaly_detected THEN 'anomaly_detected' ELSE 'ok' END AS volume_status,
+       quality_score,
+       CASE WHEN quality_score < 95.0 THEN 'degraded' ELSE 'ok' END AS quality_status,
+       CAST(n_crit AS BIGINT) AS alerts_critical,
+       CAST(n_warn AS BIGINT) AS alerts_warning,
+       CASE WHEN n_crit > 0 THEN 'critical'
+            WHEN n_warn > 0 THEN 'degraded'
+            ELSE 'healthy' END AS pipeline_health,
+       quality_score AS overall_health_score
+FROM c"""
+
+  /** Render the rollup as the reference's consolidated monitoring report
+    * JSON (pipeline_monitor.py:213-266): pipeline_health, per-check
+    * blocks, an alerts array, overall_health_score. Runs the rollup once;
+    * written by the pipeline's monitoring stage. */
+  def monitoringReportJson(spark: SparkSession, dir: String,
+                           lastRunTs: String = Det.LastRunTs,
+                           monitoringTime: String = Det.AsOfTs): String = {
+    val r = healthRollupAt(lastRunTs, monitoringTime)(spark, dir).head()
+    def s(c: String) = r.getAs[String](c)
+    def d(c: String) = r.getAs[Double](c)
+    def alert(sev: String, check: String, msg: String) =
+      s"""{"severity":"$sev","check":"$check","message":"$msg","timestamp":"$monitoringTime"}"""
+    val alerts = Seq(
+      Option.when(s("last_execution_status") == "critical")(
+        alert("critical", "last_execution", "Pipeline has not run in last 25 hours")),
+      Option.when(s("freshness_status") == "warning")(
+        alert("warning", "data_freshness", "Data freshness lag detected")),
+      Option.when(s("volume_status") == "anomaly_detected")(
+        alert("warning", "data_volume", "Volume anomaly detected")),
+      Option.when(s("quality_status") == "degraded")(
+        alert("warning", "data_quality", "Data quality score below threshold"))
+    ).flatten.mkString("[", ",", "]")
+    s"""{"monitoring_timestamp":"$monitoringTime",""" +
+      s""""pipeline_health":"${s("pipeline_health")}",""" +
+      s""""checks":{""" +
+      s""""last_execution":{"status":"${s("last_execution_status")}","last_run":"$lastRunTs","hours_since_last_run":${d("hours_since_last_run")},"threshold_hours":25},""" +
+      s""""data_freshness":{"status":"${s("freshness_status")}","max_lag_hours":${d("max_lag_hours")}},""" +
+      s""""data_volume_anomalies":{"status":"${s("volume_status")}","anomaly_detected":${r.getAs[Boolean]("anomaly_detected")}},""" +
+      s""""data_quality":{"status":"${s("quality_status")}","quality_score":${d("quality_score")}}},""" +
+      s""""alerts":$alerts,""" +
+      s""""overall_health_score":${d("overall_health_score")}}"""
+  }
+
   val inventory: Map[String, Q] = Map(
     "monitor_volume_anomaly" -> (volumeAnomaly _),
-    "monitor_freshness_lag"  -> (freshnessLag _))
+    "monitor_freshness_lag"  -> (freshnessLag _),
+    "monitor_health"         -> (healthRollup _))
 
   val oracle: Map[String, String] = Map(
     "monitor_volume_anomaly" -> volumeAnomalySql,
-    "monitor_freshness_lag"  -> freshnessLagSql)
+    "monitor_freshness_lag"  -> freshnessLagSql,
+    "monitor_health"         -> healthRollupSql)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.monitor.Monitor
+
+/** Health-rollup semantics (reference pipeline_monitor.py:84-91,200-266):
+  * per-check statuses, alert counts, and the healthy/degraded/critical
+  * verdict, including the >25h last-run-age critical branch.
+  */
+class MonitorSpec extends SparkSpec {
+
+  test("registered monitor_health is one row with consistent verdict") {
+    val r = Monitor.healthRollup(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // Det.LastRunTs is 1.5h before as-of: the ok branch
+    assert(row.getAs[Double]("hours_since_last_run") == 1.5)
+    assert(row.getAs[String]("last_execution_status") == "ok")
+    val crit = row.getAs[Long]("alerts_critical")
+    val warn = row.getAs[Long]("alerts_warning")
+    val health = row.getAs[String]("pipeline_health")
+    assert(Set("healthy", "degraded", "critical")(health))
+    if (crit > 0) assert(health == "critical")
+    else if (warn > 0) assert(health == "degraded")
+    else assert(health == "healthy")
+    assert(row.getAs[Double]("overall_health_score") ==
+      row.getAs[Double]("quality_score"))
+  }
+
+  test("last run older than 25h is critical and dominates the verdict") {
+    val row = Monitor.healthRollupAt("2024-01-30 12:00:00")(spark, sf).head()
+    assert(row.getAs[Double]("hours_since_last_run") == 36.0)
+    assert(row.getAs[String]("last_execution_status") == "critical")
+    assert(row.getAs[Long]("alerts_critical") == 1L)
+    assert(row.getAs[String]("pipeline_health") == "critical")
+  }
+
+  test("per-check statuses agree with the underlying relations") {
+    val row = Monitor.healthRollup(spark, sf).head()
+    val anyStale = Monitor.freshnessLag(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("status") =!= "fresh")
+      .count() > 0
+    assert((row.getAs[String]("freshness_status") == "warning") == anyStale)
+    val score = quality.Quality.qualityScore(spark, sf)
+      .head().getAs[Double]("quality_score")
+    assert(row.getAs[Double]("quality_score") == score)
+    assert((row.getAs[String]("quality_status") == "degraded") == (score < 95.0))
+  }
+
+  test("monitoring report JSON carries the verdict and alerts consistently") {
+    val json = Monitor.monitoringReportJson(spark, sf,
+      lastRunTs = "2024-01-30 12:00:00")
+    assert(json.contains(""""pipeline_health":"critical""""))
+    assert(json.contains(""""check":"last_execution""""))
+    assert(json.contains(""""threshold_hours":25"""))
+    assert(json.contains(""""overall_health_score":"""))
+    // healthy-side report has no critical alert
+    val ok = Monitor.monitoringReportJson(spark, sf)
+    assert(!ok.contains(""""severity":"critical""""))
+  }
+}
