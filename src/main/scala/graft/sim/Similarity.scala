@@ -165,13 +165,87 @@ WITH s AS (
 SELECT bucket, COUNT(*) AS bucket_size, MIN(vec_id) AS min_vec_id
 FROM s GROUP BY bucket"""
 
+  /** LSH bands for [[annLshNearDupPairs]]: 16 bands x 4 planes from one
+    * 64-plane [[graft.functions.SrpSig64]] signature. At the 0.4 cosine
+    * threshold a plane agrees w.p. 1-θ/π ≈ 0.63, so a pair collides in
+    * ≥1 band w.p. 1-(1-0.63⁴)^16 ≈ 0.94 — and higher for closer pairs. */
+  val LshBands = 16
+  val LshRows = 4
+
+  /** The SCALE path for embedding near-duplicate detection, registered
+    * first-class: banded SRP-LSH candidate generation → exact rescore.
+    * [[embeddingNearDupPairs]] above is the O(N²) exact BASELINE kept for
+    * recall measurement only (SimTextSpec) — at 100 TB this is the query
+    * to run: candidates come from b·N equality-join rows instead of N²/2
+    * comparisons, and every emitted pair is exactly rescored with the
+    * integer-quantized dot, so precision is 1 and only recall is
+    * probabilistic (≈0.94 at the threshold, see [[LshBands]]).
+    *
+    * Skew note: a near-constant embedding corpus would pile into one
+    * (band,bucket) key; AQE skew-join splits such keys at runtime
+    * (Sessions.clusterDefaults), the same posture as the hot-shingle cap
+    * on the text side.
+    */
+  def annLshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val banded = e
+      .select(col("vec_id"),
+        graft.functions.SrpSig64.of(col("embedding")).as("sig"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
+      .selectExpr("vec_id", "band",
+        s"cast(shiftright(sig, band * $LshRows) & ${(1 << LshRows) - 1} as int) as bucket")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val n = e.select(col("vec_id"), col("embedding"), normN("embedding").as("nrm"))
+    cand
+      .join(n.as("x"), col("vec_a") === col("x.vec_id"))
+      .join(n.as("y"), col("vec_b") === col("y.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (dotN("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= 0.4)
+  }
+
+  /** Oracle: per-(vec, band) 4-bit buckets recomputed from the md5 sign
+    * rule (plane p = band*4 + j — identical to the SrpSig64 bit layout),
+    * then the same distinct-candidates → exact-rescore composition. */
+  val annLshNearDupPairsSql: String = s"""
+WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
+b AS (
+  SELECT n.vec_id, g.band,
+         CAST(list_sum(list_transform(generate_series(0, ${LshRows - 1}), j ->
+           CASE WHEN list_sum(list_transform(generate_series(1, len(n.embedding)), i ->
+                       ${duckQz("n.embedding[i]")}
+                       * CASE WHEN (CAST(('0x' || substr(md5(CAST(g.band * $LshRows + j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) & 1) = 1
+                              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)) > 0
+                THEN (1 << j) ELSE 0 END)) AS INT) AS bucket
+  FROM n, generate_series(0, ${LshBands - 1}) AS g(band)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT c.vec_a, c.vec_b,
+       CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
+              i -> ${duckQz("x.embedding[i]")} * ${duckQz("y.embedding[i]")})) AS DOUBLE)
+         / (x.nrm * y.nrm) AS cosine
+FROM cand c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id
+WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
+             i -> ${duckQz("x.embedding[i]")} * ${duckQz("y.embedding[i]")})) AS DOUBLE)
+        / (x.nrm * y.nrm) >= 0.4"""
+
   val inventory: Map[String, Q] = Map(
     "ann_cosine_topk"          -> (annCosineTopK _),
     "embedding_near_dup_pairs" -> (embeddingNearDupPairs _),
-    "ann_lsh_buckets"          -> (annLshBuckets _))
+    "ann_lsh_buckets"          -> (annLshBuckets _),
+    "ann_lsh_near_dup_pairs"   -> (annLshNearDupPairs _))
 
   val oracle: Map[String, String] = Map(
     "ann_cosine_topk"          -> annCosineTopKSql,
     "embedding_near_dup_pairs" -> embeddingNearDupPairsSql,
-    "ann_lsh_buckets"          -> annLshBucketsSql)
+    "ann_lsh_buckets"          -> annLshBucketsSql,
+    "ann_lsh_near_dup_pairs"   -> annLshNearDupPairsSql)
 }

@@ -22,4 +22,31 @@ class SrpSigSpec extends SparkSpec {
       .agg(min("b"), max("b")).head
     assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 255)
   }
+
+  test("64-plane signature's low bits equal the 16-plane bucket (shared sign rule)") {
+    val mismatches = Tables.embeddings(spark, sf)
+      .select(
+        graft.functions.SrpSig64.of(col("embedding")).as("sig"),
+        SrpSig.of(col("embedding"), planes = 16).as("b16"))
+      .filter((col("sig").bitwiseAND(lit(0xFFFFL))).cast("int") =!= col("b16"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("lsh near-dup pairs: exact rescore, precision 1, recall above the banding bound") {
+    val exact = Similarity.embeddingNearDupPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.annLshNearDupPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every emitted pair exists in the exact set with an identical cosine
+    lsh.foreach { case (k, c) =>
+      assert(exact.contains(k), s"false positive pair $k")
+      assert(exact(k) == c, s"rescore mismatch for $k")
+    }
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    // 16 bands x 4 planes gives ~0.94 expected recall AT the 0.4 threshold
+    // and more above it; 0.75 is a loose deterministic floor for this data
+    assert(recall >= 0.75, s"recall $recall (${lsh.size}/${exact.size})")
+  }
 }
