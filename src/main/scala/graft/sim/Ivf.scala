@@ -17,11 +17,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: the index build is `iterations` × (one broadcast of k
   * centroids + one map-side argmin + one groupBy(k) mean) — no all-pairs
-  * work. Search cost is |collection| × nprobe / k per query batch. The
-  * k×dim centroid table is the only driver-side state (k ≤ a few
-  * thousand at any realistic scale).
+  * work. The k×dim centroid table is the only driver-side state (k ≤ a
+  * few thousand at any realistic scale) and is emitted as a DataFrame so
+  * search never recomputes it. Search is one declarative plan — queries
+  * broadcast-cross-join the k centroids to pick their `nprobe` cells,
+  * then equality-join the inverted lists — so the number of Spark jobs
+  * is constant in the number of queries (IvfSpec asserts this), and cost
+  * is |collection| × nprobe / k per query batch.
   */
 object Ivf {
+
+  /** The built index: per-vector cell assignments (vec_id, embedding,
+    * cell) and the k centroid rows (cell, centroid: array<double>). */
+  final case class IvfIndex(assignments: DataFrame, centroids: DataFrame)
 
   /** L2² distance between an embedding column and a broadcast centroid
     * array literal, in double. */
@@ -45,12 +53,10 @@ object Ivf {
     vecs.withColumn("cell", best.getField("cid"))
   }
 
-  /** Build the IVF index: fixed-iteration Lloyd k-means, returning the
-    * cell assignment per vector. */
-  def buildIndex(spark: SparkSession, dir: String, k: Int = 16,
-                 iterations: Int = 3): DataFrame = {
-    val vecs = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+  /** Fixed-iteration Lloyd k-means over the collection; returns the final
+    * centroids (the per-iteration groupBy(k) collect is k rows — bounded
+    * driver state, not data). */
+  private def lloyd(vecs: DataFrame, k: Int, iterations: Int): Array[(Int, Array[Double])] = {
     var centroids: Array[(Int, Array[Double])] = vecs
       .orderBy("vec_id").limit(k).collect()
       .zipWithIndex
@@ -71,53 +77,71 @@ object Ivf {
       // empty cells keep their previous centroid
       centroids = centroids.map { case (cid, c) => (cid, updated.getOrElse(cid, c)) }
     }
-    assign(vecs, centroids)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    centroids
   }
+
+  /** Build the IVF index: assignments plus the centroid table (computed
+    * once here, in the Lloyd loop — search probes it via broadcast join
+    * instead of recomputing cell means). */
+  def buildIndexFull(spark: SparkSession, dir: String, k: Int = 16,
+                     iterations: Int = 3): IvfIndex = {
+    val vecs = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val centroids = lloyd(vecs, k, iterations)
+    val centroidDf = spark.createDataFrame(
+      centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) })
+      .toDF("cell", "centroid")
+    IvfIndex(
+      assign(vecs, centroids).select(col("vec_id"), col("embedding"), col("cell")),
+      centroidDf)
+  }
+
+  /** Cell assignment per vector (back-compat surface over
+    * [[buildIndexFull]]). */
+  def buildIndex(spark: SparkSession, dir: String, k: Int = 16,
+                 iterations: Int = 3): DataFrame =
+    buildIndexFull(spark, dir, k, iterations).assignments
 
   /** Top-k search probing the `nprobe` nearest cells per query. Queries
     * are the first `nQueries` vectors (self excluded), as in
     * [[Similarity.annCosineTopK]] — so recall against the exact result is
-    * directly measurable. */
+    * directly measurable.
+    *
+    * One declarative plan, no per-query jobs: queries ⨯ broadcast(k
+    * centroids) → windowed nprobe-nearest cells → equality join on cell
+    * against the inverted lists → exact cosine → windowed top-k. Job
+    * count is therefore independent of nQueries (spec-asserted).
+    */
   def search(spark: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
              topK: Int = 10, nQueries: Int = 5): DataFrame = {
-    val index = buildIndex(spark, dir, k).cache()
-    val queries = index.filter(col("vec_id") < nQueries)
+    val idx = buildIndexFull(spark, dir, k)
+    val queries = idx.assignments.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-      .collect()
 
-    // per query: order this query's cells by centroid distance — approximate
-    // with distance from the query to each cell's members' cells: compute
-    // distances query→centroid via the index's cells.
-    val probed = queries.map { qr =>
-      val qid = qr.getAs[Long]("query_id")
-      val q = qr.getAs[Seq[Float]]("q").map(_.toDouble).toArray
-      val qLit = q.mkString("array(", ",", ")")
-      // distance of q to each centroid = min over... we kept centroids in
-      // the index only as assignments; recompute cell centroids on the fly
-      val qMeanCols = (0 until q.length).map(i =>
-        avg(expr(s"cast(element_at(embedding, ${i + 1}) as double)")).as(s"m$i"))
-      val cellDist = index.groupBy("cell")
-        .agg(qMeanCols.head, qMeanCols.tail: _*)
-        .select(col("cell"),
-          expr((0 until q.length)
-            .map(i => s"(m$i - ${q(i)}) * (m$i - ${q(i)})").mkString("+"))
-            .as("d2"))
-        .orderBy("d2").limit(nprobe)
-        .select("cell").collect().map(_.getInt(0)).toSet
-      index
-        .filter(col("cell").isin(cellDist.toSeq: _*) && col("vec_id") =!= qid)
-        .select(
-          lit(qid).as("query_id"), col("vec_id"),
-          (expr(s"""aggregate(zip_with($qLit, embedding, (x, y) -> x * cast(y as double)),
-                     cast(0 as double), (a, v) -> a + v)""")
-            / (sqrt(expr(s"""aggregate($qLit, cast(0 as double), (a, v) -> a + v * v)""")) *
-               sqrt(expr("""aggregate(embedding, cast(0 as double), (a, v) -> a + cast(v as double) * cast(v as double))"""))))
-            .as("cosine"))
-    }
-    val all = probed.reduce(_.unionByName(_))
-    all.withColumn("rank", row_number().over(
+    val probes = queries
+      .crossJoin(broadcast(idx.centroids))
+      .withColumn("d2",
+        expr("""aggregate(zip_with(q, centroid,
+                  (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+                cast(0 as double), (a, v) -> a + v)"""))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("d2"), asc("cell"))))
+      .filter(col("prank") <= nprobe)
+      .select("query_id", "q", "cell")
+
+    probes.join(idx.assignments, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr("""aggregate(zip_with(q, embedding,
+                  (x, y) -> cast(x as double) * cast(y as double)),
+                cast(0 as double), (a, v) -> a + v)""")
+          / (sqrt(expr("""aggregate(q, cast(0 as double),
+                           (a, v) -> a + cast(v as double) * cast(v as double))""")) *
+             sqrt(expr("""aggregate(embedding, cast(0 as double),
+                           (a, v) -> a + cast(v as double) * cast(v as double))"""))))
+      .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
       .filter(col("rank") <= topK)
+      .select("query_id", "vec_id", "cosine", "rank")
   }
 }

@@ -26,4 +26,25 @@ class IvfSpec extends SparkSpec {
     // weak cluster structure, so the bar is intentionally modest
     assert(recall >= 0.3, s"IVF recall was $recall")
   }
+
+  test("ivf search job count is independent of query count") {
+    def jobsFor(n: Int): Int = {
+      val group = s"ivf-jobs-$n"
+      spark.sparkContext.setJobGroup(group, group)
+      try Ivf.search(spark, sf, k = 8, nprobe = 2, nQueries = n).count()
+      finally spark.sparkContext.clearJobGroup()
+      // the status tracker is fed asynchronously; poll until stable
+      var prev = -1
+      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      while (cur != prev) {
+        prev = cur; Thread.sleep(200)
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    val few = jobsFor(2)
+    val many = jobsFor(8)
+    assert(few == many,
+      s"driver-side per-query work detected: $few jobs for 2 queries vs $many for 8")
+  }
 }
