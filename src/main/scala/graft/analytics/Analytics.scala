@@ -148,25 +148,30 @@ FROM (
   GROUP BY p.p_type) t
 ORDER BY total_revenue DESC, category""")
 
-  /** Q5 payment-method distribution with window %-of-total
-    * (analytical_queries.sql:74-85 — the codebase's only window function,
-    * SURVEY §2.5). The window sums stay exact (bigint / decimal) so the
-    * shares are order-independent. */
+  /** Q5 payment-method distribution with %-of-total shares
+    * (analytical_queries.sql:74-85's `SUM(...) OVER ()`, SURVEY §2.5).
+    * The grand totals come from a scalar aggregate broadcast back onto
+    * the groups rather than an unpartitioned window — same exact sums
+    * (bigint / decimal, order-independent), but no single-partition
+    * WindowExec: the plan stays parallel however many groups exist. */
   def q05(spark: SparkSession, dir: String): DataFrame = {
     val g = Warehouse.fact(spark, dir)
       .groupBy("payment_method")
       .agg(
         countDistinct(col("l_orderkey")).as("transaction_count"),
         Det.msumDec(col("line_total")).as("rev_dec"))
-    val w = Window.partitionBy()
-    g.select(
+    val totals = g.agg(
+      sum(col("transaction_count")).as("__tot_txn"),
+      sum(col("rev_dec")).as("__tot_rev"))
+    g.crossJoin(broadcast(totals))
+      .select(
         col("payment_method"),
         col("transaction_count"),
         Det.d2d(col("rev_dec")).as("total_revenue"),
         (col("transaction_count").cast(DoubleType) * lit(100.0) /
-          sum(col("transaction_count")).over(w).cast(DoubleType)).as("pct_of_transactions"),
+          col("__tot_txn").cast(DoubleType)).as("pct_of_transactions"),
         (Det.d2d(col("rev_dec")) * lit(100.0) /
-          Det.d2d(sum(col("rev_dec")).over(w))).as("pct_of_revenue"))
+          Det.d2d(col("__tot_rev"))).as("pct_of_revenue"))
       .orderBy("payment_method")
   }
 

@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
   * Scale posture (100 TB): every dimension is small and broadcast into the
   * fact build, so the only shuffle is lineitem⋈orders on the order key —
   * the unavoidable fact-to-fact co-partition join (bucket both by order key
-  * in a real deployment and it disappears too). Surrogate keys: dims use
-  * row_number over the natural key (deterministic run-to-run, SURVEY §7.4 —
-  * never monotonically_increasing_id); the fact's sales_key is
+  * in a real deployment and it disappears too). Surrogate keys: dims rank
+  * the natural key via partition-offset numbering ([[rankByUniqueKey]] —
+  * deterministic run-to-run, SURVEY §7.4; never
+  * monotonically_increasing_id, never a single-partition global window);
+  * the fact's sales_key is
   * orderkey*32 + a per-order row_number (window partitioned by the join
   * key) instead of a global row_number, which would single-partition
   * 100 TB through one window.
@@ -50,6 +52,31 @@ object Warehouse {
       })
   }
 
+  /** Global 1-based rank of a UNIQUE natural key without a
+    * single-partition window (SURVEY §7.4): range-partition on the key,
+    * sort within partitions, and number via RDD `zipWithIndex` — whose
+    * per-partition offsets come from one tiny count job bounded by the
+    * partition count, never by the data. A 10⁸-row dimension numbers in
+    * parallel where `row_number().over(Window.orderBy(key))` would
+    * single-thread it. zipWithIndex (not a DataFrame re-derivation of
+    * partition ids) is load-bearing: range boundaries are sampled per
+    * RDD instance, so the offset job and the data pass must share one
+    * lineage or their partitionings can disagree. Keys equal the
+    * global-window form because ranges are ordered and the key is
+    * unique; the one-row-per-partition imperative step is the rare
+    * legitimate RDD drop-down.
+    */
+  private def rankByUniqueKey(df: DataFrame, key: String, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val ranged = df.repartitionByRange(parts, col(key)).sortWithinPartitions(key)
+    val schema = ranged.schema.add(out, LongType, nullable = false)
+    val rdd = ranged.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** dim_products analogue (reference: load_warehouse.py:62-78 + derived
     * price_category at staging_to_production.py:51-58). Cost is not in the
     * test data, so it is derived deterministically as 60% of retail price
@@ -62,8 +89,8 @@ object Warehouse {
   private def buildDimPart(spark: SparkSession, dir: String): DataFrame = {
     val price = graft.Pricing.price(col("p_retailprice"))
     val cost  = graft.Pricing.cost(price)
-    Tables.part(spark, dir).select(
-      row_number().over(Window.orderBy("p_partkey")).cast(LongType).as("product_key"),
+    rankByUniqueKey(Tables.part(spark, dir), "p_partkey", "product_key").select(
+      col("product_key"),
       col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
       price.as("price"),
       cost.as("cost"),
@@ -84,10 +111,12 @@ object Warehouse {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
-    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    rankByUniqueKey(
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey")),
+      "c_custkey", "customer_key")
       .select(
-        row_number().over(Window.orderBy("c_custkey")).cast(LongType).as("customer_key"),
+        col("customer_key"),
         col("c_custkey"), col("c_name"), col("c_mktsegment"),
         col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"),
         col("n_name").as("nation"), col("r_name").as("region"),
@@ -129,10 +158,12 @@ object Warehouse {
     materialized(spark, dir, "dim_payment") { buildDimPayment(spark, dir) }
 
   private def buildDimPayment(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .select(col("o_orderpriority").as("payment_method")).distinct()
+    rankByUniqueKey(
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority").as("payment_method")).distinct(),
+      "payment_method", "payment_method_key")
       .select(
-        row_number().over(Window.orderBy("payment_method")).cast(LongType).as("payment_method_key"),
+        col("payment_method_key"),
         col("payment_method"),
         lit("Digital").as("payment_type"))
 

@@ -85,6 +85,21 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() == orders.filter(col("order_year") === 1995).count())
   }
 
+  test("no single-partition window anywhere in dim builds or q05") {
+    // a WindowExec with an empty partitionSpec funnels ALL rows through
+    // one task — the dim surrogate keys use partition-offset numbering
+    // and q05 a broadcast grand-total join precisely to avoid this
+    Seq("dim_part", "dim_customer", "dim_payment", "q05_payment_distribution")
+      .foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val global = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        }
+        assert(global.isEmpty, s"$q has a zero-partition window:\n$plan")
+      }
+  }
+
   test("no query plan contains a cartesian product") {
     // cross joins are only legal against single-row or broadcast stats
     // relations (grand totals); a CartesianProduct over two big inputs
