@@ -73,20 +73,10 @@ object DedupClusters {
   }
 
   /** Recursive-CTE twin: reach(node,label) closure over the same edges,
-    * min label per node. */
-  val dedupClustersSql: String = """
-WITH RECURSIVE
-tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-              unnest(CASE WHEN len(w) >= 3 THEN
-                       list_transform(generate_series(1, len(w) - 2),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-                     ELSE [] END) AS s
-       FROM tok),
-sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id),
+    * min label per node. Shingle CTEs (including the hot-shingle df cap)
+    * are shared with the dedup_jaccard_pairs oracle. */
+  val dedupClustersSql: String = s"""
+WITH RECURSIVE ${TextOps.shingleCtes(TextOps.HotShingleDfCap)},
 prs AS (SELECT doc_a AS a, doc_b AS b
         FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
         WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.7),

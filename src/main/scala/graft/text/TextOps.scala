@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   *  - exact dedup is one hash-groupBy (map-side partial);
   *  - Jaccard pairs shuffle (shingle, doc) pairs — shingle blocking keeps
   *    the join sparse (measured max 7 docs/shingle here); skew-prone hot
-  *    shingles would be dropped by a frequency cap, the standard trick;
+  *    shingles are dropped by the [[HotShingleDfCap]] frequency cap, so
+  *    the worst join key costs cap² however pathological the corpus;
   *  - MinHash-LSH is the scale path: candidates come from equality joins
   *    on 4 band hashes instead of all-pairs comparison.
   */
@@ -174,15 +175,29 @@ FROM documents"""
 SELECT md5(text) AS content_md5, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_id
 FROM documents GROUP BY md5(text)"""
 
-  /** Exact word-trigram Jaccard near-duplicate pairs (J >= 0.7): explode
-    * distinct shingles, sparse self-join on shingle equality, count
-    * intersections, compute |A∩B| / (|A|+|B|-|A∩B|). */
-  def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir)
-      .select(col("doc_id"), explode(shinglesNative).as("s"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+  /** Document-frequency cap for the Jaccard/cluster blocking join: a
+    * shingle present in more than this many documents is boilerplate
+    * (license headers, navigation chrome) and is dropped from the
+    * shingle REPRESENTATION — both sizes and intersections — so the
+    * Jaccard stays an exact set similarity over the capped sets. The
+    * join cost per shingle is df², so the cap bounds the worst key at
+    * cap² regardless of corpus size; the hot list itself is tiny by
+    * construction and anti-joins as a broadcast. Measured max df here is
+    * 7 (sf0.01) / 25 (sf0.1), so the default never binds on the test
+    * corpora — JaccardCapSpec exercises a corpus where it does. */
+  val HotShingleDfCap = 100
+
+  /** Jaccard >= `threshold` near-dup pairs over a (doc_id, s) shingle
+    * relation, with the df > `dfCap` hot shingles removed from the
+    * representation before the self-join. */
+  def jaccardPairsOverShingles(sh: DataFrame, dfCap: Int = HotShingleDfCap,
+                               threshold: Double = 0.7): DataFrame = {
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("s")
+    val capped = sh.join(broadcast(hot), Seq("s"), "left_anti")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = capped.as("a")
+      .join(capped.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -191,21 +206,37 @@ FROM documents GROUP BY md5(text)"""
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double")
           / (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= 0.7)
+      .filter(col("jaccard") >= threshold)
   }
 
-  val dedupJaccardPairsSql: String = """
-WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id,
+  /** Exact word-trigram Jaccard near-duplicate pairs (J >= 0.7): explode
+    * distinct shingles, drop hot shingles ([[HotShingleDfCap]]), sparse
+    * self-join on shingle equality, count intersections, compute
+    * |A∩B| / (|A|+|B|-|A∩B|). */
+  def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsOverShingles(
+      docs(spark, dir).select(col("doc_id"), explode(shinglesNative).as("s")))
+
+  /** Shared oracle CTEs: tokenize → distinct shingles → df-capped
+    * shingles (mirrors [[jaccardPairsOverShingles]]; reused by the
+    * dedup_clusters oracle). */
+  private[text] def shingleCtes(cap: Int): String = s"""
+tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+sh0 AS (SELECT DISTINCT doc_id,
               unnest(CASE WHEN len(w) >= 3 THEN
                        list_transform(generate_series(1, len(w) - 2),
                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
                      ELSE [] END) AS s
        FROM tok),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > $cap),
+sh AS (SELECT doc_id, s FROM sh0 ANTI JOIN hot USING (s)),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id)
+          GROUP BY a.doc_id, b.doc_id)"""
+
+  val dedupJaccardPairsSql: String = s"""
+WITH ${shingleCtes(HotShingleDfCap)}
 SELECT doc_a, doc_b,
        CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) AS jaccard
 FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
