@@ -72,11 +72,43 @@ object Bench {
           name -> -1.0
       }
     }
-    val failures = results.count(_._2 < 0)
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Extension-operator pass (dedup/ANN/text/curation/temporal): folded
+    // into the same artifact so a regression in the native expressions
+    // (WordShingles/MinHashSig/SimHashSig/SrpSig/QDot/TopKBy) is caught
+    // round-over-round, not only in the dev-tool BenchExt run. "value"
+    // stays the headline total — the BASELINE.md-comparable number.
+    val extQs = BenchExt.ops.filter(SparkEntry.queries.contains)
+    try {
+      (1 to 2).foreach(_ =>
+        extQs.foreach(q => SparkEntry.queries(q)(spark, sfDir).collect()))
+      System.gc()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ext warm-up failed: ${e.getClass.getName}: ${e.getMessage}")
+    }
+    val extResults = extQs.map { name =>
+      try {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> runs.min
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          name -> -1.0
+      }
+    }
+
+    val failures = results.count(_._2 < 0) + extResults.count(_._2 < 0)
+    def js(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failures":$failures,"sf":"$sfDir"}""")
+    val extTotal = extResults.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},""" +
+      s""""ext_total":$extTotal,"ext_queries":${js(extResults)},""" +
+      s""""failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.datagen.DataGen
-import graft.orchestrate.Housekeeping
+import graft.orchestrate.{Housekeeping, Scheduler}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 import java.nio.file.attribute.FileTime
@@ -77,5 +77,53 @@ class HousekeepingSpec extends SparkSpec {
     assert(joined.filter(col("total_amount") =!= col("s")).count() == 0)
     // cost < price invariant (U(0.5,0.8) multiplier)
     assert(p.filter(col("cost") >= col("price")).count() == 0)
+  }
+
+  test("scheduler sleeps until the configured time, runs, and survives failure") {
+    import java.time.{Duration, Instant, LocalTime}
+    val lock = java.nio.file.Files.createTempDirectory("graft_sched")
+      .resolve("pipeline.lock").toString
+    // virtual clock starting 01:00 UTC; sleeping advances it
+    var now = Instant.parse("2026-01-01T01:00:00Z")
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Duration]
+    val runsAt = scala.collection.mutable.ArrayBuffer.empty[Instant]
+    var cleanups = 0
+    var failFirst = true
+    val outcomes = Scheduler.runDaily(
+      LocalTime.of(2, 0), lock,
+      job = () => {
+        runsAt += now
+        if (failFirst) { failFirst = false; sys.error("transient") }
+      },
+      cleanup = () => cleanups += 1,
+      clock = () => now,
+      sleeper = d => { sleeps += d; now = now.plus(d) },
+      ticks = 3)
+    // first sleep is exactly the hour to 02:00; later ticks a full day
+    assert(sleeps.head == Duration.ofHours(1), s"slept ${sleeps.head}")
+    assert(sleeps.tail.forall(_ == Duration.ofDays(1)), sleeps.mkString(", "))
+    assert(runsAt.forall(_.toString.contains("T02:00")), runsAt.mkString(", "))
+    // the failing first job is contained; cleanup runs every executed tick
+    assert(outcomes == Seq(Scheduler.Failed, Scheduler.Ran, Scheduler.Ran))
+    assert(cleanups == 3)
+    // the lock is always released afterwards
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(lock)))
+  }
+
+  test("scheduler skips the tick when another run holds a fresh lock") {
+    import java.time.{Instant, LocalTime}
+    val lock = java.nio.file.Files.createTempDirectory("graft_sched")
+      .resolve("pipeline.lock")
+    java.nio.file.Files.createFile(lock) // fresh foreign lock
+    var ran = 0
+    val outcomes = Scheduler.runDaily(
+      LocalTime.of(2, 0), lock.toString,
+      job = () => ran += 1,
+      clock = () => Instant.parse("2026-01-01T01:00:00Z"),
+      sleeper = _ => (),
+      ticks = 1)
+    assert(outcomes == Seq(Scheduler.Skipped) && ran == 0)
+    // a skipped tick must not release someone else's lock
+    assert(java.nio.file.Files.exists(lock))
   }
 }
