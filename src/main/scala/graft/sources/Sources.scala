@@ -68,6 +68,27 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed parquet table — the OTHER layout decision at 100 TB:
+    * pre-shuffle once at write time so every future join or aggregation
+    * on the bucket key runs with NO exchange (the fact⋈fact
+    * lineitem⋈orders co-partition join in [[graft.warehouse.Warehouse]]
+    * disappears exactly this way). Bucket by the high-cardinality join
+    * key — the complement of [[writePartitioned]]'s low-cardinality
+    * directory pruning; `sortBy` additionally pre-orders within buckets
+    * so sort-merge joins skip their sorts when each bucket is one file.
+    * Registered through the session catalog (bucketing metadata lives
+    * there), externalized at `path`. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCols: Seq[String], buckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
+
   /** JSON-lines source with an explicit schema (same no-inference rule
     * as [[readCsv]]) — the interchange format training-data corpora
     * actually ship in. */
