@@ -3,7 +3,6 @@ package graft.analytics
 import graft.{Det, Sql}
 import graft.warehouse.{OracleSql, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 

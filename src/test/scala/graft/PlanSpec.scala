@@ -85,6 +85,17 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() == orders.filter(col("order_year") === 1995).count())
   }
 
+  test("headline queries broadcast every dimension (no sort-merge fallback)") {
+    // the per-query latency story rests on dims arriving via broadcast;
+    // a statistics or threshold regression that flips one to sort-merge
+    // should fail the build, not just drift the bench
+    Bench.headline.foreach { q =>
+      val plan = physicalPlan(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("SortMergeJoin"), s"$q sort-merges a join")
+      assert(!plan.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
   test("no single-partition window anywhere in dim builds or q05") {
     // a WindowExec with an empty partitionSpec funnels ALL rows through
     // one task — the dim surrogate keys use partition-offset numbering
