@@ -48,16 +48,35 @@ GROUP BY p.p_name, p.p_brand
 ORDER BY total_revenue DESC, p_name, p_brand
 LIMIT 10""")
 
-  /** Q2 monthly sales trend (analytical_queries.sql:20-30). */
+  /** Q2 monthly sales trend (analytical_queries.sql:20-30).
+    *
+    * Two COUNT(DISTINCT)s in one aggregate plan an Expand that doubles
+    * the shuffled fact — at 100 TB that is the dominant cost. Orders
+    * are the natural collapse: every line of an order shares its
+    * customer and date, so a per-order pre-aggregation (keyed on the
+    * fact's existing order partitioning — no extra shuffle off the
+    * cache) makes total_transactions a plain count and leaves ONE
+    * distinct over order-grain rows. Decimal sums are associative, so
+    * every measure is bit-identical to the direct form the oracle runs.
+    */
   def q02(spark: SparkSession, dir: String): DataFrame = {
     val f = Warehouse.fact(spark, dir)
     val d = Warehouse.dimDate(spark, dir).select("date_key", "year", "month")
-    f.join(broadcast(d), "date_key")
+    // UNROUNDED per-order decimal: msumDec's round(…, 2) happens once at
+    // month grain, exactly where the direct form (and the oracle) rounds
+    val perOrder = f.groupBy("l_orderkey")
+      .agg(
+        min("date_key").as("date_key"),          // constant within an order
+        min("customer_key").as("customer_key"),  // constant within an order
+        sum(Det.dec6(col("line_total"))).as("order_rev"),
+        count(lit(1)).as("n_lines"))
+    val monthRev = round(sum(col("order_rev")), 2).cast(DecimalType(18, 2))
+    perOrder.join(broadcast(d), "date_key")
       .groupBy("year", "month")
       .agg(
-        Det.msum(col("line_total")).as("total_revenue"),
-        countDistinct(col("l_orderkey")).as("total_transactions"),
-        Det.mavg(col("line_total")).as("avg_order_value"),
+        monthRev.cast(DoubleType).as("total_revenue"),
+        count(lit(1)).as("total_transactions"),
+        (monthRev.cast(DoubleType) / sum(col("n_lines"))).as("avg_order_value"),
         countDistinct(col("customer_key")).as("unique_customers"))
       .select(
         format_string("%d-%02d", col("year"), col("month")).as("year_month"),
