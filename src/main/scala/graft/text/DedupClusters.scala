@@ -3,6 +3,7 @@ package graft.text
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** The deduplication endgame: near-duplicate PAIRS become CLUSTERS
   * (connected components over the similarity graph), and each cluster
@@ -36,10 +37,20 @@ object DedupClusters {
     var labels = Tables.documents(spark, dir)
       .select(col("doc_id"), col("doc_id").as("label")).cache()
 
-    var changed = 1L
+    // Convergence check without a per-round compare join: every node's
+    // label is monotonically non-increasing (least of itself and its
+    // neighbors' minimum), so the label total strictly decreases until
+    // the fixpoint — equal totals ⟺ no label changed. DECIMAL(38,0)
+    // keeps the total exact however many nodes (a LONG sum of 64-bit
+    // ids can overflow at corpus scale).
+    def labelTotal(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+
+    var changed = true
+    var prevTotal = labelTotal(labels)
     var rounds = 0
     val maxRounds = 20
-    while (changed > 0 && rounds < maxRounds) {
+    while (changed && rounds < maxRounds) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "b")
           .withColumnRenamed("label", "nlabel"), "b")
@@ -49,9 +60,9 @@ object DedupClusters {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
         .cache()
-      next.count()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
+      val total = labelTotal(next) // also materializes next's cache
+      changed = total.compareTo(prevTotal) != 0
+      prevTotal = total
       labels.unpersist()
       labels = next
       rounds += 1
@@ -59,9 +70,9 @@ object DedupClusters {
     // Silent early exit would yield wrong clusters for graphs deeper
     // than maxRounds hops — fail loudly instead of diverging from the
     // oracle's recursive-CTE fixpoint.
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
-        s"dedupClusters did not converge in $maxRounds rounds ($changed labels still changing); " +
+        s"dedupClusters did not converge in $maxRounds rounds (labels still changing); " +
           "the similarity graph has components deeper than expected — raise maxRounds")
 
     val sizes = labels.groupBy(col("label").as("cluster_id"))
