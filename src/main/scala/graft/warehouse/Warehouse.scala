@@ -66,7 +66,7 @@ object Warehouse {
     * unique; the one-row-per-partition imperative step is the rare
     * legitimate RDD drop-down.
     */
-  private def rankByUniqueKey(df: DataFrame, key: String, out: String): DataFrame = {
+  private[graft] def rankByUniqueKey(df: DataFrame, key: String, out: String): DataFrame = {
     val spark = df.sparkSession
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
     val ranged = df.repartitionByRange(parts, col(key)).sortWithinPartitions(key)

@@ -1,0 +1,39 @@
+package graft
+
+import graft.warehouse.Warehouse
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** rankByUniqueKey must equal the single-partition
+  * `row_number().over(Window.orderBy(key))` it replaced — on key sets
+  * far nastier than the dims it numbers in production (the dim oracles
+  * cover those). */
+class RankByKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(keys: Seq[Long]): Unit = {
+    val df = keys.toDF("k").repartition(7) // scramble the input layout
+    val got = Warehouse.rankByUniqueKey(df, "k", "rk")
+      .select("k", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = df.select(col("k"),
+        row_number().over(Window.orderBy("k")).cast("long").as("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("matches the global window on skewed, negative, and sparse keys") {
+    // clustered runs + far outliers + negatives: range partitions will be
+    // unbalanced and some will be empty-ish
+    check(Seq(-5000000L, -1L, 0L, 1L, 2L, 3L, 1000L, 1001L, 1002L,
+      900000000L, 900000001L, Long.MaxValue / 2))
+    // dense block (single range dominates)
+    check((1L to 500L) ++ Seq(1000000L))
+    // reversed insertion order must not matter
+    check((500L to 1L by -1L))
+  }
+
+  test("fewer rows than partitions still numbers densely from 1") {
+    check(Seq(42L, 7L))
+    check(Seq(7L))
+  }
+}
