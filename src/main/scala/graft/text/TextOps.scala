@@ -242,6 +242,93 @@ SELECT doc_a, doc_b,
 FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
 WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.7"""
 
+  // ------------------------------------------- decontamination/repetition
+
+  /** Benchmark source held out by [[decontamination]]. */
+  val BenchmarkSource = "src0"
+  /** Distinct shared shingles at which a train doc counts as
+    * contaminated. */
+  val ContaminationMinShared = 3
+
+  /** Train/benchmark decontamination — the overlap check every training
+    * pipeline runs before shipping a corpus: a train document sharing
+    * ≥ [[ContaminationMinShared]] distinct (df-capped) shingles with any
+    * benchmark document is flagged, with how many shingles and how many
+    * benchmark docs it hits. The benchmark here is the `source =
+    * BenchmarkSource` slice of `documents`; in production it is the eval
+    * suites. Scale: the benchmark shingle set is tiny relative to the
+    * corpus (broadcastable), the join is shingle-equality (never
+    * all-pairs), and [[HotShingleDfCap]] keeps boilerplate shingles from
+    * counting as contamination or exploding the join. */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), col("source"), explode(shinglesNative).as("s"))
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > HotShingleDfCap).select("s")
+    val capped = sh.join(broadcast(hot), Seq("s"), "left_anti")
+    val bench = capped.filter(col("source") === BenchmarkSource)
+      .select(col("s"), col("doc_id").as("bench_doc"))
+    capped.filter(col("source") =!= BenchmarkSource)
+      .select("doc_id", "s")
+      .join(bench, "s")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("s")).as("shared_shingles"),
+        countDistinct(col("bench_doc")).as("matched_bench_docs"))
+      .filter(col("shared_shingles") >= ContaminationMinShared)
+  }
+
+  val decontaminationSql: String = s"""
+WITH tok AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+sh0 AS (SELECT DISTINCT doc_id, source,
+              unnest(CASE WHEN len(w) >= 3 THEN
+                       list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     ELSE [] END) AS s
+       FROM tok),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > $HotShingleDfCap),
+sh AS (SELECT doc_id, source, s FROM sh0 ANTI JOIN hot USING (s)),
+bench AS (SELECT s, doc_id AS bench_doc FROM sh WHERE source = '$BenchmarkSource'),
+tr AS (SELECT doc_id, s FROM sh WHERE source <> '$BenchmarkSource')
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.s) AS shared_shingles,
+       COUNT(DISTINCT bench.bench_doc) AS matched_bench_docs
+FROM tr JOIN bench ON tr.s = bench.s
+GROUP BY tr.doc_id
+HAVING COUNT(DISTINCT tr.s) >= $ContaminationMinShared"""
+
+  /** Intra-document repetition (the Gopher-style quality signal the
+    * per-doc stats lack): 1 - distinct/total trigram ratio. NULL when
+    * the document is too short to have a trigram — division semantics
+    * differ across engines, so the guard is explicit. Narrow
+    * projection, no shuffle. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val total = greatest(lit(0L), (expr(s"size($toksE)") - 2).cast("long"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      total.as("n_shingles_total"),
+      size(shinglesNative).cast("long").as("n_shingles_distinct"))
+      .withColumn("repetition_ratio",
+        when(col("n_shingles_total") > 0,
+          lit(1.0) - col("n_shingles_distinct").cast("double")
+            / col("n_shingles_total").cast("double")))
+  }
+
+  val textRepetitionSql: String = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+c AS (SELECT doc_id,
+             CAST(greatest(0, len(w) - 2) AS BIGINT) AS n_shingles_total,
+             CAST(CASE WHEN len(w) >= 3 THEN
+                    len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+                  ELSE 0 END AS BIGINT) AS n_shingles_distinct
+      FROM t)
+SELECT doc_id, n_shingles_total, n_shingles_distinct,
+       CASE WHEN n_shingles_total > 0 THEN
+         1.0 - CAST(n_shingles_distinct AS DOUBLE) / CAST(n_shingles_total AS DOUBLE)
+       END AS repetition_ratio
+FROM c"""
+
   // ------------------------------------------------------- MinHash + LSH
 
   /** 16-permutation MinHash signature (md5-derived hash per seed) as an
@@ -385,7 +472,9 @@ WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 4"""
     "dedup_exact"          -> (dedupExact _),
     "dedup_jaccard_pairs"  -> (dedupJaccardPairs _),
     "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
-    "dedup_simhash_pairs"  -> (dedupSimhashPairs _))
+    "dedup_simhash_pairs"  -> (dedupSimhashPairs _),
+    "text_decontamination" -> (decontamination _),
+    "text_repetition"      -> (textRepetition _))
 
   val oracle: Map[String, String] = Map(
     "text_stats"           -> textStatsSql,
@@ -394,5 +483,7 @@ WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 4"""
     "dedup_exact"          -> dedupExactSql,
     "dedup_jaccard_pairs"  -> dedupJaccardPairsSql,
     "dedup_minhash_lsh"    -> dedupMinhashLshSql,
-    "dedup_simhash_pairs"  -> dedupSimhashPairsSql)
+    "dedup_simhash_pairs"  -> dedupSimhashPairsSql,
+    "text_decontamination" -> decontaminationSql,
+    "text_repetition"      -> textRepetitionSql)
 }
