@@ -68,9 +68,50 @@ WHERE s.quality_score >= 60.0
 GROUP BY d.lang
 ORDER BY d.lang"""
 
+  /** Corpus accounting per (source, lang) — the mixture-weight input:
+    * documents, chars, estimated BPE tokens, and each cell's share of
+    * the corpus token total. One groupBy plus a broadcast grand total;
+    * shares stay exact because both sides are integer token sums. */
+  def corpusTokenAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        ceil(length(col("text")).cast("double") / lit(4.0)).cast(LongType)
+          .as("est_bpe_tokens"),
+        length(col("text")).cast(LongType).as("n_chars"))
+    val g = d.groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("est_bpe_tokens").as("total_bpe_tokens"))
+    val tot = g.agg(sum("total_bpe_tokens").as("__tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_chars"),
+        col("total_bpe_tokens"),
+        (col("total_bpe_tokens").cast("double") * lit(100.0)
+          / col("__tot").cast("double")).as("token_share_pct"))
+      .orderBy("source", "lang")
+  }
+
+  val corpusTokenAccountingSql: String = """
+WITH d AS (SELECT doc_id, source, lang,
+                  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens,
+                  CAST(length(text) AS BIGINT) AS n_chars
+           FROM documents),
+g AS (SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(est_bpe_tokens) AS BIGINT) AS total_bpe_tokens
+      FROM d GROUP BY source, lang),
+t AS (SELECT CAST(SUM(total_bpe_tokens) AS BIGINT) AS tot FROM g)
+SELECT g.source, g.lang, g.n_docs, g.total_chars, g.total_bpe_tokens,
+       CAST(g.total_bpe_tokens AS DOUBLE) * 100.0 / CAST(t.tot AS DOUBLE) AS token_share_pct
+FROM g CROSS JOIN t
+ORDER BY g.source, g.lang"""
+
   val inventory: Map[String, Q] = Map(
-    "corpus_curation" -> (corpusCuration _))
+    "corpus_curation"         -> (corpusCuration _),
+    "corpus_token_accounting" -> (corpusTokenAccounting _))
 
   val oracle: Map[String, String] = Map(
-    "corpus_curation" -> corpusCurationSql)
+    "corpus_curation"         -> corpusCurationSql,
+    "corpus_token_accounting" -> corpusTokenAccountingSql)
 }
