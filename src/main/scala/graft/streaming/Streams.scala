@@ -258,6 +258,37 @@ GROUP BY user_id, session_seq"""
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
+  /** The documents parquet as a bounded file stream (the ingest-time
+    * view of the corpus). */
+  def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    spark.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** In-flight decontamination — the streaming twin of
+    * [[graft.text.TextOps.decontamination]]: each incoming document's
+    * distinct shingles are intersected with the STATIC capped benchmark
+    * vocabulary (one array literal, benchmark-sized — eval suites are
+    * small by definition), and documents sharing ≥ the threshold are
+    * flagged as they arrive. Deliberately STATELESS: no stream-side
+    * aggregation, no watermark, no state store — the scalable shape for
+    * filtering an unbounded ingest, and why the streaming form reports
+    * shared_shingles but not matched_bench_docs (that rollup needs the
+    * batch join). StreamingSpec asserts flag parity with the batch twin. */
+  def decontaminationStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val vocab = TextOps.benchmarkShingleVocab(spark, dir)
+    docsStream(spark, dir)
+      .filter(col("source") =!= TextOps.BenchmarkSource)
+      .select(col("doc_id"),
+        size(array_intersect(TextOps.shinglesNative, typedLit(vocab)))
+          .cast(LongType).as("shared_shingles"))
+      .filter(col("shared_shingles") >= TextOps.ContaminationMinShared)
+  }
+
   val inventory: Map[String, Q] = Map(
     "events_hourly_windows"  -> (eventsHourly _),
     "events_sliding_windows" -> (eventsSliding _),

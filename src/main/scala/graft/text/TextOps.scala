@@ -260,12 +260,28 @@ WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.7"""
     * corpus (broadcastable), the join is shingle-equality (never
     * all-pairs), and [[HotShingleDfCap]] keeps boilerplate shingles from
     * counting as contamination or exploding the join. */
-  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, source, s) with the df > [[HotShingleDfCap]] shingles
+    * removed — shared by [[decontamination]] and its streaming twin. */
+  private[graft] def cappedSourceShingles(spark: SparkSession, dir: String): DataFrame = {
     val sh = docs(spark, dir)
       .select(col("doc_id"), col("source"), explode(shinglesNative).as("s"))
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > HotShingleDfCap).select("s")
-    val capped = sh.join(broadcast(hot), Seq("s"), "left_anti")
+    sh.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
+  /** The capped benchmark shingle vocabulary as driver-side values —
+    * bounded by the benchmark corpus (eval suites are small by
+    * definition), it ships to executors as one array literal for the
+    * stateless streaming decontamination filter. */
+  def benchmarkShingleVocab(spark: SparkSession, dir: String): Seq[String] =
+    cappedSourceShingles(spark, dir)
+      .filter(col("source") === BenchmarkSource)
+      .select("s").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val capped = cappedSourceShingles(spark, dir)
     val bench = capped.filter(col("source") === BenchmarkSource)
       .select(col("s"), col("doc_id").as("bench_doc"))
     capped.filter(col("source") =!= BenchmarkSource)

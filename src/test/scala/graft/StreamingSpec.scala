@@ -130,4 +130,21 @@ class StreamingSpec extends SparkSpec {
       .agg(sum("n_events")).head.getLong(0)
     assert(total == 2 * Tables.events(spark, sf).count())
   }
+
+  test("stateless streaming decontamination flags exactly the batch set") {
+    val q = Streams.decontaminationStream(spark, sf).writeStream
+      .format("memory").queryName("decon_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("decon_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.text.TextOps.decontamination(spark, sf)
+      .select("doc_id", "shared_shingles").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch,
+      s"stream flags ${streamed.size} docs, batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
 }
