@@ -35,7 +35,8 @@ object SparkEntry {
       ext.Reshape.inventory ++
       analytics.Quantiles.inventory ++
       ext.SetOps.inventory ++
-      text.Curation.inventory
+      text.Curation.inventory ++
+      text.Packing.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -58,5 +59,6 @@ object SparkEntry {
       ext.Reshape.oracle ++
       analytics.Quantiles.oracle ++
       ext.SetOps.oracle ++
-      text.Curation.oracle
+      text.Curation.oracle ++
+      text.Packing.oracle
 }
