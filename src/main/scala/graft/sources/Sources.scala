@@ -89,6 +89,22 @@ object Sources {
     ws.saveAsTable(table)
   }
 
+  /** Deterministic sharded output — the layout training dataloaders
+    * consume: exactly `shards` files, each row's shard fixed by a hash
+    * of its key (never round-robin or partition order, so reruns and
+    * different cluster layouts produce identical shard membership).
+    * Shard id is exposed as a partition directory (`shard=K`) so a
+    * reader can open one shard without listing the rest. */
+  def writeSharded(df: DataFrame, path: String, keyCol: String,
+                   shards: Int): Unit = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    df.withColumn("shard", pmod(hash(col(keyCol)), lit(shards)))
+      .repartition(shards, col("shard"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+  }
+
   /** JSON-lines source with an explicit schema (same no-inference rule
     * as [[readCsv]]) — the interchange format training-data corpora
     * actually ship in. */

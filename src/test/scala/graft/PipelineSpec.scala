@@ -163,4 +163,22 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/warehouse/fact_sales").count() > 0)
     assert(new java.io.File(s"$out/analytics/q01_top_products").exists())
   }
+
+  test("sharded writer produces exactly N hash-stable shards") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/docs"
+    graft.sources.Sources.writeSharded(docs, dir, "doc_id", 8)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length == 8, s"expected 8 shard dirs, got ${dirs.toSeq}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // membership is a pure function of the key — not of input layout
+    val bad = back.filter(col("shard") =!= pmod(hash(col("doc_id")), lit(8))).count()
+    assert(bad == 0)
+    // one shard can be opened alone via partition pruning
+    val one = spark.read.parquet(dir).filter(col("shard") === 3)
+    assert(one.count() == back.filter(pmod(hash(col("doc_id")), lit(8)) === 3).count())
+  }
 }
