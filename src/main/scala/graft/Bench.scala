@@ -42,14 +42,21 @@ object Bench {
       warehouse.Warehouse.dimCustomer(spark, sfDir).count()
       warehouse.Warehouse.dimPayment(spark, sfDir).count()
       // 4 passes: C2 JIT of the generated code needs several executions
-      // to reach steady state (measured: pass 1 ≈ 2-3× pass 5).
+      // to reach steady state (measured: pass 1 ≈ 2-3× pass 5). Per-query
+      // try: one failing query must not leave the REST of the warm-up
+      // unrun (they'd be measured cold and read as regressions).
       (1 to 4).foreach(_ =>
-        qs.foreach(q => SparkEntry.queries(q)(spark, sfDir).collect()))
+        qs.foreach(q =>
+          try SparkEntry.queries(q)(spark, sfDir).collect()
+          catch {
+            // warm-up only: the failure will surface as -1 in the timed
+            // pass below, but log it so warm-up problems are visible
+            case e: Throwable =>
+              System.err.println(s"[bench] warm-up $q failed: ${e.getClass.getName}: ${e.getMessage}")
+          }))
       System.gc() // drain warm-up garbage so GC pauses don't land in the timed pass
     } catch {
-      // warm-up only: a real failure will surface as -1 in the timed
-      // pass below, but still log it so warm-up problems are visible
-      case e: Throwable =>
+      case e: Throwable => // fact/dim materialization above
         System.err.println(s"[bench] warm-up failed: ${e.getClass.getName}: ${e.getMessage}")
     }
 
@@ -78,14 +85,14 @@ object Bench {
     // round-over-round, not only in the dev-tool BenchExt run. "value"
     // stays the headline total — the BASELINE.md-comparable number.
     val extQs = BenchExt.ops.filter(SparkEntry.queries.contains)
-    try {
-      (1 to 2).foreach(_ =>
-        extQs.foreach(q => SparkEntry.queries(q)(spark, sfDir).collect()))
-      System.gc()
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] ext warm-up failed: ${e.getClass.getName}: ${e.getMessage}")
-    }
+    (1 to 2).foreach(_ =>
+      extQs.foreach(q =>
+        try SparkEntry.queries(q)(spark, sfDir).collect()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ext warm-up $q failed: ${e.getClass.getName}: ${e.getMessage}")
+        }))
+    System.gc()
     val extResults = extQs.map { name =>
       try {
         val runs = (1 to 3).map { _ =>

@@ -70,17 +70,19 @@ object Pipeline {
         monitor.Monitor.freshnessLag(spark, sfDir)
           .write.mode("overwrite").parquet(s"$outDir/monitoring/freshness")
         // Consolidated report (pipeline_monitor.py:213-266). The reference
-        // reads the PREVIOUS run's end time from its execution report; we
-        // use that file's mtime when present, else the fixed as-of run.
+        // reads the PREVIOUS run's end time from its execution report. With
+        // a prior report we pair its mtime with wall-clock now; WITHOUT one
+        // (first run) both ends fall back to the fixed Det pair — mixing the
+        // fixed 2024 LastRunTs with wall-clock now would report a spurious
+        // 22,000-hour gap and a 'critical' health on every fresh outDir.
+        val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+          .withZone(java.time.ZoneOffset.UTC)
         val prev = java.nio.file.Paths.get(s"$outDir/pipeline_execution_report.json")
-        val lastRun =
+        val (lastRun, now) =
           if (java.nio.file.Files.exists(prev))
-            java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-              .withZone(java.time.ZoneOffset.UTC)
-              .format(java.nio.file.Files.getLastModifiedTime(prev).toInstant)
-          else Det.LastRunTs
-        val now = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-          .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+            (fmt.format(java.nio.file.Files.getLastModifiedTime(prev).toInstant),
+              fmt.format(java.time.Instant.now()))
+          else (Det.LastRunTs, Det.AsOfTs)
         sources.Sources.writeJsonReport(
           monitor.Monitor.monitoringReportJson(spark, sfDir, lastRun, now),
           s"$outDir/monitoring/monitoring_report.json")

@@ -40,7 +40,14 @@ object Scheduler {
         catch { case e: Throwable =>
           System.err.println(s"[scheduler] job failed: ${e.getClass.getName}: ${e.getMessage}")
           Failed
-        } finally cleanup()
+        } finally {
+          // a throwing cleanup must not kill the loop either — the
+          // documented contract is "survives to the next day"
+          try cleanup()
+          catch { case e: Throwable =>
+            System.err.println(s"[scheduler] cleanup failed: ${e.getClass.getName}: ${e.getMessage}")
+          }
+        }
       }
       outcomes += result.getOrElse(Skipped)
       i += 1

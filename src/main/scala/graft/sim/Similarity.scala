@@ -214,7 +214,10 @@ FROM s GROUP BY bucket"""
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .selectExpr("vec_id", "band",
-        s"cast(shiftright(sig, band * $rows) & ${(1 << rows) - 1} as int) as bucket")
+        // 1L shift: (1 << 32) == 1 in Int, which would mask every bucket
+        // to 0 and silently degenerate the join to all-pairs; bucket is
+        // BIGINT because rows can legitimately reach 64
+        s"cast(shiftright(sig, band * $rows) & ${if (rows == 64) -1L else (1L << rows) - 1} as bigint) as bucket")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

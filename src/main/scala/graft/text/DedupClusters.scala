@@ -43,8 +43,12 @@ object DedupClusters {
     // the fixpoint — equal totals ⟺ no label changed. DECIMAL(38,0)
     // keeps the total exact however many nodes (a LONG sum of 64-bit
     // ids can overflow at corpus scale).
-    def labelTotal(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    def labelTotal(df: DataFrame): java.math.BigDecimal = {
+      // sum over zero rows is NULL — an empty corpus must converge
+      // immediately, not NPE in compareTo
+      val d = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
 
     var changed = true
     var prevTotal = labelTotal(labels)

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -30,38 +30,11 @@ object Packing {
   val SeqLen = 2048L
 
   /** Exclusive cumulative sum of `valueCol` (Long) in `key` order,
-    * appended as `out` — parallel, deterministic, no global window. */
+    * appended as `out` — [[graft.Dist.exclusiveCumsum]] (shared with the
+    * warehouse's surrogate-key numbering). */
   private[graft] def exclusiveCumsum(df: DataFrame, key: String,
-                                     valueCol: String, out: String): DataFrame = {
-    val spark = df.sparkSession
-    val parts = math.max(1, spark.sparkContext.defaultParallelism)
-    val ranged = df.repartitionByRange(parts, col(key)).sortWithinPartitions(key)
-    val schema = ranged.schema.add(out, LongType, nullable = false)
-    val vIdx = ranged.schema.fieldIndex(valueCol)
-    // ONE .rdd call: each call builds a fresh physical RDD whose range
-    // boundaries are independently sampled — both passes must share this
-    // instance
-    val rows = ranged.rdd
-    val partTotals = rows
-      .mapPartitionsWithIndex { case (i, it) =>
-        var s = 0L
-        it.foreach(r => s += r.getLong(vIdx))
-        Iterator.single(i -> s)
-      }.collect().toMap
-    val offsets = new Array[Long](parts + 1)
-    (0 until parts).foreach { i =>
-      offsets(i + 1) = offsets(i) + partTotals.getOrElse(i, 0L)
-    }
-    val withCum = rows.mapPartitionsWithIndex { case (i, it) =>
-      var acc = offsets(i)
-      it.map { r =>
-        val out = Row.fromSeq(r.toSeq :+ acc)
-        acc += r.getLong(vIdx)
-        out
-      }
-    }
-    spark.createDataFrame(withCum, schema)
-  }
+                                     valueCol: String, out: String): DataFrame =
+    graft.Dist.exclusiveCumsum(df, key, valueCol, out)
 
   /** (doc_id, est_bpe_tokens, start_token, seq_id, seq_offset) for the
     * whole corpus packed at [[SeqLen]]. */

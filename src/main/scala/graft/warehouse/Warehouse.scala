@@ -53,29 +53,13 @@ object Warehouse {
   }
 
   /** Global 1-based rank of a UNIQUE natural key without a
-    * single-partition window (SURVEY §7.4): range-partition on the key,
-    * sort within partitions, and number via RDD `zipWithIndex` — whose
-    * per-partition offsets come from one tiny count job bounded by the
-    * partition count, never by the data. A 10⁸-row dimension numbers in
-    * parallel where `row_number().over(Window.orderBy(key))` would
-    * single-thread it. zipWithIndex (not a DataFrame re-derivation of
-    * partition ids) is load-bearing: range boundaries are sampled per
-    * RDD instance, so the offset job and the data pass must share one
-    * lineage or their partitionings can disagree. Keys equal the
-    * global-window form because ranges are ordered and the key is
-    * unique; the one-row-per-partition imperative step is the rare
-    * legitimate RDD drop-down.
+    * single-partition window (SURVEY §7.4) — see [[graft.Dist]] for the
+    * partition-offset machinery and the single-lineage rule. A 10⁸-row
+    * dimension numbers in parallel where
+    * `row_number().over(Window.orderBy(key))` would single-thread it.
     */
-  private[graft] def rankByUniqueKey(df: DataFrame, key: String, out: String): DataFrame = {
-    val spark = df.sparkSession
-    val parts = math.max(1, spark.sparkContext.defaultParallelism)
-    val ranged = df.repartitionByRange(parts, col(key)).sortWithinPartitions(key)
-    val schema = ranged.schema.add(out, LongType, nullable = false)
-    val rdd = ranged.rdd.zipWithIndex.map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(rdd, schema)
-  }
+  private[graft] def rankByUniqueKey(df: DataFrame, key: String, out: String): DataFrame =
+    graft.Dist.rankByUniqueKey(df, key, out)
 
   /** dim_products analogue (reference: load_warehouse.py:62-78 + derived
     * price_category at staging_to_production.py:51-58). Cost is not in the

@@ -33,6 +33,20 @@ class SrpSigSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("full-width banding (1x64) selects, not degenerates to all-pairs") {
+    // regression for the Int-shift mask bug: (1 << 64) == 1 in Int made
+    // the mask 0, every vector landed in bucket 0, and the "LSH" join
+    // was silently all-pairs — whose exact rescore reproduces the full
+    // exact pair set. True 64-bit buckets collide only for near-identical
+    // sigs, so the pair count must drop strictly below the exact count.
+    val exactN = Similarity.embeddingNearDupPairs(spark, sf).count()
+    val deep = Similarity.annLshNearDupPairsWith(spark, sf,
+      bands = 1, rows = 64, threshold = 0.4).count()
+    assert(exactN > 0)
+    assert(deep < exactN,
+      s"1x64 banding emitted $deep of $exactN exact pairs — all-pairs degeneration")
+  }
+
   test("lsh near-dup pairs: exact rescore, precision 1, recall above the banding bound") {
     val exact = Similarity.embeddingNearDupPairs(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
