@@ -48,7 +48,9 @@ FROM customer"""
     * feeds tokenizer/contamination analyses. One explode + one groupBy:
     * map-side partial counts keep the shuffle at |distinct bigrams|. */
   def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
-    val toks = "split(trim(text), '\\\\s+')"
+    // the shared whitespace tokenizer — a tokenization change must reach
+    // the bigram table and the shingle operators together
+    val toks = graft.text.TextOps.toksE
     Tables.documents(spark, dir)
       .select(explode(expr(
         s"""CASE WHEN size($toks) >= 2 THEN

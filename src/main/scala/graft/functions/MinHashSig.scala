@@ -64,6 +64,13 @@ object MinHashSig {
   def compute(shingles: ArrayData, perms: Int): Array[Long] = {
     val md = digests.get()
     val n = shingles.numElements()
+    // fail loudly on inputs the HOF twin would answer with NULL minima
+    // (array_min over empty) — a Long.MaxValue sentinel would silently
+    // diverge from the oracle form; callers pre-filter short docs (the
+    // registered query requires >= 3 tokens)
+    if (n == 0) throw new IllegalArgumentException(
+      "minhash_sig requires a non-empty shingle array (the HOF form " +
+        "yields NULL minima for empty input — pre-filter short documents)")
     val out = Array.fill(perms)(Long.MaxValue)
     var p = 0
     while (p < perms) {
@@ -71,9 +78,12 @@ object MinHashSig {
       var i = 0
       var best = Long.MaxValue
       while (i < n) {
+        val s = shingles.getUTF8String(i)
+        if (s == null) throw new IllegalArgumentException(
+          s"minhash_sig: null shingle at index $i")
         md.reset()
         md.update(prefix)
-        md.update(shingles.getUTF8String(i).getBytes)
+        md.update(s.getBytes)
         val d = md.digest()
         val h = ((d(0) & 0xffL) << 48) | ((d(1) & 0xffL) << 40) |
           ((d(2) & 0xffL) << 32) | ((d(3) & 0xffL) << 24) |

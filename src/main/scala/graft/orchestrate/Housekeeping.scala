@@ -87,15 +87,34 @@ object Housekeeping {
       // lock exists: reclaim only if stale, and reclaim via an atomic
       // rename — a delete-then-create sequence would let two processes
       // both pass the age check, with the second deleting the first's
-      // freshly created lock (TOCTOU). Only one mover wins the rename.
+      // freshly created lock (TOCTOU). Only one mover wins a rename.
       val stale =
         try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis >= staleAfterMs
         catch { case _: java.nio.file.NoSuchFileException => true } // holder just released
       stale && {
-        val tomb = p.resolveSibling(s"${p.getFileName}.reclaimed")
-        try { Files.move(p, tomb); Files.deleteIfExists(tomb); () }
-        catch { case _: Exception => () } // lost the reclaim race — fine
-        tryAcquire()
+        // tomb name is unique per reclaimer: a crashed reclaimer leaves
+        // only its own tomb behind, never a fixed-name file that would
+        // jam every future reclaim's move
+        val tomb = p.resolveSibling(
+          s"${p.getFileName}.reclaimed.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+        val moved =
+          try { Files.move(p, tomb); true }
+          catch { case _: Exception => false } // lost the race, or lock vanished
+        if (moved) {
+          // verify the moved lock was GENUINELY stale (rename preserves
+          // mtime): if a concurrent winner re-created a fresh lock
+          // between our age check and our move, we stole a live lock —
+          // restore it and skip this run instead of double-running
+          val tombStale =
+            try System.currentTimeMillis() - Files.getLastModifiedTime(tomb).toMillis >= staleAfterMs
+            catch { case _: Exception => false }
+          if (tombStale) { Files.deleteIfExists(tomb); tryAcquire() }
+          else {
+            try { Files.move(tomb, p); () }
+            catch { case _: Exception => Files.deleteIfExists(tomb); () }
+            false
+          }
+        } else tryAcquire() // another reclaimer may have freed it
       }
     }
     if (!acquired) return None

@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * collection instead of all of it.
   *
   * Deterministic by construction: centroids initialize from the first k
-  * vectors by vec_id, Lloyd iterations are fixed-count, and every argmin
-  * tie-breaks on centroid id — no RNG anywhere.
+  * vectors by vec_id, Lloyd iterations are fixed-count, every argmin
+  * tie-breaks on centroid id — no RNG anywhere — and cell means come
+  * from exact integer sums of 1e-7-quantized components (a distributed
+  * double avg() merges partials in shuffle order and is not
+  * run-to-run reproducible).
   *
   * Scale posture: the index build is `iterations` × (one broadcast of k
   * centroids + one map-side argmin + one groupBy(k) mean) — no all-pairs
@@ -66,13 +69,20 @@ object Ivf {
     val dim = centroids.head._2.length
     (1 to iterations).foreach { _ =>
       val assigned = assign(vecs, centroids)
-      val meanCols = (0 until dim).map(i =>
-        avg(expr(s"cast(element_at(embedding, ${i + 1}) as double)")).as(s"m$i"))
+      // means from EXACT integer sums of 1e-7-quantized components (the
+      // Det convention): a distributed double avg() merges partials in
+      // shuffle order and is not reproducible run-to-run — an
+      // equidistant vector could flip cells and change search results
+      val sumCols = (0 until dim).map(i =>
+        sum(expr(s"cast(floor(cast(element_at(embedding, ${i + 1}) as double) * 1e7) as bigint)"))
+          .as(s"s$i")) :+ count(lit(1)).as("n")
       val means = assigned.groupBy("cell")
-        .agg(meanCols.head, meanCols.tail: _*)
+        .agg(sumCols.head, sumCols.tail: _*)
         .collect()
       val updated = means.map { r =>
-        (r.getAs[Int]("cell"), (0 until dim).map(i => r.getAs[Double](s"m$i")).toArray)
+        val n = r.getAs[Long]("n").toDouble
+        (r.getAs[Int]("cell"),
+          (0 until dim).map(i => r.getAs[Long](s"s$i").toDouble / n / 1e7).toArray)
       }.toMap
       // empty cells keep their previous centroid
       centroids = centroids.map { case (cid, c) => (cid, updated.getOrElse(cid, c)) }

@@ -206,7 +206,9 @@ FROM s GROUP BY bucket"""
   def annLshNearDupPairsWith(spark: SparkSession, dir: String,
                              bands: Int, rows: Int,
                              threshold: Double): DataFrame = {
-    require(bands * rows <= 64, s"bands*rows must fit 64 planes, got $bands x $rows")
+    require(bands >= 1 && rows >= 1 && bands * rows <= 64,
+      s"need bands >= 1, rows >= 1, bands*rows <= 64; got $bands x $rows " +
+        "(rows = 0 would mask every bucket to 0 and degenerate to all-pairs)")
     val e = Tables.embeddings(spark, dir)
     val banded = e
       .select(col("vec_id"),

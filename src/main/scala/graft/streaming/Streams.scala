@@ -158,14 +158,22 @@ GROUP BY user_id, session_seq"""
                         start_micros: Long, duration_secs: Long)
 
   /** Custom stateful operator: gap-based sessionization via
-    * flatMapGroupsWithState with event-time timeout — one state object
-    * per user, sessions emitted when the 30-minute gap elapses past the
-    * watermark. */
+    * flatMapGroupsWithState with EVENT-TIME timeout. The open session is
+    * carried in state across micro-batches — a session spanning batches
+    * RESUMES, it never splits (flushing at batch end would split one
+    * session per batch boundary whenever AvailableNow processes the
+    * input in more than one batch). A session is emitted when either a
+    * later event proves the gap elapsed, or the watermark passes
+    * last + gap (the timeout). Faithful streaming semantics: sessions
+    * still open at the watermark frontier when a bounded replay ends
+    * stay in state — a stream cannot know the input ended; the batch
+    * twin closes them, and StreamingSpec's parity assertion accounts
+    * for exactly that frontier set. */
   def sessionizeStream(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val gapMicros = 30L * 60 * 1000000
+    val gapSecs = 30L * 60
     val typed = events
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("tsMicros"), col("ts"))
       .as[(Long, Long, Long, java.sql.Timestamp)]
@@ -173,29 +181,44 @@ GROUP BY user_id, session_seq"""
       .groupByKey(_.user_id)
 
     typed.flatMapGroupsWithState[SessionState, SessionOut](
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       case (userId, events, state: GroupState[SessionState]) =>
-        // Bounded replay (AvailableNow over a finite file): events for the
-        // group arrive together; sort by time and close sessions on gaps.
-        val sorted = events.toSeq.sortBy(e => (e.tsMicros, e.event_id))
-        var st = state.getOption.getOrElse(SessionState(-1, -1, 0, 0))
-        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
         // duration on whole-second timestamps (matches the batch twin's
         // unix_timestamp truncation)
         def durSecs(s: SessionState): Long = s.last / 1000000 - s.start / 1000000
-        sorted.foreach { ev =>
-          if (st.n == 0) st = SessionState(ev.tsMicros, ev.tsMicros, 1, st.seq + 1)
-          else if (ev.tsMicros / 1000000 - st.last / 1000000 > gapMicros / 1000000) {
-            out += SessionOut(userId, st.seq, st.n, st.start, durSecs(st))
-            st = SessionState(ev.tsMicros, ev.tsMicros, 1, st.seq + 1)
-          } else st = st.copy(last = ev.tsMicros, n = st.n + 1)
+        def closed(s: SessionState) = SessionOut(userId, s.seq, s.n, s.start, durSecs(s))
+
+        if (state.hasTimedOut) {
+          // watermark passed last + gap: the open session is final
+          val st = state.get
+          state.update(SessionState(-1, -1, 0, st.seq)) // closed marker keeps seq
+          Iterator.single(closed(st))
+        } else {
+          val sorted = events.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(-1, -1, 0, 0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { ev =>
+            if (st.n == 0) st = SessionState(ev.tsMicros, ev.tsMicros, 1, st.seq + 1)
+            else if (ev.tsMicros / 1000000 - st.last / 1000000 > gapSecs) {
+              out += closed(st)
+              st = SessionState(ev.tsMicros, ev.tsMicros, 1, st.seq + 1)
+            } else st = st.copy(last = ev.tsMicros, n = st.n + 1)
+          }
+          state.update(st)
+          if (st.n > 0) {
+            // fire when the watermark proves no continuation can arrive;
+            // second-truncated like the gap check so the boundary agrees
+            // with the batch twin exactly
+            val timeoutAtMs = (st.last / 1000000 + gapSecs + 1) * 1000
+            if (timeoutAtMs > state.getCurrentWatermarkMs())
+              state.setTimeoutTimestamp(timeoutAtMs)
+            else {
+              out += closed(st)
+              state.update(SessionState(-1, -1, 0, st.seq))
+            }
+          }
+          out.iterator
         }
-        // flush the trailing session (bounded-input semantics)
-        if (st.n > 0) {
-          out += SessionOut(userId, st.seq, st.n, st.start, durSecs(st))
-          state.update(SessionState(-1, -1, 0, st.seq))
-        }
-        out.iterator
     }.toDF()
   }
 

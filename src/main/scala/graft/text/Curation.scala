@@ -75,8 +75,7 @@ ORDER BY d.lang"""
   def corpusTokenAccounting(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"),
-        ceil(length(col("text")).cast("double") / lit(4.0)).cast(LongType)
-          .as("est_bpe_tokens"),
+        TextOps.estBpeTokens.as("est_bpe_tokens"),
         length(col("text")).cast(LongType).as("n_chars"))
     val g = d.groupBy("source", "lang")
       .agg(
@@ -92,9 +91,9 @@ ORDER BY d.lang"""
       .orderBy("source", "lang")
   }
 
-  val corpusTokenAccountingSql: String = """
+  val corpusTokenAccountingSql: String = s"""
 WITH d AS (SELECT doc_id, source, lang,
-                  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens,
+                  ${TextOps.estBpeTokensSqlE} AS est_bpe_tokens,
                   CAST(length(text) AS BIGINT) AS n_chars
            FROM documents),
 g AS (SELECT source, lang, COUNT(*) AS n_docs,

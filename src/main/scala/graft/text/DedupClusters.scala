@@ -24,10 +24,23 @@ import org.apache.spark.sql.types.DecimalType
   */
 object DedupClusters {
 
+  /** One materialized propagation per (session, dir): the iterative
+    * build caches its label rounds, and re-running it per bench pass
+    * would stack abandoned cache entries (the [[graft.warehouse
+    * .Warehouse]] materialization pattern, for the same reason). */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
   /** Cluster assignment: every document → the min doc_id reachable
     * through Jaccard >= 0.7 edges (itself if isolated), with cluster
     * size and a keeper flag. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    cache.keys.filter(_._1 != appId).foreach(cache.remove)
+    cache.getOrElseUpdate((appId, dir), buildDedupClusters(spark, dir))
+  }
+
+  private def buildDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = TextOps.dedupJaccardPairs(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     // undirected edge list
@@ -78,6 +91,10 @@ object DedupClusters {
       throw new IllegalStateException(
         s"dedupClusters did not converge in $maxRounds rounds (labels still changing); " +
           "the similarity graph has components deeper than expected — raise maxRounds")
+
+    // the final labels (cached, already materialized by labelTotal) are
+    // all the result plan needs — release the edge cache
+    edges.unpersist()
 
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))

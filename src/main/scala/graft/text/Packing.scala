@@ -3,7 +3,6 @@ package graft.text
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Sequence packing — the batch-preparation step of a pre-training
   * pipeline: documents are concatenated in a canonical order (doc_id)
@@ -41,8 +40,7 @@ object Packing {
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(
       col("doc_id"),
-      ceil(length(col("text")).cast("double") / lit(4.0)).cast(LongType)
-        .as("est_bpe_tokens"))
+      TextOps.estBpeTokens.as("est_bpe_tokens"))
     exclusiveCumsum(d, "doc_id", "est_bpe_tokens", "start_token")
       .select(
         col("doc_id"), col("est_bpe_tokens"), col("start_token"),
@@ -52,7 +50,7 @@ object Packing {
 
   val packSequencesSql: String = s"""
 WITH d AS (SELECT doc_id,
-                  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens
+                  ${TextOps.estBpeTokensSqlE} AS est_bpe_tokens
            FROM documents),
 c AS (SELECT doc_id, est_bpe_tokens,
              CAST(COALESCE(SUM(est_bpe_tokens) OVER (ORDER BY doc_id

@@ -53,6 +53,16 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
 
+  /** The ceil(chars/4) BPE-token estimate — ONE rule for textStats,
+    * corpusTokenAccounting, and packSequences plus their oracles
+    * (the [[graft.Pricing]] pattern: shared business rules must not
+    * drift between the layers that apply them). */
+  def estBpeTokens: org.apache.spark.sql.Column =
+    ceil(length(col("text")).cast("double") / lit(4.0)).cast("long")
+  /** DuckDB twin of [[estBpeTokens]]. */
+  val estBpeTokensSqlE: String =
+    "CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)"
+
   // ---------------------------------------------------------------- stats
 
   /** Per-document statistics + quality score: token/char counts, average
@@ -71,8 +81,7 @@ object TextOps {
       (expr(s"size(filter($toksE, t -> t IN ('the','a','of','and','to','in','is','it')))")
         .cast("double") / expr(s"size($toksE)").cast("double"))
         .as("stopword_ratio"),
-      ceil(length(col("text")).cast("double") / lit(4.0)).cast("long")
-        .as("est_bpe_tokens"),
+      estBpeTokens.as("est_bpe_tokens"),
       // BPE-ish regex tokenization: letter runs, digit runs, single punct
       expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))")
         .cast("long").as("n_tokens_regex"))
@@ -81,7 +90,9 @@ object TextOps {
           + lit(0.3) * (lit(1.0) - col("punct_ratio"))
           + lit(0.3) * least(lit(1.0), col("stopword_ratio") * lit(4.0))))
 
-  val textStatsSql: String = """
+  // plain triple-quote with a placeholder (not an s-string: the regex
+  // backslashes would be re-escaped); __EST_BPE__ -> the shared rule
+  private val textStatsSqlRaw: String = """
 WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
 SELECT doc_id,
        CAST(len(w) AS BIGINT) AS n_tokens,
@@ -91,13 +102,16 @@ SELECT doc_id,
          / CAST(length(text) AS DOUBLE) AS punct_ratio,
        CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
          / CAST(len(w) AS DOUBLE) AS stopword_ratio,
-       CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens,
+       __EST_BPE__ AS est_bpe_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_regex,
        100.0 * (0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0)
               + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
               + 0.3 * least(1.0, CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
                                  / CAST(len(w) AS DOUBLE) * 4.0)) AS quality_score
 FROM t"""
+
+  val textStatsSql: String =
+    textStatsSqlRaw.replace("__EST_BPE__", estBpeTokensSqlE)
 
   // -------------------------------------------------------------- lang id
 
