@@ -177,12 +177,17 @@ GROUP BY user_id, session_seq"""
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("tsMicros"), col("ts"))
       .as[(Long, Long, Long, java.sql.Timestamp)]
-      .map { case (u, e, m, _) => Ev(u, e, m) }
-      .groupByKey(_.user_id)
+      // groupByKey on the tuple that still carries the watermarked `ts`
+      // column — a MapElements here would drop the event-time attribute and
+      // the stateful operator would fail analysis ("Watermark must be
+      // specified ... for using event-time timeout"). Ev conversion happens
+      // inside the group function instead.
+      .groupByKey(_._1)
 
     typed.flatMapGroupsWithState[SessionState, SessionOut](
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-      case (userId, events, state: GroupState[SessionState]) =>
+      case (userId, rows, state: GroupState[SessionState]) =>
+        val events = rows.map { case (u, e, m, _) => Ev(u, e, m) }
         // duration on whole-second timestamps (matches the batch twin's
         // unix_timestamp truncation)
         def durSecs(s: SessionState): Long = s.last / 1000000 - s.start / 1000000

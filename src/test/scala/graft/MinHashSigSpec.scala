@@ -19,13 +19,27 @@ class MinHashSigSpec extends SparkSpec {
     assert(fast.except(hof).count() == 0)
   }
 
-  test("MinHashSig handles empty shingle arrays") {
+  test("MinHashSig fails loudly on empty shingle arrays") {
     import spark.implicits._
-    val df = Seq(Seq.empty[String], Seq("a b c")).toDF("sh")
+    // The HOF twin yields NULL minima (array_min over empty) for empty
+    // input; a sentinel signature would silently diverge from the oracle
+    // form, so the contract is: callers pre-filter short docs (the
+    // registered query requires size(toks) >= 3) and empty input throws.
+    val df = Seq(Seq.empty[String]).toDF("sh")
       .select(MinHashSig.signatureOf("sh").as("m"))
-    val rows = df.collect()
+    val ex = intercept[Exception](df.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: causes(e.getCause))
+    assert(causes(ex).exists(c =>
+      c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("non-empty shingle array")))
+  }
+
+  test("MinHashSig produces 16-permutation signatures for non-empty input") {
+    import spark.implicits._
+    val rows = Seq(Seq("a b c"), Seq("x", "y")).toDF("sh")
+      .select(MinHashSig.signatureOf("sh").as("m")).collect()
     assert(rows.length == 2)
-    // empty input -> Long.MaxValue sentinel mins, 16 perms
     assert(rows.forall(_.getSeq[Long](0).length == 16))
   }
 }

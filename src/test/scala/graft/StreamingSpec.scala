@@ -35,9 +35,36 @@ class StreamingSpec extends SparkSpec {
     val batch = Streams.eventsSessions(spark, sf)
       .select(col("user_id"), col("session_seq"),
         col("n_events"), col("duration_secs"))
-    assert(streamed.count() == batch.count())
-    assert(streamed.except(batch).count() == 0, "streamed sessions not in batch")
-    assert(batch.except(streamed).count() == 0, "batch sessions not in stream")
+
+    // Faithful streaming semantics: a session still open when the final
+    // watermark (= max event time, 0s delay) hasn't passed last + gap stays
+    // in state — the stream cannot know the bounded input ended. The batch
+    // twin closes those. Expected stream output = batch minus exactly that
+    // frontier-open set (the user's final session, when its timeout
+    // timestamp lies beyond the final watermark — mirroring
+    // sessionizeStream's `timeoutAtMs > watermark` keep-open condition).
+    val gapSecs = 30L * 60
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("m"))
+    val finalWatermarkMs = ev.agg(max("m")).head.getLong(0) / 1000
+    val openUsers = ev.groupBy("user_id").agg(max("m").as("last_m"))
+      .filter((expr("last_m div 1000000") + gapSecs + 1) * 1000 > finalWatermarkMs)
+      .select("user_id")
+    val lastSeq = batch.groupBy("user_id")
+      .agg(max("session_seq").as("frontier_seq"))
+    val frontier = batch
+      .join(openUsers, "user_id")
+      .join(lastSeq, "user_id")
+      .filter(col("session_seq") === col("frontier_seq"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("duration_secs"))
+    val expected = batch.except(frontier)
+
+    assert(frontier.count() > 0,
+      "fixture must exercise the open-at-frontier case")
+    assert(streamed.count() == expected.count())
+    assert(streamed.except(expected).count() == 0, "streamed sessions not in batch")
+    assert(expected.except(streamed).count() == 0, "closed batch sessions missing from stream")
   }
 
   test("stream-stream interval join equals the batch range join") {
