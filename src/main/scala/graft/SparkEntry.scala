@@ -25,6 +25,7 @@ object SparkEntry {
       warehouse.WarehouseQueries.inventory ++
       text.TextOps.inventory ++
       sim.Similarity.inventory ++
+      sim.Ivf.inventory ++
       streaming.Streams.inventory ++
       multimodal.Multimodal.inventory ++
       ext.Extensions.inventory ++
@@ -49,6 +50,7 @@ object SparkEntry {
       warehouse.WarehouseQueries.oracle ++
       text.TextOps.oracle ++
       sim.Similarity.oracle ++
+      sim.Ivf.oracle ++
       streaming.Streams.oracle ++
       multimodal.Multimodal.oracle ++
       ext.Extensions.oracle ++

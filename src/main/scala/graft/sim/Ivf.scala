@@ -1,7 +1,7 @@
 package graft.sim
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,15 +11,22 @@ import org.apache.spark.sql.functions._
   * probe only the `nprobe` nearest cells, scanning a fraction of the
   * collection instead of all of it.
   *
-  * Deterministic by construction: centroids initialize from the first k
-  * vectors by vec_id, Lloyd iterations are fixed-count, every argmin
-  * tie-breaks on centroid id — no RNG anywhere — and cell means come
-  * from exact integer sums of 1e-7-quantized components (a distributed
-  * double avg() merges partials in shuffle order and is not
-  * run-to-run reproducible).
+  * Deterministic by construction — and therefore DuckDB-oracle-able
+  * end to end (the registered `ivf_search` query replays the fixed
+  * Lloyd iterations as unrolled CTEs): centroids initialize from the
+  * first k vectors by vec_id, Lloyd iterations are fixed-count, every
+  * argmin tie-breaks on centroid id — no RNG anywhere — and ALL
+  * distance arithmetic happens on the 1e-7 integer grid (the
+  * [[Similarity]] convention): components quantize to
+  * floor(x·1e7) BIGINT, L2² distances are exact integer sums
+  * (associative — partition order can't perturb them), and centroid
+  * components are themselves grid points, floor(Σq/n) via one IEEE
+  * double division that Scala, Spark and DuckDB all evaluate
+  * identically. A distributed double avg() would merge partials in
+  * shuffle order and not be run-to-run reproducible.
   *
   * Scale posture: the index build is `iterations` × (one broadcast of k
-  * centroids + one map-side argmin + one groupBy(k) mean) — no all-pairs
+  * centroids + one map-side argmin + one groupBy(k) sum) — no all-pairs
   * work. The k×dim centroid table is the only driver-side state (k ≤ a
   * few thousand at any realistic scale) and is emitted as a DataFrame so
   * search never recomputes it. Search is one declarative plan — queries
@@ -29,23 +36,32 @@ import org.apache.spark.sql.functions._
   * is |collection| × nprobe / k per query batch.
   */
 object Ivf {
+  type Q = (SparkSession, String) => DataFrame
 
   /** The built index: per-vector cell assignments (vec_id, embedding,
-    * cell) and the k centroid rows (cell, centroid: array<double>). */
+    * cell) and the k centroid rows (cell, centroid: array<bigint> on the
+    * 1e-7 grid). */
   final case class IvfIndex(assignments: DataFrame, centroids: DataFrame)
 
-  /** L2² distance between an embedding column and a broadcast centroid
-    * array literal, in double. */
-  private def dist2(embCol: String, centroid: Array[Double]): org.apache.spark.sql.Column = {
-    val lit = centroid.mkString("array(", ",", ")")
+  /** 1e-7-grid quantized component (same rule as [[Similarity]]). */
+  private def qz(x: String): String =
+    s"cast(floor(cast($x as double) * 1e7) as bigint)"
+
+  /** Exact integer L2² between a float-array embedding column and a
+    * grid-point centroid literal. Magnitudes: |q| < 1e7 → diff < 2e7,
+    * squares < 4e14, ×64 dims < 3e16 — no 64-bit overflow. */
+  private def dist2(embCol: String, centroid: Array[Long]): Column = {
+    val lit = centroid.mkString("array(", "L,", "L)")
     expr(s"""aggregate(zip_with($embCol, $lit,
-               (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
-             cast(0 as double), (a, v) -> a + v)""")
+               (x, y) -> (${qz("x")} - y) * (${qz("x")} - y)),
+             cast(0 as bigint), (a, v) -> a + v)""")
   }
 
   /** Argmin centroid id for each row of `vecs` given driver-side
-    * centroids (k small; the when-chain compiles into one projection). */
-  private def assign(vecs: DataFrame, centroids: Array[(Int, Array[Double])]) = {
+    * centroids (k small; the when-chain compiles into one projection).
+    * Strict `<` keeps the earliest (lowest) cell id on ties — mirrored
+    * by `ORDER BY d2, cell` in the oracle. */
+  private def assign(vecs: DataFrame, centroids: Array[(Int, Array[Long])]) = {
     val dists = centroids.map { case (cid, c) => (cid, dist2("embedding", c)) }
     val best = dists.tail.foldLeft(
       struct(dists.head._2.as("d"), lit(dists.head._1).as("cid"))) {
@@ -57,32 +73,34 @@ object Ivf {
   }
 
   /** Fixed-iteration Lloyd k-means over the collection; returns the final
-    * centroids (the per-iteration groupBy(k) collect is k rows — bounded
-    * driver state, not data). */
-  private def lloyd(vecs: DataFrame, k: Int, iterations: Int): Array[(Int, Array[Double])] = {
-    var centroids: Array[(Int, Array[Double])] = vecs
+    * centroids as 1e-7-grid integer vectors (the per-iteration groupBy(k)
+    * collect is k rows — bounded driver state, not data). */
+  private def lloyd(vecs: DataFrame, k: Int, iterations: Int): Array[(Int, Array[Long])] = {
+    var centroids: Array[(Int, Array[Long])] = vecs
       .orderBy("vec_id").limit(k).collect()
       .zipWithIndex
       .map { case (r, i) =>
-        (i, r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+        (i, r.getAs[Seq[Float]]("embedding")
+          .map(f => math.floor(f.toDouble * 1e7).toLong).toArray)
       }
     val dim = centroids.head._2.length
     (1 to iterations).foreach { _ =>
       val assigned = assign(vecs, centroids)
-      // means from EXACT integer sums of 1e-7-quantized components (the
-      // Det convention): a distributed double avg() merges partials in
-      // shuffle order and is not reproducible run-to-run — an
-      // equidistant vector could flip cells and change search results
+      // cell means from EXACT integer sums of the quantized components,
+      // re-snapped to the grid with floor(sum/n): sums < 2^53 are exact
+      // in double, so the one double division is IEEE-identical on the
+      // driver, in Spark SQL and in DuckDB — bit-reproducible everywhere
       val sumCols = (0 until dim).map(i =>
-        sum(expr(s"cast(floor(cast(element_at(embedding, ${i + 1}) as double) * 1e7) as bigint)"))
-          .as(s"s$i")) :+ count(lit(1)).as("n")
+        sum(expr(qz(s"element_at(embedding, ${i + 1})"))).as(s"s$i")) :+
+        count(lit(1)).as("n")
       val means = assigned.groupBy("cell")
         .agg(sumCols.head, sumCols.tail: _*)
         .collect()
       val updated = means.map { r =>
         val n = r.getAs[Long]("n").toDouble
         (r.getAs[Int]("cell"),
-          (0 until dim).map(i => r.getAs[Long](s"s$i").toDouble / n / 1e7).toArray)
+          (0 until dim).map(i =>
+            math.floor(r.getAs[Long](s"s$i").toDouble / n).toLong).toArray)
       }.toMap
       // empty cells keep their previous centroid
       centroids = centroids.map { case (cid, c) => (cid, updated.getOrElse(cid, c)) }
@@ -119,8 +137,9 @@ object Ivf {
     *
     * One declarative plan, no per-query jobs: queries ⨯ broadcast(k
     * centroids) → windowed nprobe-nearest cells → equality join on cell
-    * against the inverted lists → exact cosine → windowed top-k. Job
-    * count is therefore independent of nQueries (spec-asserted).
+    * against the inverted lists → exact quantized cosine
+    * ([[graft.functions.QDot]]) → windowed top-k. Job count is therefore
+    * independent of nQueries (spec-asserted).
     */
   def search(spark: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
              topK: Int = 10, nQueries: Int = 5): DataFrame = {
@@ -131,9 +150,9 @@ object Ivf {
     val probes = queries
       .crossJoin(broadcast(idx.centroids))
       .withColumn("d2",
-        expr("""aggregate(zip_with(q, centroid,
-                  (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
-                cast(0 as double), (a, v) -> a + v)"""))
+        expr(s"""aggregate(zip_with(q, centroid,
+                   (x, y) -> (${qz("x")} - y) * (${qz("x")} - y)),
+                 cast(0 as bigint), (a, v) -> a + v)"""))
       .withColumn("prank", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("d2"), asc("cell"))))
       .filter(col("prank") <= nprobe)
@@ -142,16 +161,93 @@ object Ivf {
     probes.join(idx.assignments, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
-        expr("""aggregate(zip_with(q, embedding,
-                  (x, y) -> cast(x as double) * cast(y as double)),
-                cast(0 as double), (a, v) -> a + v)""")
-          / (sqrt(expr("""aggregate(q, cast(0 as double),
-                           (a, v) -> a + cast(v as double) * cast(v as double))""")) *
-             sqrt(expr("""aggregate(embedding, cast(0 as double),
-                           (a, v) -> a + cast(v as double) * cast(v as double))"""))))
+        graft.functions.QDot.of("q", "embedding").cast("double")
+          / (sqrt(graft.functions.QDot.of("q", "q").cast("double")) *
+             sqrt(graft.functions.QDot.of("embedding", "embedding").cast("double"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
       .filter(col("rank") <= topK)
-      .select("query_id", "vec_id", "cosine", "rank")
+      .select(col("query_id"), col("vec_id"), col("cosine"),
+        col("rank").cast("int").as("rank"))
   }
+
+  // ------------------------------------------------------------- oracle
+
+  /** Registered-query defaults (mirrored literally in the oracle SQL). */
+  val K = 16
+  val Iterations = 3
+  val NProbe = 4
+  val TopK = 10
+  val NQueries = 5
+
+  private val duckD2 =
+    "list_sum(list_transform(generate_series(1, len(%s)), j -> (%s[j] - %s[j]) * (%s[j] - %s[j])))"
+  private def d2(a: String, b: String): String =
+    duckD2.format(a, a, b, a, b)
+
+  /** One Lloyd iteration as CTEs: argmin assignment against c{i-1},
+    * per-(cell,dim) exact integer sums, floor(sum/n) re-snap, empty
+    * cells keep their previous centroid. */
+  private def duckIter(i: Int): String = s"""
+a$i AS (
+  SELECT vec_id, qe, cell FROM (
+    SELECT q.vec_id, q.qe, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ${d2("q.qe", "c.centroid")}, c.cell) AS rn
+    FROM q CROSS JOIN c${i - 1} c) WHERE rn = 1),
+m$i AS (
+  SELECT cell, dim, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+  FROM (SELECT cell, generate_subscripts(qe, 1) AS dim, unnest(qe) AS v FROM a$i)
+  GROUP BY cell, dim),
+c$i AS (
+  SELECT p.cell, COALESCE(mm.centroid, p.centroid) AS centroid
+  FROM c${i - 1} p LEFT JOIN
+    (SELECT cell, list(comp ORDER BY dim) AS centroid FROM m$i GROUP BY cell) mm
+  ON p.cell = mm.cell)"""
+
+  /** Full replay of buildIndexFull(k=16, iterations=3) + search(nprobe=4,
+    * topK=10, nQueries=5) in DuckDB: same grid quantization, same
+    * fixed-point Lloyd, same tie-breaks, same exact-integer cosine. */
+  val ivfSearchSql: String = s"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS qe
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qe AS centroid
+  FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT $K)),
+${(1 to Iterations).map(duckIter).mkString(",")},
+afin AS (
+  SELECT vec_id, qe, cell FROM (
+    SELECT q.vec_id, q.qe, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ${d2("q.qe", "c.centroid")}, c.cell) AS rn
+    FROM q CROSS JOIN c$Iterations c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qqe, cell FROM (
+    SELECT f.vec_id AS query_id, f.qe AS qqe, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             ORDER BY ${d2("f.qe", "c.centroid")}, c.cell) AS prank
+    FROM (SELECT * FROM afin WHERE vec_id < $NQueries) f CROSS JOIN c$Iterations c)
+  WHERE prank <= $NProbe)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT p.query_id, a.vec_id,
+         CAST(list_sum(list_transform(generate_series(1, len(p.qqe)),
+                j -> p.qqe[j] * a.qe[j])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(p.qqe, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(a.qe, x -> x * x)) AS DOUBLE))) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+           CAST(list_sum(list_transform(generate_series(1, len(p.qqe)),
+                  j -> p.qqe[j] * a.qe[j])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(p.qqe, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(a.qe, x -> x * x)) AS DOUBLE))) DESC,
+           a.vec_id) AS rank
+  FROM probes p JOIN afin a ON p.cell = a.cell AND a.vec_id <> p.query_id)
+WHERE rank <= $TopK"""
+
+  val inventory: Map[String, Q] = Map(
+    "ivf_search" -> ((s, dir) => search(s, dir, K, NProbe, TopK, NQueries)))
+
+  val oracle: Map[String, String] = Map(
+    "ivf_search" -> ivfSearchSql)
 }
