@@ -1,12 +1,17 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Extension-operator benchmark (dev tool; the driver's bench contract
   * is [[Bench]]): steady-state timings for the training-data operators
-  * — dedup, ANN, text, curation — at SPARK_GRAFT_SF_DIR. Same
-  * methodology as Bench (warm passes + best-of-3). Numbers are recorded
-  * in SURVEY §8. */
+  * — dedup, ANN, text, curation — as an SF ladder (sf0.01 and sf0.1 by
+  * default; override with SPARK_GRAFT_SF_DIR for a single rung).
+  *
+  * Methodology: 2 warm passes, then 5 timed runs per op; we report the
+  * MEDIAN (robust to one GC/JIT outlier, unlike best-of-3 which
+  * systematically flatters) plus the relative spread (max-min)/median —
+  * two consecutive ladder runs should agree per-op within ~20%, and the
+  * spread column makes a noisy box visible in the artifact itself.
+  * Output: one JSON line per SF rung (committed as docs/BENCH_EXT.json;
+  * numbers summarized in SURVEY §8). */
 object BenchExt {
   val ops: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
@@ -15,8 +20,20 @@ object BenchExt {
     "text_stats", "corpus_curation", "quantiles_line_total",
     "asof_click_attribution", "range_join_click_purchase")
 
+  private val WarmPasses = 2
+  private val TimedRuns = 5
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDirs = sys.env.get("SPARK_GRAFT_SF_DIR") match {
+      case Some(d) => Seq(d)
+      case None => Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    }
     val spark = Sessions.local(cores = 32, shufflePartitions = 8)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -27,34 +44,42 @@ object BenchExt {
       spark.stop()
       sys.exit(1)
     }
-    try {
-      (1 to 3).foreach(_ =>
-        qs.foreach(q => SparkEntry.queries(q)(spark, sfDir).collect()))
-      System.gc()
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[benchext] warm-up failed: ${e.getMessage}")
-    }
-    val results = qs.map { name =>
+
+    var anyFailure = false
+    sfDirs.foreach { sfDir =>
       try {
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir).collect()
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> runs.min
+        (1 to WarmPasses).foreach(_ =>
+          qs.foreach(q => SparkEntry.queries(q)(spark, sfDir).collect()))
+        System.gc()
       } catch {
         case e: Throwable =>
-          System.err.println(s"[benchext] $name FAILED: ${e.getMessage}")
-          name -> -1.0
+          System.err.println(s"[benchext] warm-up failed at $sfDir: ${e.getMessage}")
       }
+      val results = qs.map { name =>
+        try {
+          val runs = (1 to TimedRuns).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir).collect()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val med = median(runs)
+          (name, med, (runs.max - runs.min) / med)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[benchext] $name FAILED at $sfDir: ${e.getMessage}")
+            (name, -1.0, 0.0)
+        }
+      }
+      val failures = results.count(_._2 < 0)
+      if (failures > 0) anyFailure = true
+      val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+      val sjson = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      println(s"""{"metric":"ext_total","value":$total,"unit":"sec","runs":$TimedRuns,"stat":"median","queries":$qjson,"spread":$sjson,"failures":$failures,"sf":"$sfDir"}""")
     }
-    val failures = results.count(_._2 < 0)
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"ext_total","value":$total,"unit":"sec","queries":$qjson,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
-    if (failures > 0) sys.exit(1)
+    if (anyFailure) sys.exit(1)
   }
 }

@@ -31,9 +31,19 @@ object Pipeline {
     if (report.status != "success") sys.exit(1)
   }
 
-  /** The six-stage DAG as orchestrated steps. */
+  /** The eight-stage DAG as orchestrated steps. */
   def run(spark: SparkSession, sfDir: String, outDir: String): Orchestrator.Report =
     Orchestrator.run(Seq(
+      // Streaming ingest FIRST — the events feed lands via the
+      // AvailableNow incremental sink so a re-run (or a replayed
+      // at-least-once upstream) appends only unseen event_ids: the
+      // anti-join keyed sink makes the whole stage idempotent, which is
+      // what lets the orchestrator retry it safely (PipelineSpec replays
+      // it end-to-end and asserts the count is unchanged).
+      "stream_ingest_events" -> { () =>
+        streaming.Streams.streamToIncrementalParquet(
+          spark, sfDir, s"$outDir/streaming/events").awaitTermination()
+      },
       "cleanse_production" -> { () =>
         etl.Cleanse.cleanseCustomers(spark, sfDir)
           .write.mode("overwrite").parquet(s"$outDir/production/customers")
@@ -87,8 +97,22 @@ object Pipeline {
           monitor.Monitor.monitoringReportJson(spark, sfDir, lastRun, now),
           s"$outDir/monitoring/monitoring_report.json")
       },
+      // The curated training corpus ships as a fixed number of
+      // hash-stable shards (the layout dataloaders consume; membership
+      // is a pure function of doc_id, so re-runs and different cluster
+      // layouts produce identical shard contents).
+      "curate_corpus" -> { () =>
+        sources.Sources.writeSharded(
+          text.Curation.curatedDocs(spark, sfDir),
+          s"$outDir/corpus", "doc_id", shards = CorpusShards)
+      },
       "retention_cleanup" -> { () =>
         orchestrate.Housekeeping.cleanupOldFiles(s"$outDir/tmp", retentionDays = 7)
         ()
       }))
+
+  /** Shard count for the published corpus: sized so one shard ≈ one
+    * dataloader worker's slice; at 100 TB you'd raise this to O(10k)
+    * (it is the unit of read parallelism, not of write memory). */
+  val CorpusShards = 8
 }

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashSigFunction)
     ext.injectFunction(GraftExtensions.srpSigFunction)
     ext.injectFunction(GraftExtensions.wordShinglesFunction)
+    ext.injectFunction(GraftExtensions.textStatsSigFunction)
   }
 }
 
@@ -96,10 +97,19 @@ object GraftExtensions {
         "word_shingles(array<string>[, n]) takes 1 or 2 arguments")
     })
 
+  val textStatsSigFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("text_stats_sig"),
+    new ExpressionInfo(classOf[TextStatsSig].getName, "text_stats_sig"),
+    (children: Seq[Expression]) => children match {
+      case Seq(text) => TextStatsSig(text)
+      case _ => throw new IllegalArgumentException(
+        "text_stats_sig(text string) takes 1 argument")
+    })
+
   /** Register on an already-running session (tests, shells). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(minhashSigFunction, qdotFunction, topkByFunction, simhashSigFunction,
-      srpSigFunction, wordShinglesFunction).foreach {
+      srpSigFunction, wordShinglesFunction, textStatsSigFunction).foreach {
       case (id, info, builder) =>
         org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
     }

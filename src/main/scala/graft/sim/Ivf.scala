@@ -47,29 +47,33 @@ object Ivf {
   private def qz(x: String): String =
     s"cast(floor(cast($x as double) * 1e7) as bigint)"
 
-  /** Exact integer L2² between a float-array embedding column and a
-    * grid-point centroid literal. Magnitudes: |q| < 1e7 → diff < 2e7,
-    * squares < 4e14, ×64 dims < 3e16 — no 64-bit overflow. */
-  private def dist2(embCol: String, centroid: Array[Long]): Column = {
-    val lit = centroid.mkString("array(", "L,", "L)")
-    expr(s"""aggregate(zip_with($embCol, $lit,
-               (x, y) -> (${qz("x")} - y) * (${qz("x")} - y)),
+  /** Exact integer L2² between an already-quantized grid-point array
+    * column and a grid-point centroid literal. Magnitudes: |q| < 1e7 →
+    * diff < 2e7, squares < 4e14, ×64 dims < 3e16 — no 64-bit overflow. */
+  private def dist2Q(qeCol: String, centroid: Array[Long]): Column = {
+    val cLit = centroid.mkString("array(", "L,", "L)")
+    expr(s"""aggregate(zip_with($qeCol, $cLit, (x, y) -> (x - y) * (x - y)),
              cast(0 as bigint), (a, v) -> a + v)""")
   }
 
   /** Argmin centroid id for each row of `vecs` given driver-side
-    * centroids (k small; the when-chain compiles into one projection).
-    * Strict `<` keeps the earliest (lowest) cell id on ties — mirrored
-    * by `ORDER BY d2, cell` in the oracle. */
+    * centroids. LINEAR in k: one struct(d, cid) per centroid collected
+    * into an array, argmin via `array_min` — struct ordering compares
+    * `d` first then `cid`, which keeps the lowest cell id on ties,
+    * mirrored by `ORDER BY d2, cell` in the oracle. (A when-chain fold
+    * that re-embeds its accumulator would be O(2^k) in expression-tree
+    * size and hang Catalyst analysis at k=16.) The embedding quantizes
+    * to the grid ONCE into a temp column so each of the k distance
+    * subtrees reads grid points instead of re-quantizing per component.
+    */
   private def assign(vecs: DataFrame, centroids: Array[(Int, Array[Long])]) = {
-    val dists = centroids.map { case (cid, c) => (cid, dist2("embedding", c)) }
-    val best = dists.tail.foldLeft(
-      struct(dists.head._2.as("d"), lit(dists.head._1).as("cid"))) {
-      case (acc, (cid, d)) =>
-        when(d < acc.getField("d"), struct(d.as("d"), lit(cid).as("cid")))
-          .otherwise(acc)
+    val candidates = centroids.map { case (cid, c) =>
+      struct(dist2Q("_qe", c).as("d"), lit(cid).as("cid"))
     }
-    vecs.withColumn("cell", best.getField("cid"))
+    vecs
+      .withColumn("_qe", expr(s"transform(embedding, x -> ${qz("x")})"))
+      .withColumn("cell", array_min(array(candidates.toSeq: _*)).getField("cid"))
+      .drop("_qe")
   }
 
   /** Fixed-iteration Lloyd k-means over the collection; returns the final

@@ -25,7 +25,13 @@ import org.apache.spark.sql.types.LongType
 object Curation {
   type Q = (SparkSession, String) => DataFrame
 
-  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-document curated corpus — exact-dedup representatives ∩
+    * stratified sample, quality-gated — carrying text and the stats a
+    * training dataloader wants per row. [[corpusCuration]] is its
+    * per-lang rollup (text prunes away there), and the pipeline's
+    * `curate_corpus` stage ships THIS frame via
+    * [[graft.sources.Sources.writeSharded]]. */
+  def curatedDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     // exact-dedup representatives: min doc_id per content hash
     val reps = d.groupBy(md5(col("text")).as("h"))
@@ -33,11 +39,15 @@ object Curation {
     val stats = TextOps.textStats(spark, dir)
       .select(col("doc_id"), col("est_bpe_tokens"), col("quality_score"))
     val sampled = DedupClusters.stratifiedSample(spark, dir).select("doc_id")
-    d.select("doc_id", "lang")
+    d.select("doc_id", "lang", "text")
       .join(reps, "doc_id")
       .join(sampled, "doc_id")
       .join(stats, "doc_id")
       .filter(col("quality_score") >= 60.0)
+  }
+
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame =
+    curatedDocs(spark, dir)
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -46,7 +56,6 @@ object Curation {
         max("quality_score").as("max_quality"),
         sum(floor(col("quality_score") * lit(1e6)).cast(LongType)).as("qsum_micros"))
       .orderBy("lang")
-  }
 
   /** The oracle nests the already-verified stats and sampler SQL as CTEs
     * — verifying the composition, not re-deriving the pieces. */

@@ -67,8 +67,42 @@ object TextOps {
 
   /** Per-document statistics + quality score: token/char counts, average
     * token length, punctuation ratio, stopword ratio, a ceil(len/4)
-    * BPE-ish token estimate, and a weighted quality score. */
+    * BPE-ish token estimate, and a weighted quality score.
+    *
+    * The three token-derived measures come from ONE compiled pass over
+    * the text ([[graft.functions.TextStatsSig]]) instead of three HOF
+    * trees that each re-split and re-walk the token array; the HOF twin
+    * stays below as [[textStatsHof]] and TextStatsSpec asserts
+    * bit-equality between the two on every document. The struct is
+    * projected in its own select step so CollapseProject's
+    * non-cheap-expression guard keeps it evaluated once per row. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextStatsSig.of(col("text")).as("_ts"))
+      .select(
+        col("doc_id"),
+        col("_ts.n_tokens").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        (col("_ts.sum_token_len").cast("double")
+          / col("_ts.n_tokens").cast("double")).as("avg_token_len"),
+        (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double")
+          / length(col("text")).cast("double")).as("punct_ratio"),
+        (col("_ts.stopword_count").cast("double")
+          / col("_ts.n_tokens").cast("double")).as("stopword_ratio"),
+        estBpeTokens.as("est_bpe_tokens"),
+        // BPE-ish regex tokenization: letter runs, digit runs, single punct
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))")
+          .cast("long").as("n_tokens_regex"))
+      .withColumn("quality_score",
+        lit(100.0) * (lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0))
+          + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.3) * least(lit(1.0), col("stopword_ratio") * lit(4.0))))
+
+  /** The original HOF formulation of [[textStats]] — retained solely as
+    * the bit-equality reference for the native single-pass expression
+    * (TextStatsSpec compares the two frame-for-frame). */
+  private[graft] def textStatsHof(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
       expr(s"size($toksE)").cast("long").as("n_tokens"),

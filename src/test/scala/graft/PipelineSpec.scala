@@ -157,11 +157,33 @@ class PipelineSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
     val report = Pipeline.run(spark, sf, out)
     assert(report.status == "success")
-    assert(report.steps.map(_.name) == Seq("cleanse_production", "quality_checks",
-      "load_warehouse", "analytics", "monitoring", "retention_cleanup"))
+    assert(report.steps.map(_.name) == Seq("stream_ingest_events",
+      "cleanse_production", "quality_checks", "load_warehouse", "analytics",
+      "monitoring", "curate_corpus", "retention_cleanup"))
     assert(new java.io.File(s"$out/quality/quality_report.json").exists())
     assert(spark.read.parquet(s"$out/warehouse/fact_sales").count() > 0)
     assert(new java.io.File(s"$out/analytics/q01_top_products").exists())
+
+    // streaming stage landed every distinct event exactly once …
+    val landed = spark.read.parquet(s"$out/streaming/events")
+    val nDistinct = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(landed.count() == nDistinct)
+    // … and an end-to-end REPLAY of the stage (same source, same sink —
+    // an upstream redelivery or an orchestrator retry) appends nothing
+    graft.streaming.Streams.streamToIncrementalParquet(spark, sf,
+      s"$out/streaming/events").awaitTermination()
+    assert(spark.read.parquet(s"$out/streaming/events").count() == nDistinct)
+
+    // curated corpus shipped as the full hash-stable shard layout
+    val shardDirs = new java.io.File(s"$out/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(shardDirs.length == Pipeline.CorpusShards,
+      s"expected ${Pipeline.CorpusShards} shard dirs, got ${shardDirs.toSeq}")
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val curated = graft.text.Curation.curatedDocs(spark, sf)
+    assert(corpus.count() == curated.count())
+    assert(corpus.filter(col("shard") =!=
+      pmod(hash(col("doc_id")), lit(Pipeline.CorpusShards))).count() == 0)
   }
 
   test("sharded writer produces exactly N hash-stable shards") {
