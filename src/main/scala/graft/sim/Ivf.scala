@@ -65,6 +65,14 @@ object Ivf {
     * size and hang Catalyst analysis at k=16.) The embedding quantizes
     * to the grid ONCE into a temp column so each of the k distance
     * subtrees reads grid points instead of re-quantizing per component.
+    *
+    * The argmin is wrapped in `coalesce(..., -1)` to make `cell`
+    * NON-NULLABLE: downstream equi-joins on `cell` would otherwise infer
+    * an `IsNotNull(cell)` filter whose condition is this whole
+    * k-candidate expression — evaluating the full argmin twice per row
+    * (once in the inferred Filter, once in the Project; seen in the
+    * ivf_search plan dump). -1 matches no centroid id, so a null
+    * embedding row drops out of cell joins exactly as a null cell would.
     */
   private def assign(vecs: DataFrame, centroids: Array[(Int, Array[Long])]) = {
     val candidates = centroids.map { case (cid, c) =>
@@ -72,7 +80,8 @@ object Ivf {
     }
     vecs
       .withColumn("_qe", expr(s"transform(embedding, x -> ${qz("x")})"))
-      .withColumn("cell", array_min(array(candidates.toSeq: _*)).getField("cid"))
+      .withColumn("cell",
+        coalesce(array_min(array(candidates.toSeq: _*)).getField("cid"), lit(-1)))
       .drop("_qe")
   }
 

@@ -33,17 +33,24 @@ object Curation {
     * [[graft.sources.Sources.writeSharded]]. */
   def curatedDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    // exact-dedup representatives: min doc_id per content hash
+    // exact-dedup representatives: min doc_id per content hash — the one
+    // piece that MUST see the whole corpus (a pre-filtered dedup would
+    // pick different representatives)
     val reps = d.groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val stats = TextOps.textStats(spark, dir)
-      .select(col("doc_id"), col("est_bpe_tokens"), col("quality_score"))
-    val sampled = DedupClusters.stratifiedSample(spark, dir).select("doc_id")
-    d.select("doc_id", "lang", "text")
-      .join(reps, "doc_id")
-      .join(sampled, "doc_id")
-      .join(stats, "doc_id")
+    // The sampler's predicate is a pure function of (doc_id, lang), so it
+    // applies as a NARROW filter on the probe side before the dedup join
+    // (same rows as joining the sampler's output — DedupClusters.sampleKeep),
+    // and the stats compute AFTER the join/filters, only for survivors.
+    // vs the naive three-join form: two scans of documents instead of
+    // four, one shuffle join instead of three, and TextStatsSig runs on
+    // the curated fraction instead of the full corpus.
+    TextOps.withTextStats(
+        d.select("doc_id", "lang", "text")
+          .filter(DedupClusters.sampleKeep)
+          .join(reps, "doc_id"))
       .filter(col("quality_score") >= 60.0)
+      .select("doc_id", "lang", "text", "est_bpe_tokens", "quality_score")
   }
 
   def corpusCuration(spark: SparkSession, dir: String): DataFrame =

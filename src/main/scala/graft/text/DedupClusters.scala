@@ -127,14 +127,25 @@ FROM rch r JOIN sizes s ON r.label = s.cluster_id"""
     * md5-derived uniform per doc — reproducible on any cluster layout
     * (Spark's sampleBy is seed-dependent on partitioning; hashing the
     * row identity is not). en kept at 20%, others at 60%. */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val u = expr("cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100")
+  /** The sampler's uniform bucket — a pure function of doc_id. */
+  val sampleBucket: org.apache.spark.sql.Column =
+    expr("cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100")
+
+  /** The sampler's keep-predicate over (doc_id, lang) — exposed so a
+    * composition ([[Curation.curatedDocs]]) can apply it as a NARROW
+    * filter on its own scan instead of shuffle-joining this operator's
+    * output: being a pure function of row identity, filter and
+    * join-on-output select exactly the same rows. */
+  def sampleKeep: org.apache.spark.sql.Column =
+    (col("lang") === "en" && sampleBucket < 20) ||
+      (col("lang") =!= "en" && sampleBucket < 60)
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("u", u)
+      .withColumn("u", sampleBucket)
       .filter((col("lang") === "en" && col("u") < 20) ||
         (col("lang") =!= "en" && col("u") < 60))
       .select(col("doc_id"), col("lang"), col("u").as("bucket"))
-  }
 
   val stratifiedSampleSql: String = """
 SELECT doc_id, lang,

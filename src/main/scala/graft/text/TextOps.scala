@@ -77,11 +77,21 @@ object TextOps {
     * projected in its own select step so CollapseProject's
     * non-cheap-expression guard keeps it evaluated once per row. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), col("text"),
-        graft.functions.TextStatsSig.of(col("text")).as("_ts"))
-      .select(
-        col("doc_id"),
+    withTextStats(docs(spark, dir).select("doc_id", "text")).drop("text")
+
+  /** Appends the [[textStats]] columns to ANY frame bearing a `text`
+    * column, keeping the frame's existing columns. This is the reusable
+    * form: a composition (e.g. [[Curation.curatedDocs]]) can apply its
+    * narrow filters and joins FIRST and compute stats only for the
+    * survivors, instead of joining against a recomputation of the stats
+    * over the whole corpus — at 100 TB that's the difference between
+    * scanning `documents` once and scanning it twice plus an extra
+    * shuffle join. One definition of every measure, so the gate formula
+    * cannot drift between the standalone query and the compositions. */
+  def withTextStats(df: DataFrame): DataFrame =
+    df
+      .withColumn("_ts", graft.functions.TextStatsSig.of(col("text")))
+      .select(df.columns.map(col) ++ Seq(
         col("_ts.n_tokens").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_actual"),
         (col("_ts.sum_token_len").cast("double")
@@ -93,7 +103,7 @@ object TextOps {
         estBpeTokens.as("est_bpe_tokens"),
         // BPE-ish regex tokenization: letter runs, digit runs, single punct
         expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))")
-          .cast("long").as("n_tokens_regex"))
+          .cast("long").as("n_tokens_regex")): _*)
       .withColumn("quality_score",
         lit(100.0) * (lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0))
           + lit(0.3) * (lit(1.0) - col("punct_ratio"))
