@@ -121,4 +121,31 @@ class PlanSpec extends SparkSpec {
         assert(!plan.contains("CartesianProduct"), s"$q has a cartesian product")
       }
   }
+
+  test("corpus curation scans documents twice and joins once") {
+    // the single-pass shape: the sampler gate is a narrow filter (pure
+    // function of doc_id/lang — NOT a join on the sampler's output) and
+    // stats compute inline after the dedup join, so the only scans of
+    // `documents` are the probe side and the dedup-representative build,
+    // and the only join is probe⋈reps. Three joins / four scans means
+    // someone reverted to composing operator OUTPUTS instead of their
+    // predicates.
+    val plan = physicalPlan(SparkEntry.queries("corpus_curation")(spark, sf))
+    val docScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(docScans == 2, s"expected 2 scans of documents, got $docScans:\n${plan.take(3000)}")
+    val joins = "HashJoin|SortMergeJoin|CartesianProduct".r.findAllIn(plan).length
+    assert(joins == 1, s"expected exactly 1 join (probe-side x dedup reps), got $joins")
+  }
+
+  test("ivf assignment's cell column is non-nullable (no inferred argmin re-eval)") {
+    // a nullable cell makes every downstream equi-join infer
+    // IsNotNull(cell) — whose condition IS the whole k-candidate argmin
+    // expression, silently doubling the assignment cost per row
+    val idx = sim.Ivf.buildIndexFull(spark, sf, k = 4, iterations = 1)
+    val cellField = idx.assignments.schema("cell")
+    assert(!cellField.nullable,
+      "cell must be non-nullable (coalesce over the argmin) so joins " +
+        "don't infer an IsNotNull filter that re-evaluates the argmin")
+  }
 }
