@@ -220,6 +220,61 @@ SELECT doc_id, md5(text) AS content_md5,
        CAST(('0x' || substr(md5(text), 1, 14))::UBIGINT AS BIGINT) AS fingerprint56
 FROM documents"""
 
+  /** Winnowing fingerprints (rolling-hash k-grams → window minima —
+    * [[graft.functions.WinnowFp]] has the full scheme): one row per
+    * distinct (doc_id, fingerprint). Where [[docFingerprint]] identifies
+    * exact clones, shared winnow fingerprints localize COPIED PASSAGES —
+    * any shared substring of >= k+w-1 chars is guaranteed a shared
+    * fingerprint — so an equality self-join on `fp` is the candidate
+    * generator for passage-level overlap at corpus scale (same banded
+    * equi-join shape as the LSH families; no all-pairs work). */
+  import graft.functions.WinnowFp
+  def docFingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      explode(graft.functions.WinnowFp.of(col("text"))).as("fp"))
+
+  /** Plain-Scala reference twin of [[graft.functions.WinnowFp]] (spec
+    * use only) — deliberately a DIFFERENT algorithm: direct O(k) re-hash
+    * at every position and a naive min over every window, vs the
+    * native's rolling hash + monotonic deque. No Spark-HOF twin here, on
+    * purpose: `substr(text, i, 1)` scans the UTF8String from the start
+    * (O(i) per call — no random character access in UTF-8), so any HOF
+    * formulation of per-position k-grams is O(n²k) per document and a
+    * corpus-wide comparison takes minutes; the DuckDB oracle (same
+    * formula over `unicode(substr(...))`) remains the cross-engine
+    * verification of the registered query. */
+  private[graft] def winnowReference(text: String, k: Int, w: Int): Seq[Long] = {
+    val cps = text.codePoints().toArray
+    val m = cps.length - k + 1
+    if (m <= 0) return Seq.empty
+    val hs = Array.tabulate(m) { i =>
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * WinnowFp.B + cps(i + j)) % WinnowFp.M; j += 1 }
+      h
+    }
+    if (m <= w) Seq(hs.min)
+    else (0 to m - w).map(t => hs.slice(t, t + w).min).distinct.sorted
+  }
+
+  val docFingerprintWinnowSql: String = s"""
+WITH hashes AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text) - ${WinnowFp.DefaultK - 1}), i ->
+           list_reduce(list_transform(generate_series(0, ${WinnowFp.DefaultK - 1}),
+                         j -> CAST(unicode(substr(text, i + j, 1)) AS BIGINT)),
+                       (a, c) -> (a * ${WinnowFp.B} + c) % ${WinnowFp.M})) AS hs
+  FROM documents
+  WHERE length(text) >= ${WinnowFp.DefaultK}),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) <= ${WinnowFp.DefaultW} THEN [list_min(hs)]
+              ELSE list_transform(generate_series(1, len(hs) - ${WinnowFp.DefaultW - 1}),
+                     t -> list_min(hs[t:t+${WinnowFp.DefaultW - 1}])) END AS fps
+  FROM hashes)
+SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins"""
+
   // -------------------------------------------------------------- dedup
 
   /** Exact deduplication: hash-groupBy on content, keep the minimum
@@ -548,7 +603,8 @@ WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 4"""
     "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
     "dedup_simhash_pairs"  -> (dedupSimhashPairs _),
     "text_decontamination" -> (decontamination _),
-    "text_repetition"      -> (textRepetition _))
+    "text_repetition"      -> (textRepetition _),
+    "doc_fingerprint_winnow" -> (docFingerprintWinnow _))
 
   val oracle: Map[String, String] = Map(
     "text_stats"           -> textStatsSql,
@@ -559,5 +615,6 @@ WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 4"""
     "dedup_minhash_lsh"    -> dedupMinhashLshSql,
     "dedup_simhash_pairs"  -> dedupSimhashPairsSql,
     "text_decontamination" -> decontaminationSql,
-    "text_repetition"      -> textRepetitionSql)
+    "text_repetition"      -> textRepetitionSql,
+    "doc_fingerprint_winnow" -> docFingerprintWinnowSql)
 }
