@@ -258,8 +258,9 @@ FROM documents"""
     else (0 to m - w).map(t => hs.slice(t, t + w).min).distinct.sorted
   }
 
-  val docFingerprintWinnowSql: String = s"""
-WITH hashes AS (
+  /** Shared winnow CTEs (hashes → per-window minima), reused by both the
+    * fingerprint dump and the overlap-pairs oracle. */
+  private val winnowCtes: String = s"""hashes AS (
   SELECT doc_id,
          list_transform(generate_series(1, length(text) - ${WinnowFp.DefaultK - 1}), i ->
            list_reduce(list_transform(generate_series(0, ${WinnowFp.DefaultK - 1}),
@@ -272,8 +273,53 @@ wins AS (
          CASE WHEN len(hs) <= ${WinnowFp.DefaultW} THEN [list_min(hs)]
               ELSE list_transform(generate_series(1, len(hs) - ${WinnowFp.DefaultW - 1}),
                      t -> list_min(hs[t:t+${WinnowFp.DefaultW - 1}])) END AS fps
-  FROM hashes)
+  FROM hashes)"""
+
+  val docFingerprintWinnowSql: String = s"""
+WITH $winnowCtes
 SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins"""
+
+  /** Document-frequency cap for the winnow-overlap join: a fingerprint
+    * present in more than this many documents is corpus boilerplate and
+    * is dropped before pairing, bounding the worst join key at cap²
+    * however pathological the corpus — the [[HotShingleDfCap]] posture
+    * applied to fingerprints. */
+  val WinnowDfCap = 50
+  /** Minimum shared (surviving) fingerprints for a pair to be reported:
+    * each shared fingerprint certifies a shared >= k+w-1-char passage,
+    * so this is "at least 10 distinct shared passages". */
+  val WinnowSharedMin = 10
+
+  /** Passage-overlap candidate pairs from winnowing fingerprints: the
+    * document-level composition of [[docFingerprintWinnow]]. Every pair
+    * of documents sharing >= [[WinnowSharedMin]] surviving fingerprints,
+    * with the shared count. Scale shape: banded equality self-join on
+    * `fp` (b·N join rows, no all-pairs), hot keys removed by the
+    * broadcast df-cap anti-join, then one hash aggregation on the pair —
+    * the same blocking discipline as the Jaccard/LSH families. */
+  def winnowOverlapPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = docFingerprintWinnow(spark, dir)
+    val hot = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowDfCap)
+      .select("fp")
+    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= WinnowSharedMin)
+  }
+
+  val winnowOverlapPairsSql: String = s"""
+WITH $winnowCtes,
+fpr AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins),
+hot AS (SELECT fp FROM fpr GROUP BY fp HAVING COUNT(*) > $WinnowDfCap),
+kept AS (SELECT * FROM fpr ANTI JOIN hot USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowSharedMin"""
 
   // -------------------------------------------------------------- dedup
 
@@ -604,7 +650,8 @@ WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 4"""
     "dedup_simhash_pairs"  -> (dedupSimhashPairs _),
     "text_decontamination" -> (decontamination _),
     "text_repetition"      -> (textRepetition _),
-    "doc_fingerprint_winnow" -> (docFingerprintWinnow _))
+    "doc_fingerprint_winnow" -> (docFingerprintWinnow _),
+    "winnow_overlap_pairs" -> (winnowOverlapPairs _))
 
   val oracle: Map[String, String] = Map(
     "text_stats"           -> textStatsSql,
@@ -616,5 +663,6 @@ WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 4"""
     "dedup_simhash_pairs"  -> dedupSimhashPairsSql,
     "text_decontamination" -> decontaminationSql,
     "text_repetition"      -> textRepetitionSql,
-    "doc_fingerprint_winnow" -> docFingerprintWinnowSql)
+    "doc_fingerprint_winnow" -> docFingerprintWinnowSql,
+    "winnow_overlap_pairs" -> winnowOverlapPairsSql)
 }

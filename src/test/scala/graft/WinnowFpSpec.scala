@@ -81,6 +81,16 @@ class WinnowFpSpec extends SparkSpec {
       "unrelated documents should not collide at these lengths")
   }
 
+  test("winnow overlap pairs: df-cap anti-join is broadcast, join is hash on fp") {
+    val plan = TextOps.winnowOverlapPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin LeftAnti".substring(0, 17)) ||
+      plan.contains("BroadcastHashJoin"), "df-cap should anti-join via broadcast")
+    assert(!plan.contains("CartesianProduct"), "pairs must come from the fp equi-join")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"unexpected join strategy:\n${plan.take(1500)}")
+  }
+
   test("fingerprints are sorted distinct (canonical form)") {
     val bad = Tables.documents(spark, sf)
       .select(WinnowFp.of(col("text")).as("fps"))
