@@ -18,7 +18,8 @@ object BenchExt {
     "dedup_clusters", "ann_cosine_topk", "ann_lsh_buckets",
     "ann_lsh_near_dup_pairs",
     "text_stats", "corpus_curation", "quantiles_line_total",
-    "asof_click_attribution", "range_join_click_purchase")
+    "asof_click_attribution", "range_join_click_purchase",
+    "doc_fingerprint_winnow", "winnow_overlap_pairs")
 
   private val WarmPasses = 2
   private val TimedRuns = 5
