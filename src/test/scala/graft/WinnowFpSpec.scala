@@ -91,6 +91,33 @@ class WinnowFpSpec extends SparkSpec {
       s"unexpected join strategy:\n${plan.take(1500)}")
   }
 
+  test("property: native matches the reference on 200 random mixed-unicode strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // mixed alphabet spanning 1-4 byte UTF-8 encodings, lengths 0..60,
+    // and k/w combos beyond the defaults
+    val charGen = Gen.frequency(
+      6 -> Gen.oneOf(('a' to 'z') ++ ('0' to '9') :+ ' '),
+      2 -> Gen.oneOf('é', 'ü', 'ß', 'ø'),
+      1 -> Gen.oneOf('漢', '字', 'テ'),
+      1 -> Gen.const("🙂"))
+    val textGen = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    val inputs = (0 until 200).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    for ((k, w) <- Seq((8, 4), (3, 2), (5, 7), (2, 1))) {
+      val rows = inputs.toDF("text")
+        .select(col("text"), WinnowFp.of(col("text"), k, w).as("native"))
+        .collect()
+      rows.foreach { r =>
+        val expected = TextOps.winnowReference(r.getString(0), k, w)
+        assert(r.getSeq[Long](1) == expected,
+          s"k=$k w=$w mismatch for: '${r.getString(0)}'")
+      }
+    }
+  }
+
   test("fingerprints are sorted distinct (canonical form)") {
     val bad = Tables.documents(spark, sf)
       .select(WinnowFp.of(col("text")).as("fps"))
