@@ -64,6 +64,25 @@ object Curation {
         sum(floor(col("quality_score") * lit(1e6)).cast(LongType)).as("qsum_micros"))
       .orderBy("lang")
 
+  /** The per-document curated corpus, oracled directly (not just via its
+    * [[corpusCuration]] rollup): this is the frame the pipeline's
+    * curate_corpus stage ships, so its exact row set — representatives ∩
+    * sample, quality-gated, with the stats a dataloader reads — is worth
+    * its own gate. The oracle composes the pieces as joins on the
+    * operators' OUTPUTS; the Spark side applies the sampler predicate as
+    * a narrow filter — the equivalence (pure function of row identity)
+    * is exactly what this oracle locks in. */
+  val curatedDocsSql: String = s"""
+WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+stats AS (${TextOps.textStatsSql}),
+sampled AS (${DedupClusters.stratifiedSampleSql})
+SELECT d.doc_id, d.lang, d.text, s.est_bpe_tokens, s.quality_score
+FROM documents d
+JOIN reps r ON d.doc_id = r.doc_id
+JOIN sampled sm ON d.doc_id = sm.doc_id
+JOIN stats s ON d.doc_id = s.doc_id
+WHERE s.quality_score >= 60.0"""
+
   /** The oracle nests the already-verified stats and sampler SQL as CTEs
     * — verifying the composition, not re-deriving the pieces. */
   val corpusCurationSql: String = s"""
@@ -124,9 +143,11 @@ ORDER BY g.source, g.lang"""
 
   val inventory: Map[String, Q] = Map(
     "corpus_curation"         -> (corpusCuration _),
+    "corpus_curated_docs"     -> (curatedDocs _),
     "corpus_token_accounting" -> (corpusTokenAccounting _))
 
   val oracle: Map[String, String] = Map(
     "corpus_curation"         -> corpusCurationSql,
+    "corpus_curated_docs"     -> curatedDocsSql,
     "corpus_token_accounting" -> corpusTokenAccountingSql)
 }
