@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.srpSigFunction)
     ext.injectFunction(GraftExtensions.wordShinglesFunction)
     ext.injectFunction(GraftExtensions.textStatsSigFunction)
+    ext.injectFunction(GraftExtensions.winnowFpFunction)
   }
 }
 
@@ -97,6 +98,17 @@ object GraftExtensions {
         "word_shingles(array<string>[, n]) takes 1 or 2 arguments")
     })
 
+  val winnowFpFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_fp"),
+    new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+    (children: Seq[Expression]) => children match {
+      case Seq(text) => WinnowFp(text)
+      case Seq(text, k, w) => WinnowFp(text,
+        intLiteral(k, "winnow_fp k"), intLiteral(w, "winnow_fp w"))
+      case _ => throw new IllegalArgumentException(
+        "winnow_fp(text string[, k int, w int]) takes 1 or 3 arguments")
+    })
+
   val textStatsSigFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("text_stats_sig"),
     new ExpressionInfo(classOf[TextStatsSig].getName, "text_stats_sig"),
@@ -109,7 +121,8 @@ object GraftExtensions {
   /** Register on an already-running session (tests, shells). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(minhashSigFunction, qdotFunction, topkByFunction, simhashSigFunction,
-      srpSigFunction, wordShinglesFunction, textStatsSigFunction).foreach {
+      srpSigFunction, wordShinglesFunction, textStatsSigFunction,
+      winnowFpFunction).foreach {
       case (id, info, builder) =>
         org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
     }

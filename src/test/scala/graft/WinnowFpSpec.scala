@@ -118,6 +118,17 @@ class WinnowFpSpec extends SparkSpec {
     }
   }
 
+  test("winnow_fp is callable from SQL via the extension registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT winnow_fp('abcd', 2, 2) AS fps").head.getSeq[Long](0)
+    assert(viaSql == Seq(25027L, 25285L))
+    val defaults = spark.sql(
+      "SELECT winnow_fp('the quick brown fox jumps over') AS fps").head.getSeq[Long](0)
+    assert(defaults == TextOps.winnowReference(
+      "the quick brown fox jumps over", WinnowFp.DefaultK, WinnowFp.DefaultW))
+  }
+
   test("fingerprints are sorted distinct (canonical form)") {
     val bad = Tables.documents(spark, sf)
       .select(WinnowFp.of(col("text")).as("fps"))
