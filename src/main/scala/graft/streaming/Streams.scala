@@ -317,6 +317,26 @@ GROUP BY user_id, session_seq"""
       .filter(col("shared_shingles") >= TextOps.ContaminationMinShared)
   }
 
+  /** Streaming twin of [[graft.text.TextOps.winnowDecontamination]] —
+    * passage-level in-flight decontamination. Stateless like
+    * [[decontaminationStream]]: the static benchmark fingerprint
+    * vocabulary (hot fingerprints already excluded by the df-cap, so no
+    * stream-side cap bookkeeping is needed) ships as one array literal;
+    * each incoming document's winnow fingerprints are intersected with
+    * it. `WinnowFp` output is distinct per document, so the intersect
+    * size equals the batch join's per-document count exactly. */
+  def winnowDecontaminationStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val vocab = TextOps.benchmarkWinnowVocab(spark, dir)
+    docsStream(spark, dir)
+      .filter(col("source") =!= TextOps.BenchmarkSource)
+      .select(col("doc_id"),
+        size(array_intersect(graft.functions.WinnowFp.of(col("text")),
+          typedLit(vocab)))
+          .cast(LongType).as("shared_fps"))
+      .filter(col("shared_fps") >= TextOps.WinnowContaminationMinShared)
+  }
+
   val inventory: Map[String, Q] = Map(
     "events_hourly_windows"  -> (eventsHourly _),
     "events_sliding_windows" -> (eventsSliding _),

@@ -258,10 +258,11 @@ FROM documents"""
     else (0 to m - w).map(t => hs.slice(t, t + w).min).distinct.sorted
   }
 
-  /** Shared winnow CTEs (hashes → per-window minima), reused by both the
-    * fingerprint dump and the overlap-pairs oracle. */
+  /** Shared winnow CTEs (hashes → per-window minima), reused by the
+    * fingerprint dump, the overlap-pairs and the passage-decontamination
+    * oracles (`source` rides along for the latter). */
   private val winnowCtes: String = s"""hashes AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          list_transform(generate_series(1, length(text) - ${WinnowFp.DefaultK - 1}), i ->
            list_reduce(list_transform(generate_series(0, ${WinnowFp.DefaultK - 1}),
                          j -> CAST(unicode(substr(text, i + j, 1)) AS BIGINT)),
@@ -269,7 +270,7 @@ FROM documents"""
   FROM documents
   WHERE length(text) >= ${WinnowFp.DefaultK}),
 wins AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          CASE WHEN len(hs) <= ${WinnowFp.DefaultW} THEN [list_min(hs)]
               ELSE list_transform(generate_series(1, len(hs) - ${WinnowFp.DefaultW - 1}),
                      t -> list_min(hs[t:t+${WinnowFp.DefaultW - 1}])) END AS fps
@@ -320,6 +321,68 @@ kept AS (SELECT * FROM fpr ANTI JOIN hot USING (fp))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
 FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowSharedMin"""
+
+  /** Passage-level contamination threshold: distinct shared (non-hot)
+    * fingerprints at which a train document is flagged against the
+    * benchmark slice. High here because this synthetic corpus is
+    * pathologically self-similar (tiny vocabulary — the median train doc
+    * shares ~60 fingerprints with the benchmark); a real corpus flags at
+    * a handful, since each fingerprint certifies a distinct shared
+    * >= 11-char passage. The knob sits where the semantics are. */
+  val WinnowContaminationMinShared = 100
+
+  /** (doc_id, source, fp) with corpus-wide hot fingerprints removed —
+    * shared by [[winnowDecontamination]] and its streaming twin. */
+  private[graft] def cappedSourceWinnowFps(spark: SparkSession, dir: String): DataFrame = {
+    val fps = docs(spark, dir).select(col("doc_id"), col("source"),
+      explode(WinnowFp.of(col("text"))).as("fp"))
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowDfCap).select("fp")
+    fps.join(broadcast(hot), Seq("fp"), "left_anti")
+  }
+
+  /** The benchmark slice's capped fingerprint vocabulary as driver-side
+    * values (eval suites are small by definition) — ships to executors
+    * as one array literal for the stateless streaming twin. Hot
+    * fingerprints are already absent, so a stream-side
+    * `array_intersect` count equals the batch join count exactly. */
+  def benchmarkWinnowVocab(spark: SparkSession, dir: String): Seq[Long] =
+    cappedSourceWinnowFps(spark, dir)
+      .filter(col("source") === BenchmarkSource)
+      .select("fp").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  /** Passage-level train/benchmark decontamination — [[decontamination]]
+    * catches verbatim word-trigram overlap; this catches COPIED PASSAGES
+    * via winnowing fingerprints (any shared >= k+w-1-char run is
+    * guaranteed a shared fingerprint, SIGMOD'03 theorem 1), robust to
+    * tokenization differences. Train docs sharing >=
+    * [[WinnowContaminationMinShared]] surviving fingerprints with the
+    * benchmark slice are flagged. Scale: vocab is benchmark-sized
+    * (broadcast), the join is fp-equality, the df-cap bounds hot keys. */
+  def winnowDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val capped = cappedSourceWinnowFps(spark, dir)
+    val vocab = capped.filter(col("source") === BenchmarkSource)
+      .select("fp").distinct()
+    capped.filter(col("source") =!= BenchmarkSource)
+      .join(broadcast(vocab), "fp")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= WinnowContaminationMinShared)
+  }
+
+  // lazy: interpolates BenchmarkSource, declared further down the object
+  // body — an eager val would capture null at initialization order
+  lazy val winnowDecontaminationSql: String = s"""
+WITH $winnowCtes,
+fpr AS (SELECT DISTINCT doc_id, source, unnest(fps) AS fp FROM wins),
+hot AS (SELECT fp FROM fpr GROUP BY fp HAVING COUNT(*) > $WinnowDfCap),
+kept AS (SELECT * FROM fpr ANTI JOIN hot USING (fp)),
+vocab AS (SELECT DISTINCT fp FROM kept WHERE source = '$BenchmarkSource')
+SELECT k.doc_id, COUNT(*) AS shared_fps
+FROM kept k JOIN vocab v ON k.fp = v.fp
+WHERE k.source <> '$BenchmarkSource'
+GROUP BY k.doc_id
+HAVING COUNT(*) >= $WinnowContaminationMinShared"""
 
   // -------------------------------------------------------------- dedup
 
@@ -651,7 +714,8 @@ WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 4"""
     "text_decontamination" -> (decontamination _),
     "text_repetition"      -> (textRepetition _),
     "doc_fingerprint_winnow" -> (docFingerprintWinnow _),
-    "winnow_overlap_pairs" -> (winnowOverlapPairs _))
+    "winnow_overlap_pairs" -> (winnowOverlapPairs _),
+    "winnow_decontamination" -> (winnowDecontamination _))
 
   val oracle: Map[String, String] = Map(
     "text_stats"           -> textStatsSql,
@@ -664,5 +728,6 @@ WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 4"""
     "text_decontamination" -> decontaminationSql,
     "text_repetition"      -> textRepetitionSql,
     "doc_fingerprint_winnow" -> docFingerprintWinnowSql,
-    "winnow_overlap_pairs" -> winnowOverlapPairsSql)
+    "winnow_overlap_pairs" -> winnowOverlapPairsSql,
+    "winnow_decontamination" -> winnowDecontaminationSql)
 }

@@ -174,4 +174,21 @@ class StreamingSpec extends SparkSpec {
       s"stream flags ${streamed.size} docs, batch ${batch.size}")
     assert(batch.nonEmpty)
   }
+
+  test("stateless streaming winnow decontamination flags exactly the batch set") {
+    val q = Streams.winnowDecontaminationStream(spark, sf).writeStream
+      .format("memory").queryName("winnow_decon_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("winnow_decon_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.text.TextOps.winnowDecontamination(spark, sf)
+      .select("doc_id", "shared_fps").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch,
+      s"stream flags ${streamed.size} docs, batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
 }
