@@ -9,6 +9,8 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Surface deprecations at every compile (the build is kept warning-free)
+ThisBuild / scalacOptions += "-deprecation"
 Test / fork := true
 run / fork := true
 // Inherit the forked JVM's stdio instead of routing it through sbt's

@@ -36,7 +36,7 @@ object ScaleGen {
     val Offset = 1000000000L
     def replicate(df: DataFrame, pkCols: Seq[String]): DataFrame =
       df.withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
-        .select(df.columns.map { c =>
+        .select(df.columns.toIndexedSeq.map { c =>
           if (pkCols.contains(c))
             (col(c) + col("_r").cast("long") * Offset).as(c)
           else col(c)

@@ -59,7 +59,7 @@ object DedupClusters {
     def labelTotal(df: DataFrame): java.math.BigDecimal = {
       // sum over zero rows is NULL — an empty corpus must converge
       // immediately, not NPE in compareTo
-      val d = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+      val d = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
 

@@ -91,7 +91,7 @@ object TextOps {
   def withTextStats(df: DataFrame): DataFrame =
     df
       .withColumn("_ts", graft.functions.TextStatsSig.of(col("text")))
-      .select(df.columns.map(col) ++ Seq(
+      .select(df.columns.toIndexedSeq.map(col) ++ Seq(
         col("_ts.n_tokens").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_actual"),
         (col("_ts.sum_token_len").cast("double")
