@@ -51,8 +51,15 @@ object ScaleGen {
     // truncation every consumer of the table applies)
     replicate(Tables.events(spark, src), Seq("event_id"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // documents scale via GENERATION (same shape, fresh random text),
+    // not replication: exact clones would hand every doc N-1 dupes and
+    // degenerate the dedup/near-dup family. embeddings stay unscaled
+    // (no generator preserves their similarity structure) — exclude
+    // embedding ops from scaled-run conclusions.
+    graft.datagen.DataGen.documents(spark, read("documents").count() * factor)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
     Seq("region", "nation", "customer", "supplier", "part",
-        "documents", "embeddings").foreach { t =>
+        "embeddings").foreach { t =>
       read(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
     val n = spark.read.parquet(s"$out/lineitem.parquet").count()

@@ -84,4 +84,34 @@ object DataGen {
     transactions.join(
       items.groupBy("transaction_id").agg(sum("line_total").as("total_amount")),
       Seq("transaction_id"), "left")
+
+  /** Synthetic `documents` corpus with the driver testdata's shape
+    * (doc_id, text, lang, source, n_chars; ~30-word tech vocabulary,
+    * 15-60 tokens/doc, 20 sources, 5 langs) — the text-domain member of
+    * the generator family, for scaling the LLM-pipeline operators
+    * beyond the provided SFs. Same discipline as the retail generators:
+    * every token is md5-derived from (seed, doc, position), so the
+    * corpus is deterministic and partition-independent, and near-dup
+    * density stays low and random (unlike exact replication, which
+    * would hand every doc N-1 clones and degenerate the dedup family).
+    */
+  def documents(spark: SparkSession, n: Long, seed: Long = 42): DataFrame = {
+    val vocab = Seq("data", "query", "spark", "table", "row", "column",
+      "key", "value", "join", "filter", "agg", "group", "sort", "scan",
+      "merge", "batch", "stream", "window", "part", "line", "order",
+      "hash", "fast", "slow", "big", "small", "vector", "a", "the")
+    val vArr = vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
+    // uniform in [0,1) from (seed, doc id, position) — 48 bits of md5
+    def up(tag: String, pos: String) =
+      s"cast(conv(substr(md5(concat('$seed', ':$tag:', cast(id as string), ':', cast($pos as string))), 1, 12), 16, 10) as double) / 281474976710656.0"
+    spark.range(n)
+      .select(
+        col("id").as("doc_id"),
+        expr(s"""array_join(transform(sequence(1, 15 + cast(${up("len", "0")} * 46 as int)),
+                   p -> element_at($vArr, 1 + cast(${up("tok", "p")} * ${vocab.size} as int))), ' ')""")
+          .as("text"),
+        pick(seed, "lang", "id", Seq("en", "en", "zh", "fr", "es", "de")).as("lang"),
+        concat(lit("src"), (u(seed, "src", "id") * 20).cast("int").cast("string")).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
 }

@@ -654,6 +654,20 @@ FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
                    shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""
   }
 
+  /** Size cap for a simhash (block, block_bits) bucket: hotter buckets
+    * are dropped from candidate generation, bounding the worst join key
+    * at cap² — discovered the hard way: a 10× low-entropy corpus grew
+    * this join 12.6× (each block holds 6-7 bits, so a tiny-vocabulary
+    * corpus piles thousands of docs into shared buckets and candidates
+    * grow quadratically). Recall semantics: a qualifying pair is lost
+    * only when EVERY block it agrees on is hot — on a corpus where
+    * that's common, block-level candidates are degenerate anyway and
+    * the exact [[dedupJaccardPairs]] or [[winnowOverlapPairs]] families
+    * (feature-capped, not bucket-capped) are the right tool. The driver
+    * corpus at sf0.01 has a max bucket of 123, so the oracle gate's
+    * result set is unchanged by the cap. */
+  val SimhashBucketCap = 200
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = docs(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -668,8 +682,13 @@ FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
                  shiftright(simhash32, 20) & 63,
                  shiftright(simhash32, 26) & 63)"""))
         .as(Seq("block", "block_bits")))
-    blocks.as("a")
-      .join(blocks.as("b"),
+    val hot = blocks.groupBy("block", "block_bits")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > SimhashBucketCap)
+      .select("block", "block_bits")
+    val kept = blocks.join(broadcast(hot), Seq("block", "block_bits"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.block") === col("b.block") && col("a.block_bits") === col("b.block_bits")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -678,7 +697,7 @@ FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  val dedupSimhashPairsSql: String = """
+  private val dedupSimhashPairsSqlRaw: String = """
 WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
 hs AS (SELECT doc_id,
               list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT AS BIGINT)) AS harr
@@ -696,12 +715,17 @@ blocks AS (
                       WHEN 2 THEN (simhash32 >> 14) & 63
                       WHEN 3 THEN (simhash32 >> 20) & 63
                       ELSE (simhash32 >> 26) & 63 END AS block_bits
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS block) b)
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS block) b),
+hot AS (SELECT block, block_bits FROM blocks GROUP BY 1, 2 HAVING COUNT(*) > __SIMHASH_CAP__),
+kept AS (SELECT * FROM blocks ANTI JOIN hot USING (block, block_bits))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash32, b.simhash32)) AS BIGINT) AS hamming
-FROM blocks a JOIN blocks b
+FROM kept a JOIN kept b
   ON a.block = b.block AND a.block_bits = b.block_bits AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 4"""
+
+  val dedupSimhashPairsSql: String =
+    dedupSimhashPairsSqlRaw.replace("__SIMHASH_CAP__", SimhashBucketCap.toString)
 
   val inventory: Map[String, Q] = Map(
     "text_stats"           -> (textStats _),

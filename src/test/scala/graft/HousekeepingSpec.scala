@@ -59,6 +59,23 @@ class HousekeepingSpec extends SparkSpec {
     assert(cfg("batch_size") == "1000")
   }
 
+  test("documents generator is deterministic with the testdata's shape") {
+    val d = graft.datagen.DataGen.documents(spark, 500).cache()
+    assert(d.count() == 500)
+    assert(d.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    // token lengths inside the generator's 15-60 band, vocab-only words
+    val stats = d.selectExpr(
+      "min(size(split(text, ' '))) AS mn", "max(size(split(text, ' '))) AS mx",
+      "count(distinct lang) AS langs", "count(distinct source) AS srcs").head()
+    assert(stats.getAs[Int]("mn") >= 15 && stats.getAs[Int]("mx") <= 61)
+    assert(stats.getAs[Long]("langs") == 5 && stats.getAs[Long]("srcs") == 20)
+    // deterministic across regeneration, no exact-dup degeneracy
+    assert(graft.datagen.DataGen.documents(spark, 500).except(d).count() == 0)
+    assert(d.select("text").distinct().count() > 490)
+    d.unpersist()
+  }
+
   test("datagen is deterministic, FK-consistent, with correct totals") {
     val c = DataGen.customers(spark, 50)
     val t = DataGen.transactions(spark, 200, 50)
