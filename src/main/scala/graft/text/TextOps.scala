@@ -668,11 +668,17 @@ FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
     * result set is unchanged by the cap. */
   val SimhashBucketCap = 200
 
-  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        graft.functions.SimHashSig.of(expr(toksE)).as("simhash32"))
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOverDocs(
+      docs(spark, dir).repartition(spark.sparkContext.defaultParallelism),
+      SimhashBucketCap)
+
+  /** Parameterized core over any (doc_id, text) frame — the spec drives
+    * it with an adversarial single-simhash corpus and a tiny cap
+    * (SimhashCapSpec), mirroring [[jaccardPairsOverShingles]]. */
+  private[graft] def simhashPairsOverDocs(d: DataFrame, bucketCap: Int): DataFrame = {
+    val sh = d.select(col("doc_id"),
+      graft.functions.SimHashSig.of(expr(toksE)).as("simhash32"))
     // blocks: [bits 0-6], [7-13], [14-19], [20-25], [26-31]
     val blocks = sh.select(col("doc_id"), col("simhash32"),
       posexplode(expr(
@@ -684,7 +690,7 @@ FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
         .as(Seq("block", "block_bits")))
     val hot = blocks.groupBy("block", "block_bits")
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") > SimhashBucketCap)
+      .filter(col("df") > bucketCap)
       .select("block", "block_bits")
     val kept = blocks.join(broadcast(hot), Seq("block", "block_bits"), "left_anti")
     kept.as("a")
