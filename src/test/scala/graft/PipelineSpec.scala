@@ -174,14 +174,18 @@ class PipelineSpec extends SparkSpec {
       s"$out/streaming/events").awaitTermination()
     assert(spark.read.parquet(s"$out/streaming/events").count() == nDistinct)
 
-    // curated corpus shipped as the full hash-stable shard layout
+    // curated corpus shipped as the full hash-stable shard layout,
+    // minus the passage-level decontamination flags
     val shardDirs = new java.io.File(s"$out/corpus").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("shard=")).sorted
     assert(shardDirs.length == Pipeline.CorpusShards,
       s"expected ${Pipeline.CorpusShards} shard dirs, got ${shardDirs.toSeq}")
     val corpus = spark.read.parquet(s"$out/corpus")
-    val curated = graft.text.Curation.curatedDocs(spark, sf)
-    assert(corpus.count() == curated.count())
+    val expected = graft.text.Curation.curatedDocs(spark, sf)
+      .join(graft.text.TextOps.winnowDecontamination(spark, sf).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    assert(corpus.count() == expected.count())
+    assert(corpus.count() > 0, "decontamination gate must not empty the corpus")
     assert(corpus.filter(col("shard") =!=
       pmod(hash(col("doc_id")), lit(Pipeline.CorpusShards))).count() == 0)
   }
