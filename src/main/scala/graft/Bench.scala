@@ -60,25 +60,29 @@ object Bench {
         System.err.println(s"[bench] warm-up failed: ${e.getClass.getName}: ${e.getMessage}")
     }
 
-    // Timed pass: best of 3 consecutive runs per query (steady-state
-    // per-query latency, same methodology as a warm JMH-style bench —
-    // the baseline's numbers are likewise from a warm, quiet local DB).
-    // A failing query must not record a near-zero time and silently
-    // improve the total: emit -1 for it, count it, and exit nonzero.
-    val results = qs.map { name =>
+    // Timed pass: MEDIAN of 5 consecutive runs per query with the
+    // relative spread (max-min)/median alongside — the BenchExt
+    // methodology, adopted for the headline artifact too: best-of-3
+    // systematically flatters and was measured drifting 2-4× against
+    // the committed median artifacts, making round-over-round per-query
+    // deltas unreadable. A failing query must not record a near-zero
+    // time and silently improve the total: emit -1 for it, count it,
+    // and exit nonzero.
+    def timed(name: String): (String, Double, Double) =
       try {
-        val runs = (1 to 3).map { _ =>
+        val runs = (1 to TimedRuns).map { _ =>
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir).collect()
           (System.nanoTime() - t0) / 1e9
         }
-        name -> runs.min
+        val med = median(runs)
+        (name, med, (runs.max - runs.min) / med)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          name -> -1.0
+          (name, -1.0, 0.0)
       }
-    }
+    val results = qs.map(timed)
     // Extension-operator pass (dedup/ANN/text/curation/temporal): folded
     // into the same artifact so a regression in the native expressions
     // (WordShingles/MinHashSig/SimHashSig/SrpSig/QDot/TopKBy) is caught
@@ -93,30 +97,28 @@ object Bench {
             System.err.println(s"[bench] ext warm-up $q failed: ${e.getClass.getName}: ${e.getMessage}")
         }))
     System.gc()
-    val extResults = extQs.map { name =>
-      try {
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir).collect()
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> runs.min
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          name -> -1.0
-      }
-    }
+    val extResults = extQs.map(timed)
 
     val failures = results.count(_._2 < 0) + extResults.count(_._2 < 0)
-    def js(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def js(rs: Seq[(String, Double, Double)]): String =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    def sjs(rs: Seq[(String, Double, Double)]): String =
+      rs.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val extTotal = extResults.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},""" +
-      s""""ext_total":$extTotal,"ext_queries":${js(extResults)},""" +
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$TimedRuns,"stat":"median",""" +
+      s""""queries":${js(results)},"spread":${sjs(results)},""" +
+      s""""ext_total":$extTotal,"ext_queries":${js(extResults)},"ext_spread":${sjs(extResults)},""" +
       s""""failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
+  }
+
+  private val TimedRuns = 5
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 }

@@ -100,15 +100,14 @@ object Pipeline {
       // The curated training corpus ships as a fixed number of
       // hash-stable shards (the layout dataloaders consume; membership
       // is a pure function of doc_id, so re-runs and different cluster
-      // layouts produce identical shard contents). Benchmark-contaminated
-      // documents (passage-level winnow flags) are anti-joined out first
+      // layouts produce identical shard contents). The benchmark slice
+      // itself and benchmark-contaminated documents (passage-level
+      // winnow flags) are anti-joined out first — Curation.publishedCorpus
       // — the decontamination gate every training pipeline runs before
       // publishing.
       "curate_corpus" -> { () =>
         sources.Sources.writeSharded(
-          text.Curation.curatedDocs(spark, sfDir)
-            .join(text.TextOps.winnowDecontamination(spark, sfDir)
-              .select("doc_id"), Seq("doc_id"), "left_anti"),
+          text.Curation.publishedCorpus(spark, sfDir),
           s"$outDir/corpus", "doc_id", shards = CorpusShards)
       },
       "retention_cleanup" -> { () =>

@@ -53,13 +53,32 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     // documents scale via GENERATION (same shape, fresh random text),
     // not replication: exact clones would hand every doc N-1 dupes and
-    // degenerate the dedup/near-dup family. embeddings stay unscaled
-    // (no generator preserves their similarity structure) — exclude
-    // embedding ops from scaled-run conclusions.
+    // degenerate the dedup/near-dup family.
     graft.datagen.DataGen.documents(spark, read("documents").count() * factor)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    Seq("region", "nation", "customer", "supplier", "part",
-        "embeddings").foreach { t =>
+    // embeddings scale via JITTERED replication: replica r of vector v
+    // keeps v's direction plus a deterministic ±1% per-component
+    // perturbation (hash-derived — no RNG state, so any run or cluster
+    // layout produces identical bytes). Replicas of one vector are
+    // therefore genuine dedup-grade near-clones (cosine ≈ 0.999) while
+    // cross-vector similarity structure is preserved — exactly the
+    // corpus shape the ann_* / ivf scale claims need: the 8×8
+    // dedup-grade banding must stay sparse and find the clone piles,
+    // and the brute-force/IVF top-k still rank meaningfully. Replica 0
+    // is the original row (query sets like vec_id < 5 keep meaning).
+    val emb = read("embeddings")
+    emb.withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        (col("vec_id") + col("_r").cast("long") * Offset).as("vec_id"),
+        when(col("_r") === 0, col("embedding"))
+          .otherwise(expr(
+            """transform(embedding, (x, i) ->
+                 cast(x + x * (pmod(hash(vec_id, _r, i), 2001) - 1000) / 100000.0
+                 as float))"""))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       read(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
     val n = spark.read.parquet(s"$out/lineitem.parquet").count()

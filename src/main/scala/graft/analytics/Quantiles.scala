@@ -77,19 +77,21 @@ GROUP BY payment_method
 ORDER BY payment_method""")
   }
 
-  /** Sketch escape hatch: approx_percentile is a mergeable KLL-style
+  /** The raw sketch surface: approx_percentile is a mergeable KLL-style
     * sketch — one partial+final aggregation, no per-group sort at all.
-    * Like approx_count_distinct, sketches are engine-specific, so this
-    * registers WITHOUT an oracle (rows-only check); QuantilesSpec bounds
-    * its error against the exact rank-selection result instead. */
-  def approxQuantilesLineTotal(spark: SparkSession, dir: String): DataFrame = {
+    * Sketch VALUES are engine-specific (DuckDB cannot reproduce them),
+    * so this frame is not registered directly; [[approxQuantilesLineTotal]]
+    * below wraps it in the oracle-checkable bound check, and
+    * QuantilesSpec additionally bounds it against the exact
+    * rank-selection result. */
+  def approxQuantilesRaw(spark: SparkSession, dir: String): DataFrame = {
     val f = Warehouse.fact(spark, dir).select(
       col("payment_method"),
       (col("line_total") * lit(1000000)).cast(LongType).as("v"))
     f.groupBy("payment_method")
       .agg(
         count(lit(1)).as("n_rows"),
-        expr("approx_percentile(v, array(0.5, 0.9, 0.99), 10000)").as("ps"))
+        expr(s"approx_percentile(v, array(0.5, 0.9, 0.99), $SketchAccuracy)").as("ps"))
       .select(col("payment_method"), col("n_rows"),
         col("ps").getItem(0).as("p50_micros"),
         col("ps").getItem(1).as("p90_micros"),
@@ -97,12 +99,71 @@ ORDER BY payment_method""")
       .orderBy("payment_method")
   }
 
+  /** approx_percentile's accuracy knob: guaranteed rank error is
+    * n/accuracy (Spark's ApproximatePercentile contract). */
+  val SketchAccuracy = 10000
+
+  /** The REGISTERED sketch query — the bound check made oracle-checkable.
+    * A raw sketch value can never hash-match a DuckDB oracle (sketches
+    * are engine-specific), but the sketch's CONTRACT can: the returned
+    * p-quantile must be an element whose rank is within n/accuracy (+1
+    * slab-discretization slack) of ceil(p·n). Both rank bounds convert
+    * to concrete VALUE bounds via the same (group, value)-counts
+    * cumulative frame the exact [[quantilesLineTotal]] uses, the sketch
+    * value is compared in-plan, and the oracle asserts every group's
+    * check comes back true by recomputing the exact side (n_rows) and
+    * expecting literal trues — a red row here means the sketch broke
+    * its error contract. Cost: one counts-aggregation (shared shape
+    * with the exact query) plus the sketch's own partial+final pass —
+    * a verification query, not the hot path; the raw sketch
+    * ([[approxQuantilesRaw]]) remains the single-pass production form. */
+  def approxQuantilesLineTotal(spark: SparkSession, dir: String): DataFrame = {
+    val f = Warehouse.fact(spark, dir).select(
+      col("payment_method"),
+      (col("line_total") * lit(1000000)).cast(LongType).as("v"))
+    val counts = f.groupBy("payment_method", "v").agg(count(lit(1)).as("c"))
+    val byPm = Window.partitionBy("payment_method")
+    val ranked = counts
+      .withColumn("cum", sum("c").over(byPm.orderBy("v")))
+      .withColumn("n", sum("c").over(byPm))
+    // rank slack: the sketch guarantees rank error <= n/accuracy; +1
+    // covers the ceil/slab discretization at the boundary
+    val slack = ceil(col("n") * lit(1.0 / SketchAccuracy)) + lit(1)
+    val cells = ps.flatMap { case (name, p) =>
+      val rlo = greatest(lit(1L), ceil(col("n") * lit(p)) - slack)
+      val rhi = least(col("n"), ceil(col("n") * lit(p)) + slack)
+      Seq(
+        max(when(col("cum") - col("c") < rlo && col("cum") >= rlo, col("v")))
+          .as(s"${name}_lo"),
+        max(when(col("cum") - col("c") < rhi && col("cum") >= rhi, col("v")))
+          .as(s"${name}_hi"))
+    }
+    val bounds = ranked.groupBy("payment_method")
+      .agg(max("n").as("n_rows"), cells: _*)
+    val sketch = approxQuantilesRaw(spark, dir)
+      .select(col("payment_method"),
+        col("p50_micros"), col("p90_micros"), col("p99_micros"))
+    bounds.join(sketch, "payment_method")
+      .select(Seq(col("payment_method"), col("n_rows")) ++ ps.map { case (name, _) =>
+        (col(s"${name}_micros") >= col(s"${name}_lo") &&
+          col(s"${name}_micros") <= col(s"${name}_hi")).as(s"${name}_in_bounds")
+      }: _*)
+      .orderBy("payment_method")
+  }
+
+  /** Oracle: the exact side (group, n_rows) recomputed, and every bound
+    * check expected TRUE — the strongest cross-engine statement possible
+    * about an engine-specific sketch. */
+  val approxQuantilesLineTotalSql: String = OracleSql.q("""
+SELECT payment_method, COUNT(*) AS n_rows,
+       TRUE AS p50_in_bounds, TRUE AS p90_in_bounds, TRUE AS p99_in_bounds
+FROM fact GROUP BY payment_method ORDER BY payment_method""")
+
   val inventory: Map[String, Q] = Map(
     "quantiles_line_total"        -> (quantilesLineTotal _),
     "approx_quantiles_line_total" -> (approxQuantilesLineTotal _))
 
-  /** approx_quantiles_line_total deliberately unoracled (sketches are
-    * engine-specific — rows-only check). */
   val oracle: Map[String, String] = Map(
-    "quantiles_line_total" -> quantilesLineTotalSql)
+    "quantiles_line_total"        -> quantilesLineTotalSql,
+    "approx_quantiles_line_total" -> approxQuantilesLineTotalSql)
 }

@@ -125,12 +125,13 @@ FROM (SELECT year(CAST(o_orderdate AS DATE)) AS year,
       FROM orders)
 GROUP BY ROLLUP(year, month)"""
 
-  /** Approximate count-distinct — the scale escape hatch for the exact
-    * countDistinct queries (SURVEY §7.4). HLL sketches are
-    * engine-specific, so this is registered WITHOUT an oracle (the
-    * driver records a rows-only check); the test bounds its error
-    * against the exact count instead. */
-  def approxMonthlyTransactions(spark: SparkSession, dir: String): DataFrame = {
+  /** The raw HLL surface — the scale escape hatch for the exact
+    * countDistinct queries (SURVEY §7.4). Sketch VALUES are
+    * engine-specific (DuckDB's HLL produces different estimates), so
+    * this frame is not registered directly; [[approxMonthlyTransactions]]
+    * wraps it in the oracle-checkable bound check, and ExtensionsSpec
+    * additionally bounds its corpus-wide error. */
+  def approxMonthlyTransactionsRaw(spark: SparkSession, dir: String): DataFrame = {
     val f = graft.warehouse.Warehouse.fact(spark, dir)
     val d = graft.warehouse.Warehouse.dimDate(spark, dir).select("date_key", "year", "month")
     f.join(broadcast(d), "date_key")
@@ -139,6 +140,37 @@ GROUP BY ROLLUP(year, month)"""
       .orderBy("year", "month")
   }
 
+  /** The REGISTERED sketch query — the HLL error contract made
+    * oracle-checkable. The raw estimate can never hash-match a DuckDB
+    * oracle, but the claim "the rsd=0.02 sketch lands within 10% (5σ)
+    * of the exact per-group count" can: both aggregates run in the SAME
+    * hash aggregation (one pass, two buffers per group), the check is
+    * evaluated in-plan, and the oracle recomputes the exact side and
+    * expects literal trues — a red row means the sketch broke its
+    * contract. The estimate is deterministic for fixed data, so this is
+    * a stable gate, not a flaky one. */
+  def approxMonthlyTransactions(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.warehouse.Warehouse.fact(spark, dir)
+    val d = graft.warehouse.Warehouse.dimDate(spark, dir).select("date_key", "year", "month")
+    f.join(broadcast(d), "date_key")
+      .groupBy("year", "month")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_transactions"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+      .select(col("year"), col("month"), col("n_transactions"),
+        (abs(col("approx").cast(DoubleType) - col("n_transactions").cast(DoubleType))
+          <= col("n_transactions").cast(DoubleType) * lit(0.10))
+          .as("approx_within_10pct"))
+      .orderBy("year", "month")
+  }
+
+  val approxMonthlyTransactionsSql: String = graft.warehouse.OracleSql.q("""
+SELECT d.year, d.month, COUNT(DISTINCT f.l_orderkey) AS n_transactions,
+       TRUE AS approx_within_10pct
+FROM fact f JOIN dim_date d ON f.date_key = d.date_key
+GROUP BY d.year, d.month
+ORDER BY d.year, d.month""")
+
   val inventory: Map[String, Q] = Map(
     "pii_scrub"            -> (piiScrub _),
     "text_ngram_freq"      -> (ngramFreq _),
@@ -146,11 +178,10 @@ GROUP BY ROLLUP(year, month)"""
     "rollup_revenue"       -> (rollupRevenue _),
     "approx_monthly_transactions" -> (approxMonthlyTransactions _))
 
-  /** approx_monthly_transactions deliberately omitted (sketches are
-    * engine-specific — rows-only check). */
   val oracle: Map[String, String] = Map(
     "pii_scrub"            -> piiScrubSql,
     "text_ngram_freq"      -> ngramFreqSql,
     "events_props_extract" -> propsExtractSql,
-    "rollup_revenue"       -> rollupRevenueSql)
+    "rollup_revenue"       -> rollupRevenueSql,
+    "approx_monthly_transactions" -> approxMonthlyTransactionsSql)
 }

@@ -110,8 +110,15 @@ object WinnowFp {
     var m = 0 // k-gram hashes emitted so far
     var i = 0
     while (i < nBytes) {
-      // decode one UTF-8 code point
+      // decode one UTF-8 code point; a multi-byte sequence truncated at
+      // end of input (reachable via cast(binary as string) or corrupt
+      // data) must degrade gracefully — stop at the partial character
+      // instead of reading past the array (UTF8String.numChars tolerates
+      // malformed tails the same way)
       val b0 = bytes(i) & 0xff
+      val seqLen = if (b0 < 0x80) 1 else if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4
+      if (i + seqLen > nBytes) { i = nBytes }
+      else {
       var cp = 0
       if (b0 < 0x80) { cp = b0; i += 1 }
       else if (b0 < 0xe0) { cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2 }
@@ -152,6 +159,7 @@ object WinnowFp {
         // a full window ends at every position m >= w-1
         if (m >= w - 1) minima.add(dqHash(dqHead))
         m += 1
+      }
       }
     }
 

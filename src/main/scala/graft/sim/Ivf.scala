@@ -66,22 +66,28 @@ object Ivf {
     * to the grid ONCE into a temp column so each of the k distance
     * subtrees reads grid points instead of re-quantizing per component.
     *
-    * The argmin is wrapped in `coalesce(..., -1)` to make `cell`
-    * NON-NULLABLE: downstream equi-joins on `cell` would otherwise infer
-    * an `IsNotNull(cell)` filter whose condition is this whole
+    * Null embeddings are routed to cell -1 EXPLICITLY (the leading
+    * `when`): with a null embedding every candidate struct has d =
+    * null, and struct ordering sorts null d FIRST, so the bare argmin
+    * would silently assign such rows to centroid 0 — the coalesce alone
+    * never fires. -1 matches no centroid id, so the row drops out of
+    * cell joins. The `when`/`coalesce` pair also keeps `cell`
+    * NON-NULLABLE: downstream equi-joins on `cell` would otherwise
+    * infer an `IsNotNull(cell)` filter whose condition is this whole
     * k-candidate expression — evaluating the full argmin twice per row
     * (once in the inferred Filter, once in the Project; seen in the
-    * ivf_search plan dump). -1 matches no centroid id, so a null
-    * embedding row drops out of cell joins exactly as a null cell would.
+    * ivf_search plan dump).
     */
-  private def assign(vecs: DataFrame, centroids: Array[(Int, Array[Long])]) = {
+  private[graft] def assign(vecs: DataFrame, centroids: Array[(Int, Array[Long])]) = {
     val candidates = centroids.map { case (cid, c) =>
       struct(dist2Q("_qe", c).as("d"), lit(cid).as("cid"))
     }
     vecs
       .withColumn("_qe", expr(s"transform(embedding, x -> ${qz("x")})"))
       .withColumn("cell",
-        coalesce(array_min(array(candidates.toSeq: _*)).getField("cid"), lit(-1)))
+        when(col("embedding").isNull, lit(-1))
+          .otherwise(coalesce(
+            array_min(array(candidates.toSeq: _*)).getField("cid"), lit(-1))))
       .drop("_qe")
   }
 

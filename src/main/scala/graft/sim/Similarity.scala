@@ -183,6 +183,26 @@ FROM s GROUP BY bucket"""
   val LshBands = 16
   val LshRows = 4
 
+  /** Size cap for an SRP-LSH (band, bucket) cell — the guardrail that
+    * converts a degenerate corpus's unbounded quadratic join into
+    * bounded work plus documented recall loss. Unlike the shingle/
+    * fingerprint df-caps, the bucket key space here is FIXED (2^rows
+    * cells per band), so the cap is NOT a skew detector at healthy
+    * occupancy — it exists for the near-constant-embedding pile: AQE
+    * skew-join can rebalance the compute of a hot cell across tasks but
+    * cannot shrink its O(hot²) candidate OUTPUT, which is what actually
+    * melts down. With the cap, the worst cell costs cap² comparisons,
+    * full stop. Sizing: measured occupancy on the test corpus is
+    * max 208 / avg 125 per cell at sf0.1 (all 256 cells of the 16×4
+    * config live), so 2000 never fires on healthy data; a cell beyond
+    * it holds >10× the hot-bucket ceiling of a direction-diverse corpus
+    * and is a clone pile — [[graft.text.TextOps.dedupExact]]/cluster
+    * territory. At real scale the operating point raises `rows` (deeper
+    * buckets from the same 64-plane signature) so expected occupancy
+    * N/2^rows stays under the cap — see [[annLshDedupPairs]] for that
+    * configuration. Mirrored in the DuckDB oracle via the SQL builder. */
+  val LshBucketCap = 2000
+
   /** The SCALE path for embedding near-duplicate detection, registered
     * first-class: banded SRP-LSH candidate generation → exact rescore.
     * [[embeddingNearDupPairs]] above is the O(N²) exact BASELINE kept for
@@ -191,25 +211,47 @@ FROM s GROUP BY bucket"""
     * comparisons, and every emitted pair is exactly rescored with the
     * integer-quantized dot, so precision is 1 and only recall is
     * probabilistic (≈0.94 at the threshold, see [[LshBands]]).
-    *
-    * Skew note: a near-constant embedding corpus would pile into one
-    * (band,bucket) key; AQE skew-join splits such keys at runtime
-    * (Sessions.clusterDefaults), the same posture as the hot-shingle cap
-    * on the text side.
     */
   def annLshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     annLshNearDupPairsWith(spark, dir, LshBands, LshRows, 0.4)
+
+  /** The dedup-grade operating point, registered first-class: 8 bands ×
+    * 8 rows from the same 64-plane signature, exact rescore at cosine
+    * ≥ 0.8. This is the configuration a 100 TB near-duplicate pass
+    * actually runs: at cosine 0.95 (true near-clones) a plane agrees
+    * w.p. 0.90 and ≥1-of-8 8-plane bands collide w.p. ≈ 0.99, while a
+    * random pair passes any band w.p. 0.5⁸ ≈ 0.4% (≈3% overall) — three
+    * orders of magnitude fewer candidates than the 0.4-threshold demo
+    * config above, which is information-theoretically forced to pass
+    * ~64% of random pairs (see [[LshBands]]). On the driver corpus the
+    * result is EMPTY — measured pairwise cosine tops out at 0.51
+    * (sf0.01) / 0.60 (sf0.1), so both engines agree the rescored set is
+    * empty, which is itself the oracle-checked claim; AnnDedupGradeSpec
+    * drives the same configuration over a clone-pile corpus and asserts
+    * the recall/selectivity numbers above. */
+  def annLshDedupPairs(spark: SparkSession, dir: String): DataFrame =
+    annLshNearDupPairsWith(spark, dir, 8, 8, 0.8)
 
   /** Parameterized form: bands×rows must fit the 64-plane signature;
     * raise rows (and the threshold) for dedup-grade corpora where the
     * near-dup band is well-separated from random pairs. */
   def annLshNearDupPairsWith(spark: SparkSession, dir: String,
                              bands: Int, rows: Int,
-                             threshold: Double): DataFrame = {
+                             threshold: Double): DataFrame =
+    annLshNearDupPairsOver(Tables.embeddings(spark, dir),
+      bands, rows, threshold, LshBucketCap)
+
+  /** Core over any (vec_id, embedding) frame — the spec drives it with
+    * an adversarial near-constant corpus and a tiny cap
+    * (AnnLshCapSpec), mirroring the text side's
+    * [[graft.text.TextOps.simhashPairsOverDocs]]. */
+  private[graft] def annLshNearDupPairsOver(e: DataFrame,
+                                            bands: Int, rows: Int,
+                                            threshold: Double,
+                                            bucketCap: Int): DataFrame = {
     require(bands >= 1 && rows >= 1 && bands * rows <= 64,
       s"need bands >= 1, rows >= 1, bands*rows <= 64; got $bands x $rows " +
         "(rows = 0 would mask every bucket to 0 and degenerate to all-pairs)")
-    val e = Tables.embeddings(spark, dir)
     val banded = e
       .select(col("vec_id"),
         graft.functions.SrpSig64.of(col("embedding")).as("sig"))
@@ -220,8 +262,13 @@ FROM s GROUP BY bucket"""
         // to 0 and silently degenerate the join to all-pairs; bucket is
         // BIGINT because rows can legitimately reach 64
         s"cast(shiftright(sig, band * $rows) & ${if (rows == 64) -1L else (1L << rows) - 1} as bigint) as bucket")
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+    val hot = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > bucketCap)
+      .select("band", "bucket")
+    val kept = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val cand = kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -236,23 +283,29 @@ FROM s GROUP BY bucket"""
       .filter(col("cosine") >= threshold)
   }
 
-  /** Oracle: per-(vec, band) 4-bit buckets recomputed from the md5 sign
-    * rule (plane p = band*4 + j — identical to the SrpSig64 bit layout),
-    * then the same distinct-candidates → exact-rescore composition. */
-  val annLshNearDupPairsSql: String = s"""
+  /** Oracle builder: per-(vec, band) `rows`-bit buckets recomputed from
+    * the md5 sign rule (plane p = band*rows + j — identical to the
+    * SrpSig64 bit layout), hot cells beyond the cap removed, then the
+    * same distinct-candidates → exact-rescore composition. One builder
+    * for every registered (bands, rows, threshold) operating point so
+    * the banding arithmetic cannot drift between them. */
+  private def annLshNearDupPairsSqlWith(bands: Int, rows: Int,
+                                        threshold: Double, cap: Int): String = s"""
 WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
 b AS (
   SELECT n.vec_id, g.band,
-         CAST(list_sum(list_transform(generate_series(0, ${LshRows - 1}), j ->
+         CAST(list_sum(list_transform(generate_series(0, ${rows - 1}), j ->
            CASE WHEN list_sum(list_transform(generate_series(1, len(n.embedding)), i ->
                        ${duckQz("n.embedding[i]")}
-                       * CASE WHEN (CAST(('0x' || substr(md5(CAST(g.band * $LshRows + j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) & 1) = 1
+                       * CASE WHEN (CAST(('0x' || substr(md5(CAST(g.band * $rows + j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) & 1) = 1
                               THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)) > 0
-                THEN (1 << j) ELSE 0 END)) AS INT) AS bucket
-  FROM n, generate_series(0, ${LshBands - 1}) AS g(band)),
+                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket
+  FROM n, generate_series(0, ${bands - 1}) AS g(band)),
+hot AS (SELECT band, bucket FROM b GROUP BY 1, 2 HAVING COUNT(*) > $cap),
+kept AS (SELECT * FROM b ANTI JOIN hot USING (band, bucket)),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
-  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+  FROM kept a JOIN kept b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
 SELECT c.vec_a, c.vec_b,
        CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
               i -> ${duckQz("x.embedding[i]")} * ${duckQz("y.embedding[i]")})) AS DOUBLE)
@@ -260,7 +313,13 @@ SELECT c.vec_a, c.vec_b,
 FROM cand c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id
 WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
              i -> ${duckQz("x.embedding[i]")} * ${duckQz("y.embedding[i]")})) AS DOUBLE)
-        / (x.nrm * y.nrm) >= 0.4"""
+        / (x.nrm * y.nrm) >= $threshold"""
+
+  val annLshNearDupPairsSql: String =
+    annLshNearDupPairsSqlWith(LshBands, LshRows, 0.4, LshBucketCap)
+
+  val annLshDedupPairsSql: String =
+    annLshNearDupPairsSqlWith(8, 8, 0.8, LshBucketCap)
 
   /** Int8 quantization of the embedding store — the storage-reduction
     * pass a 100 TB vector corpus runs before serving (4x smaller than
@@ -306,6 +365,7 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "embedding_near_dup_pairs" -> (embeddingNearDupPairs _),
     "ann_lsh_buckets"          -> (annLshBuckets _),
     "ann_lsh_near_dup_pairs"   -> (annLshNearDupPairs _),
+    "ann_lsh_dedup_pairs"      -> (annLshDedupPairs _),
     "embedding_quantize"       -> (embeddingQuantize _))
 
   val oracle: Map[String, String] = Map(
@@ -313,5 +373,6 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "embedding_near_dup_pairs" -> embeddingNearDupPairsSql,
     "ann_lsh_buckets"          -> annLshBucketsSql,
     "ann_lsh_near_dup_pairs"   -> annLshNearDupPairsSql,
+    "ann_lsh_dedup_pairs"      -> annLshDedupPairsSql,
     "embedding_quantize"       -> embeddingQuantizeSql)
 }

@@ -103,6 +103,34 @@ WHERE s.quality_score >= 60.0
 GROUP BY d.lang
 ORDER BY d.lang"""
 
+  /** The frame the pipeline's curate_corpus stage actually publishes:
+    * [[curatedDocs]] minus (a) the benchmark slice ITSELF and (b) the
+    * passage-level contamination flags ([[TextOps.winnowDecontamination]]).
+    * (a) exists because the decontamination gate only flags TRAIN docs
+    * overlapping the benchmark — the benchmark documents are excluded
+    * from flagging by construction, so without the explicit source
+    * filter the published training corpus would ship the benchmark
+    * slice verbatim: the strongest contamination the gate exists to
+    * prevent. Both exclusions are doc_id anti-joins against slices that
+    * are tiny relative to the corpus (eval suites and their overlaps),
+    * so they broadcast. */
+  def publishedCorpus(spark: SparkSession, dir: String): DataFrame =
+    curatedDocs(spark, dir)
+      .join(Tables.documents(spark, dir)
+          .filter(col("source") === TextOps.BenchmarkSource).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .join(TextOps.winnowDecontamination(spark, dir).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+
+  /** Oracle: the curated-docs SQL with both exclusions as anti-joins —
+    * the composition the pipeline ships is itself oracle-gated. */
+  lazy val publishedCorpusSql: String = s"""
+WITH curated AS ($curatedDocsSql),
+flagged AS (${TextOps.winnowDecontaminationSql})
+SELECT c.* FROM curated c
+ANTI JOIN (SELECT doc_id FROM documents WHERE source = '${TextOps.BenchmarkSource}') b USING (doc_id)
+ANTI JOIN flagged USING (doc_id)"""
+
   /** Corpus accounting per (source, lang) — the mixture-weight input:
     * documents, chars, estimated BPE tokens, and each cell's share of
     * the corpus token total. One groupBy plus a broadcast grand total;
@@ -144,10 +172,12 @@ ORDER BY g.source, g.lang"""
   val inventory: Map[String, Q] = Map(
     "corpus_curation"         -> (corpusCuration _),
     "corpus_curated_docs"     -> (curatedDocs _),
+    "corpus_published"        -> (publishedCorpus _),
     "corpus_token_accounting" -> (corpusTokenAccounting _))
 
   val oracle: Map[String, String] = Map(
     "corpus_curation"         -> corpusCurationSql,
     "corpus_curated_docs"     -> curatedDocsSql,
+    "corpus_published"        -> publishedCorpusSql,
     "corpus_token_accounting" -> corpusTokenAccountingSql)
 }

@@ -576,20 +576,44 @@ FROM c"""
           array_min(transform($shinglesE,
             s -> cast(conv(substr(md5(concat(cast(i as string), ':', s)), 1, 14), 16, 10) as bigint))))"""
 
+  /** Size cap for a MinHash (band, band_hash) bucket — the
+    * [[SimhashBucketCap]] posture applied to the wide-hash bands. A
+    * MinHash band hash carries 4×56 bits, so unlike the 6-7-bit simhash
+    * blocks a hot bucket here means MANY DOCUMENTS WITH THE SAME BAND
+    * SIGNATURE (near-identical shingle sets), not unlucky collisions —
+    * but the join cost is bucket² either way, and a low-entropy corpus
+    * (tiny shared vocabulary, boilerplate-heavy) piles thousands of docs
+    * into one band bucket and goes quadratic (measured 10.3× runtime for
+    * 3× docs on the 30× scale replica before this cap). Recall
+    * semantics: a qualifying pair is lost only when EVERY band it agrees
+    * on is hot; such piles are [[dedupExact]] / [[dedupClusters]]
+    * territory (the members are near-clones of each other by
+    * construction — wide-hash band equality certifies it), not pairwise
+    * enumeration territory. Mirrored in the oracle via a placeholder. */
+  val MinhashBandCap = 200
+
   /** MinHash + LSH near-duplicate candidates: 16 minhashes → 4 bands of 4
-    * hashed to buckets; pairs sharing a band bucket are candidates;
-    * estimated Jaccard = fraction of matching signature positions.
-    * Fully oracle-verified (hashes are md5-derived in both engines). */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    * hashed to buckets; pairs sharing a (non-hot, see [[MinhashBandCap]])
+    * band bucket are candidates; estimated Jaccard = fraction of
+    * matching signature positions. Fully oracle-verified (hashes are
+    * md5-derived in both engines). */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     // repartition: the single-file input would otherwise compute every
-    // signature on one core; carrying mhs through the band join (instead
-    // of joining sigs back per side) evaluates the md5 signature subtree
-    // once per side instead of three times.
-    // graft.functions.MinHashSig is the compiled twin of the
-    // higher-order-function formulation in [[minhashE]] (kept above as
-    // the executable spec) — same md5-derived values, ~4x faster.
-    val sigs = docs(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // signature on one core
+    minhashPairsOverDocs(
+      docs(spark, dir).repartition(spark.sparkContext.defaultParallelism),
+      MinhashBandCap)
+
+  /** Parameterized core over any (doc_id, text) frame — the spec drives
+    * it with an adversarial single-signature corpus and a tiny cap
+    * (MinhashCapSpec), mirroring [[simhashPairsOverDocs]]. Carrying mhs
+    * through the band join (instead of joining sigs back per side)
+    * evaluates the md5 signature subtree once per side instead of three
+    * times; graft.functions.MinHashSig is the compiled twin of the
+    * higher-order-function formulation in [[minhashE]] (kept above as
+    * the executable spec) — same md5-derived values, ~4x faster. */
+  private[graft] def minhashPairsOverDocs(d: DataFrame, bucketCap: Int): DataFrame = {
+    val sigs = d
       .filter(expr(s"size($toksE)") >= 3)
       .select(col("doc_id"), shinglesNative.as("sh"))
       .select(col("doc_id"),
@@ -599,8 +623,13 @@ FROM c"""
       posexplode(expr(
         "transform(sequence(0, 3), b -> md5(concat_ws(',', transform(slice(mhs, b * 4 + 1, 4), x -> cast(x as string)))))"))
         .as(Seq("band", "band_hash")))
-    bands.as("a")
-      .join(bands.as("b"),
+    val hot = bands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > bucketCap)
+      .select("band", "band_hash")
+    val kept = bands.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -611,7 +640,7 @@ FROM c"""
           / lit(16.0)).as("est_jaccard"))
   }
 
-  val dedupMinhashLshSql: String = """
+  private val dedupMinhashLshSqlRaw: String = """
 WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
 shl AS (SELECT doc_id,
                list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -625,12 +654,17 @@ mh AS (SELECT doc_id,
 bands AS (SELECT doc_id, b.b AS band,
                  md5(array_to_string(list_transform(mhs[b.b*4+1:b.b*4+4], x -> CAST(x AS VARCHAR)), ',')) AS band_hash
           FROM mh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
+hot AS (SELECT band, band_hash FROM bands GROUP BY 1, 2 HAVING COUNT(*) > __MINHASH_CAP__),
+kept AS (SELECT * FROM bands ANTI JOIN hot USING (band, band_hash)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b
+         FROM kept a JOIN kept b
            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b,
        CAST(len(list_filter(list_transform(generate_series(1, 16), i -> x.mhs[i] = y.mhs[i]), v -> v)) AS DOUBLE) / 16.0 AS est_jaccard
 FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
+
+  val dedupMinhashLshSql: String =
+    dedupMinhashLshSqlRaw.replace("__MINHASH_CAP__", MinhashBandCap.toString)
 
   // ------------------------------------------------------------- SimHash
 

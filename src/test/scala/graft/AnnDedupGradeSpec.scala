@@ -1,0 +1,68 @@
+package graft
+
+import graft.sim.Similarity
+
+/** The dedup-grade SRP-LSH operating point (8 bands × 8 rows, cosine
+  * ≥ 0.8 — [[graft.sim.Similarity.annLshDedupPairs]]): on a corpus that
+  * actually CONTAINS near-clones, deep bands keep recall near 1 while
+  * passing a tiny fraction of random pairs as candidates — the property
+  * the shallow 16×4 demo config cannot have at its 0.4 threshold. The
+  * driver corpus tops out at cosine 0.6, so the registered query's
+  * oracle checks the empty result; this spec supplies the non-trivial
+  * evidence on a clone-pile corpus. */
+class AnnDedupGradeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random corpus: 20 base directions × 5 jittered
+  // clones each (pairwise cosine ≈ 0.999 within a pile) + 150 unrelated
+  // random vectors
+  // 64 dims like the driver corpus: random-pair cosine has σ ≈ 1/8, so
+  // a random pair at 0.8 is a >6σ accident (at 16 dims it actually
+  // happens among 11k pairs)
+  private val rnd = new scala.util.Random(42)
+  private def randVec(): Array[Float] =
+    Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+  private val piles = (0 until 20).map { p =>
+    val base = randVec()
+    (0 until 5).map { c =>
+      (p * 10 + c).toLong ->
+        base.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+    }
+  }
+  private val noise = (0 until 150).map(i => (1000 + i).toLong -> randVec())
+  private val corpus = (piles.flatten ++ noise).toSeq
+
+  private def pileOf(id: Long): Long = id / 10
+
+  test("8x8 bands at cosine >= 0.8 recall clone piles with precision 1") {
+    val e = corpus.toDF("vec_id", "embedding")
+    val found = Similarity.annLshNearDupPairsOver(e, 8, 8, 0.8, Similarity.LshBucketCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair is exactly rescored, so nothing below 0.8
+    // survives — on this corpus that means only within-pile pairs
+    assert(found.forall { case (a, b) => a < 1000 && b < 1000 && pileOf(a) == pileOf(b) },
+      s"non-clone pair passed the 0.8 rescore: ${found.filterNot { case (a, b) => a < 1000 && b < 1000 && pileOf(a) == pileOf(b) }}")
+    // recall: 20 piles x C(5,2) = 200 true pairs; >= 0.99 expected at
+    // cosine ~0.999 (plane agreement ~0.99), leave slack for md5-plane
+    // determinism quirks
+    assert(found.size >= 190, s"recall too low: ${found.size}/200 clone pairs")
+  }
+
+  test("deep bands pass few random pairs as candidates; shallow bands cannot") {
+    val e = noise.toDF("vec_id", "embedding")
+    val allPairs = 150 * 149 / 2.0
+    // threshold -1 accepts every rescored candidate, exposing the raw
+    // candidate set through the public result
+    val deep = Similarity.annLshNearDupPairsOver(e, 8, 8, -1.0, Similarity.LshBucketCap).count()
+    val shallow = Similarity.annLshNearDupPairsOver(e, 16, 4, -1.0, Similarity.LshBucketCap).count()
+    // 8-plane bands: random pair passes ≈ 1-(1-0.5^8)^8 ≈ 3% of pairs
+    assert(deep / allPairs < 0.10,
+      f"deep banding passed ${deep / allPairs}%.3f of random pairs (expected ~0.03)")
+    // 4-plane bands: ≈ 1-(1-0.5^4)^16 ≈ 64% — the documented ceiling of
+    // the shallow demo config
+    assert(shallow / allPairs > 0.40,
+      f"shallow banding passed only ${shallow / allPairs}%.3f of random pairs (expected ~0.64)")
+    assert(deep * 5 < shallow,
+      s"deep banding should generate far fewer candidates: $deep vs $shallow")
+  }
+}

@@ -42,11 +42,18 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("approx count distinct stays within 5% of exact") {
-    val approx = Extensions.approxMonthlyTransactions(spark, sf)
+    val approx = Extensions.approxMonthlyTransactionsRaw(spark, sf)
       .agg(sum("approx_transactions")).head.getLong(0)
     val exact = graft.warehouse.Warehouse.fact(spark, sf)
       .select("l_orderkey", "date_key").distinct().count()
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
+  }
+
+  test("registered bound check reports every HLL estimate within 10% of exact") {
+    val rows = Extensions.approxMonthlyTransactions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("approx_within_10pct"),
+      s"(${r.get(0)}, ${r.get(1)}): HLL estimate outside 10% of ${r.get(2)}"))
   }
 }

@@ -14,6 +14,26 @@ class IvfSpec extends SparkSpec {
     assert(idx.select("vec_id", "cell").except(again).count() == 0)
   }
 
+  test("null embeddings route to cell -1, not centroid 0") {
+    import spark.implicits._
+    // with a null embedding every candidate struct has d = null, and
+    // struct ordering sorts null d FIRST — the bare argmin would
+    // silently land such rows in cell 0; the explicit when() routes
+    // them to -1 so they drop out of cell joins
+    val vecs = Seq(
+      (1L, Some(Array(0.5f, 0.25f, -0.125f, 0.75f))),
+      (2L, Option.empty[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val centroids = Array(
+      0 -> Array(5000000L, 2500000L, -1250000L, 7500000L),
+      1 -> Array(-5000000L, -2500000L, 1250000L, -7500000L))
+    val cells = Ivf.assign(vecs, centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(1L) == 0, s"real vector should hit its nearest centroid, got ${cells(1L)}")
+    assert(cells(2L) == -1, s"null embedding must route to -1, got ${cells(2L)}")
+  }
+
   test("ivf search recall against exact top-k is reasonable") {
     val exact = Similarity.annCosineTopK(spark, sf)
       .select("query_id", "vec_id").collect()

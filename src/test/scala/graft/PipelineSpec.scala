@@ -175,17 +175,22 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/streaming/events").count() == nDistinct)
 
     // curated corpus shipped as the full hash-stable shard layout,
-    // minus the passage-level decontamination flags
+    // minus the benchmark slice and the passage-level decontamination
+    // flags (the shared Curation.publishedCorpus definition)
     val shardDirs = new java.io.File(s"$out/corpus").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("shard=")).sorted
     assert(shardDirs.length == Pipeline.CorpusShards,
       s"expected ${Pipeline.CorpusShards} shard dirs, got ${shardDirs.toSeq}")
     val corpus = spark.read.parquet(s"$out/corpus")
-    val expected = graft.text.Curation.curatedDocs(spark, sf)
-      .join(graft.text.TextOps.winnowDecontamination(spark, sf).select("doc_id"),
-        Seq("doc_id"), "left_anti")
+    val expected = graft.text.Curation.publishedCorpus(spark, sf)
     assert(corpus.count() == expected.count())
     assert(corpus.count() > 0, "decontamination gate must not empty the corpus")
+    // the strongest contamination: the benchmark slice itself must not
+    // ship in the training corpus
+    val benchIds = Tables.documents(spark, sf)
+      .filter(col("source") === graft.text.TextOps.BenchmarkSource).select("doc_id")
+    assert(corpus.join(benchIds, "doc_id").count() == 0,
+      "published corpus must not contain benchmark-source documents")
     assert(corpus.filter(col("shard") =!=
       pmod(hash(col("doc_id")), lit(Pipeline.CorpusShards))).count() == 0)
   }

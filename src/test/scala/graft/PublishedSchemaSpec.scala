@@ -30,10 +30,10 @@ class PublishedSchemaSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracle SQL without a query: ${o -- q}")
-    // queries without oracle are the documented sketch ops only
+    // every registered query is oracled — the sketch ops register their
+    // bound checks (deterministic booleans), not their raw estimates
     val unoracled = q -- o
-    assert(unoracled == Set("approx_monthly_transactions", "approx_quantiles_line_total"),
-      s"unexpected unoracled queries: $unoracled")
+    assert(unoracled.isEmpty, s"unexpected unoracled queries: $unoracled")
   }
 
   test("the flagship entry query returns rows") {

@@ -10,7 +10,7 @@ class QuantilesSpec extends SparkSpec {
       .select("payment_method", "p50_micros", "p90_micros", "p99_micros")
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val approx = Quantiles.approxQuantilesLineTotal(spark, sf)
+    val approx = Quantiles.approxQuantilesRaw(spark, sf)
       .select("payment_method", "p50_micros", "p90_micros", "p99_micros")
       .collect()
     assert(approx.nonEmpty)
@@ -20,6 +20,17 @@ class QuantilesSpec extends SparkSpec {
         case (a, e) =>
           assert(math.abs(a - e).toDouble / e <= 0.02,
             s"${r.getString(0)}: approx $a vs exact $e off by >2%")
+      }
+    }
+  }
+
+  test("registered bound check reports every sketch value within its rank contract") {
+    val rows = Quantiles.approxQuantilesLineTotal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("p50_in_bounds", "p90_in_bounds", "p99_in_bounds").foreach { c =>
+        assert(r.getAs[Boolean](c),
+          s"${r.getString(0)}: $c is false — sketch broke its rank-error contract")
       }
     }
   }

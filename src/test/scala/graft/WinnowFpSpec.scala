@@ -118,6 +118,26 @@ class WinnowFpSpec extends SparkSpec {
     }
   }
 
+  test("truncated multi-byte UTF-8 tail degrades gracefully instead of overrunning") {
+    import spark.implicits._
+    // '漢' is 3 bytes (e6 bc a2); keeping only the first 1-2 bytes makes
+    // a malformed tail — reachable via cast(binary as string) or corrupt
+    // data. The decode must stop at the partial character (dropping it),
+    // not read past the byte array.
+    val whole = "abcdefghij漢"
+    val wholeBytes = whole.getBytes("UTF-8")
+    val truncated = Seq(wholeBytes.length - 1, wholeBytes.length - 2).map(n =>
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(wholeBytes.take(n)))
+    truncated.foreach { u =>
+      val out = WinnowFp.compute(u, WinnowFp.DefaultK, WinnowFp.DefaultW)
+      // same fingerprints as the clean prefix without the partial char
+      val expected = TextOps.winnowReference(
+        "abcdefghij", WinnowFp.DefaultK, WinnowFp.DefaultW)
+      assert(out.toLongArray().toSeq == expected,
+        s"truncated tail (${u.numBytes()} bytes) should fingerprint the clean prefix")
+    }
+  }
+
   test("winnow_fp is callable from SQL via the extension registration") {
     graft.functions.GraftExtensions.register(spark)
     val viaSql = spark.sql(
