@@ -215,22 +215,48 @@ FROM s GROUP BY bucket"""
   def annLshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     annLshNearDupPairsWith(spark, dir, LshBands, LshRows, 0.4)
 
-  /** The dedup-grade operating point, registered first-class: 8 bands ×
-    * 8 rows from the same 64-plane signature, exact rescore at cosine
-    * ≥ 0.8. This is the configuration a 100 TB near-duplicate pass
-    * actually runs: at cosine 0.95 (true near-clones) a plane agrees
-    * w.p. 0.90 and ≥1-of-8 8-plane bands collide w.p. ≈ 0.99, while a
-    * random pair passes any band w.p. 0.5⁸ ≈ 0.4% (≈3% overall) — three
-    * orders of magnitude fewer candidates than the 0.4-threshold demo
-    * config above, which is information-theoretically forced to pass
-    * ~64% of random pairs (see [[LshBands]]). On the driver corpus the
-    * result is EMPTY — measured pairwise cosine tops out at 0.51
+  /** Bucket-depth occupancy target for the adaptive dedup operating
+    * point: rows r is the smallest value ≥ 8 with n ≤ target·2^r, so
+    * expected cell occupancy n/2^r stays ≤ target however large the
+    * corpus — WITHOUT this, any fixed depth has Θ(n²/2^r) candidate
+    * mass and the op goes quadratic (measured: 1.6s at 50k vectors →
+    * 86s at 150k with fixed 8×8, with the bucket cap silently costing
+    * 60% clone recall as cells crossed it; adaptive depth restores both
+    * linearity and recall). Integer-exact on both engines: the oracle
+    * mirrors the same thresholds as a CASE ladder — no float log2 at a
+    * ceil boundary to disagree about. */
+  val LshAdaptiveTargetOccupancy = 50L
+
+  /** Smallest r in [8, 32] with n ≤ [[LshAdaptiveTargetOccupancy]]·2^r. */
+  def adaptiveLshRows(n: Long): Int = {
+    var r = 8
+    while (r < 32 && n > LshAdaptiveTargetOccupancy * (1L << r)) r += 1
+    r
+  }
+
+  /** The dedup-grade operating point, registered first-class:
+    * occupancy-adaptive depth (≥ 8 rows — see [[adaptiveLshRows]], 8×8
+    * on both driver SFs) from the 64-plane signature, bands = 64/rows,
+    * exact rescore at cosine ≥ 0.8. This is the configuration a 100 TB
+    * near-duplicate pass actually runs: at cosine 0.95 (true
+    * near-clones) a plane agrees w.p. 0.90 and deep bands still collide
+    * w.p. ≈ 0.99 in ≥1 band, while a random pair passes any 8-plane
+    * band w.p. 0.5⁸ ≈ 0.4% (deeper rows push it lower still) — orders
+    * of magnitude fewer candidates than the 0.4-threshold demo config
+    * above, which is information-theoretically forced to pass ~64% of
+    * random pairs (see [[LshBands]]). The one extra count() job that
+    * sizes the depth is a parquet-metadata read. On the driver corpus
+    * the result is EMPTY — measured pairwise cosine tops out at 0.51
     * (sf0.01) / 0.60 (sf0.1), so both engines agree the rescored set is
     * empty, which is itself the oracle-checked claim; AnnDedupGradeSpec
-    * drives the same configuration over a clone-pile corpus and asserts
-    * the recall/selectivity numbers above. */
-  def annLshDedupPairs(spark: SparkSession, dir: String): DataFrame =
-    annLshNearDupPairsWith(spark, dir, 8, 8, 0.8)
+    * drives the same banding over a clone-pile corpus and asserts the
+    * recall/selectivity numbers, and the jittered-replica ScaleGen
+    * rungs measure it at 50k/150k vectors. */
+  def annLshDedupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val rows = adaptiveLshRows(e.count())
+    annLshNearDupPairsOver(e, 64 / rows, rows, 0.8, LshBucketCap)
+  }
 
   /** Parameterized form: bands×rows must fit the 64-plane signature;
     * raise rows (and the threshold) for dedup-grade corpora where the
@@ -252,7 +278,13 @@ FROM s GROUP BY bucket"""
     require(bands >= 1 && rows >= 1 && bands * rows <= 64,
       s"need bands >= 1, rows >= 1, bands*rows <= 64; got $bands x $rows " +
         "(rows = 0 would mask every bucket to 0 and degenerate to all-pairs)")
-    val banded = e
+    // repartition: a single-file embeddings input is ONE partition, and
+    // Spark broadcast-joins the (small) build side — leaving the entire
+    // multi-million-pair join output to be computed in a single probe
+    // task (measured: one 350s serial task at the 10× rung). Same
+    // single-file guard as embeddingNearDupPairs / dedupMinhashLsh.
+    val ein = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    val banded = ein
       .select(col("vec_id"),
         graft.functions.SrpSig64.of(col("embedding")).as("sig"))
       .select(col("vec_id"),
@@ -273,7 +305,7 @@ FROM s GROUP BY bucket"""
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    val n = e.select(col("vec_id"), col("embedding"), normN("embedding").as("nrm"))
+    val n = ein.select(col("vec_id"), col("embedding"), normN("embedding").as("nrm"))
     cand
       .join(n.as("x"), col("vec_a") === col("x.vec_id"))
       .join(n.as("y"), col("vec_b") === col("y.vec_id"))
@@ -283,24 +315,30 @@ FROM s GROUP BY bucket"""
       .filter(col("cosine") >= threshold)
   }
 
-  /** Oracle builder: per-(vec, band) `rows`-bit buckets recomputed from
-    * the md5 sign rule (plane p = band*rows + j — identical to the
+  /** Oracle builder: per-(vec, band) `r`-bit buckets recomputed from
+    * the md5 sign rule (plane p = band*r + j — identical to the
     * SrpSig64 bit layout), hot cells beyond the cap removed, then the
     * same distinct-candidates → exact-rescore composition. One builder
-    * for every registered (bands, rows, threshold) operating point so
-    * the banding arithmetic cannot drift between them. */
-  private def annLshNearDupPairsSqlWith(bands: Int, rows: Int,
-                                        threshold: Double, cap: Int): String = s"""
+    * for every registered operating point so the banding arithmetic
+    * cannot drift between them. `rE` is a SQL expression over `n`
+    * (corpus row count) evaluated once in the cfg CTE — a literal for
+    * the static config, the integer CASE ladder for the adaptive one;
+    * cfg is CROSS JOINed into the row stream because DuckDB allows
+    * captured columns inside lambda bodies but not subqueries. Bands
+    * are always 64 // r (the whole 64-plane signature banded). */
+  private def annLshPairsSqlCore(rE: String, threshold: Double, cap: Int): String = s"""
 WITH n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
+cfg AS (SELECT CAST($rE AS INT) AS r FROM (SELECT COUNT(*) AS n FROM embeddings)),
+g AS (SELECT unnest(generate_series(0, 64 // r - 1)) AS band FROM cfg),
 b AS (
   SELECT n.vec_id, g.band,
-         CAST(list_sum(list_transform(generate_series(0, ${rows - 1}), j ->
+         CAST(list_sum(list_transform(generate_series(0, c.r - 1), j ->
            CASE WHEN list_sum(list_transform(generate_series(1, len(n.embedding)), i ->
                        ${duckQz("n.embedding[i]")}
-                       * CASE WHEN (CAST(('0x' || substr(md5(CAST(g.band * $rows + j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) & 1) = 1
+                       * CASE WHEN (CAST(('0x' || substr(md5(CAST(g.band * c.r + j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) & 1) = 1
                               THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)) > 0
                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket
-  FROM n, generate_series(0, ${bands - 1}) AS g(band)),
+  FROM n CROSS JOIN cfg c CROSS JOIN g),
 hot AS (SELECT band, bucket FROM b GROUP BY 1, 2 HAVING COUNT(*) > $cap),
 kept AS (SELECT * FROM b ANTI JOIN hot USING (band, bucket)),
 cand AS (
@@ -316,10 +354,17 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
         / (x.nrm * y.nrm) >= $threshold"""
 
   val annLshNearDupPairsSql: String =
-    annLshNearDupPairsSqlWith(LshBands, LshRows, 0.4, LshBucketCap)
+    annLshPairsSqlCore(LshRows.toString, 0.4, LshBucketCap)
+
+  /** The [[adaptiveLshRows]] doubling loop as an integer CASE ladder —
+    * bit-exact on both engines (no float log2 at a ceil boundary). */
+  private val adaptiveRowsCaseE: String =
+    (8 until 32).map(r =>
+      s"WHEN n <= ${LshAdaptiveTargetOccupancy * (1L << r)} THEN $r")
+      .mkString("CASE ", " ", " ELSE 32 END")
 
   val annLshDedupPairsSql: String =
-    annLshNearDupPairsSqlWith(8, 8, 0.8, LshBucketCap)
+    annLshPairsSqlCore(adaptiveRowsCaseE, 0.8, LshBucketCap)
 
   /** Int8 quantization of the embedding store — the storage-reduction
     * pass a 100 TB vector corpus runs before serving (4x smaller than

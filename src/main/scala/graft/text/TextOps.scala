@@ -230,9 +230,12 @@ FROM documents"""
     * equi-join shape as the LSH families; no all-pairs work). */
   import graft.functions.WinnowFp
   def docFingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
-      col("doc_id"),
-      explode(graft.functions.WinnowFp.of(col("text"))).as("fp"))
+    // repartition: the single-file documents input would otherwise run
+    // every rolling-hash pass in one task (same guard as dedupMinhashLsh)
+    docs(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        explode(graft.functions.WinnowFp.of(col("text"))).as("fp"))
 
   /** Plain-Scala reference twin of [[graft.functions.WinnowFp]] (spec
     * use only) — deliberately a DIFFERENT algorithm: direct O(k) re-hash
@@ -334,8 +337,9 @@ GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowSharedMin"""
   /** (doc_id, source, fp) with corpus-wide hot fingerprints removed —
     * shared by [[winnowDecontamination]] and its streaming twin. */
   private[graft] def cappedSourceWinnowFps(spark: SparkSession, dir: String): DataFrame = {
-    val fps = docs(spark, dir).select(col("doc_id"), col("source"),
-      explode(WinnowFp.of(col("text"))).as("fp"))
+    val fps = docs(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        explode(WinnowFp.of(col("text"))).as("fp"))
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > WinnowDfCap).select("fp")
     fps.join(broadcast(hot), Seq("fp"), "left_anti")
