@@ -68,19 +68,25 @@ object Bench {
     // deltas unreadable. A failing query must not record a near-zero
     // time and silently improve the total: emit -1 for it, count it,
     // and exit nonzero.
-    def timed(name: String): (String, Double, Double) =
+    // Output row count rides along (free — the timed pass collects
+    // anyway): at scale the interesting failures are output-cardinality
+    // cliffs, not slow scans — e.g. a capped bucket join silently
+    // truncating to 0 rows at an occupancy the cap can't hold reads as a
+    // 14× "speed-up" unless the artifact shows the rows went to zero.
+    def timed(name: String): (String, Double, Double, Long) =
       try {
+        var rows = 0L
         val runs = (1 to TimedRuns).map { _ =>
           val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir).collect()
+          rows = SparkEntry.queries(name)(spark, sfDir).collect().length.toLong
           (System.nanoTime() - t0) / 1e9
         }
         val med = median(runs)
-        (name, med, (runs.max - runs.min) / med)
+        (name, med, (runs.max - runs.min) / med, rows)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          (name, -1.0, 0.0)
+          (name, -1.0, 0.0, -1L)
       }
     val results = qs.map(timed)
     // Extension-operator pass (dedup/ANN/text/curation/temporal): folded
@@ -100,15 +106,18 @@ object Bench {
     val extResults = extQs.map(timed)
 
     val failures = results.count(_._2 < 0) + extResults.count(_._2 < 0)
-    def js(rs: Seq[(String, Double, Double)]): String =
-      rs.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
-    def sjs(rs: Seq[(String, Double, Double)]): String =
-      rs.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }.mkString("{", ",", "}")
+    def js(rs: Seq[(String, Double, Double, Long)]): String =
+      rs.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    def sjs(rs: Seq[(String, Double, Double, Long)]): String =
+      rs.map { case (k, _, s, _) => "\"" + k + "\":" + f"$s%.3f" }.mkString("{", ",", "}")
+    def rjs(rs: Seq[(String, Double, Double, Long)]): String =
+      rs.map { case (k, _, _, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val extTotal = extResults.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$TimedRuns,"stat":"median",""" +
       s""""queries":${js(results)},"spread":${sjs(results)},""" +
       s""""ext_total":$extTotal,"ext_queries":${js(extResults)},"ext_spread":${sjs(extResults)},""" +
+      s""""ext_rows":${rjs(extResults)},""" +
       s""""failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
