@@ -47,49 +47,37 @@ object Ivf {
   private def qz(x: String): String =
     s"cast(floor(cast($x as double) * 1e7) as bigint)"
 
-  /** Exact integer L2² between an already-quantized grid-point array
-    * column and a grid-point centroid literal. Magnitudes: |q| < 1e7 →
-    * diff < 2e7, squares < 4e14, ×64 dims < 3e16 — no 64-bit overflow. */
-  private def dist2Q(qeCol: String, centroid: Array[Long]): Column = {
-    val cLit = centroid.mkString("array(", "L,", "L)")
-    expr(s"""aggregate(zip_with($qeCol, $cLit, (x, y) -> (x - y) * (x - y)),
-             cast(0 as bigint), (a, v) -> a + v)""")
-  }
-
   /** Argmin centroid id for each row of `vecs` given driver-side
-    * centroids. LINEAR in k: one struct(d, cid) per centroid collected
-    * into an array, argmin via `array_min` — struct ordering compares
-    * `d` first then `cid`, which keeps the lowest cell id on ties,
-    * mirrored by `ORDER BY d2, cell` in the oracle. (A when-chain fold
-    * that re-embeds its accumulator would be O(2^k) in expression-tree
-    * size and hang Catalyst analysis at k=16.) The embedding quantizes
-    * to the grid ONCE into a temp column so each of the k distance
-    * subtrees reads grid points instead of re-quantizing per component.
+    * centroids — one native codegen'd expression
+    * ([[graft.functions.QArgminCell]]): the embedding quantizes once
+    * into a primitive array and the k·dim distance loop is tight JVM
+    * arithmetic, with the same d-then-lowest-cid tie-break the oracle
+    * mirrors via `ORDER BY d2, cell`. History of this one line, because
+    * each form failed a different way at scale: a when-chain fold
+    * re-embedding its accumulator was O(2^k) in TREE SIZE and hung
+    * Catalyst analysis at k=16 (round 6); the linear `array_min` over
+    * k struct subtrees analyzed fine but EVALUATED interpreted — HOF
+    * lambdas allocate ~2·dim boxed frames per candidate per row, and
+    * with the Lloyd loop re-running it each iteration the interpreted
+    * argmin was the dominant cost of the whole ivf_search query
+    * (≈1.3s at sf0.01 and sf0.1 alike — overhead, not data; 0.6s
+    * after going native).
     *
     * Null embeddings are routed to cell -1 EXPLICITLY (the leading
-    * `when`): with a null embedding every candidate struct has d =
-    * null, and struct ordering sorts null d FIRST, so the bare argmin
-    * would silently assign such rows to centroid 0 — the coalesce alone
-    * never fires. -1 matches no centroid id, so the row drops out of
-    * cell joins. The `when`/`coalesce` pair also keeps `cell`
+    * `when`; the native expression is nullIntolerant, so a bare argmin
+    * would emit null). -1 matches no centroid id, so the row drops out
+    * of cell joins. The `when`/`coalesce` pair keeps `cell`
     * NON-NULLABLE: downstream equi-joins on `cell` would otherwise
-    * infer an `IsNotNull(cell)` filter whose condition is this whole
-    * k-candidate expression — evaluating the full argmin twice per row
-    * (once in the inferred Filter, once in the Project; seen in the
-    * ivf_search plan dump).
+    * infer an `IsNotNull(cell)` filter whose condition is the whole
+    * argmin expression — evaluating it twice per row (once in the
+    * inferred Filter, once in the Project; seen in the ivf_search plan
+    * dump).
     */
-  private[graft] def assign(vecs: DataFrame, centroids: Array[(Int, Array[Long])]) = {
-    val candidates = centroids.map { case (cid, c) =>
-      struct(dist2Q("_qe", c).as("d"), lit(cid).as("cid"))
-    }
-    vecs
-      .withColumn("_qe", expr(s"transform(embedding, x -> ${qz("x")})"))
-      .withColumn("cell",
-        when(col("embedding").isNull, lit(-1))
-          .otherwise(coalesce(
-            array_min(array(candidates.toSeq: _*)).getField("cid"), lit(-1))))
-      .drop("_qe")
-  }
+  private[graft] def assign(vecs: DataFrame, centroids: Array[(Int, Array[Long])]): DataFrame =
+    vecs.withColumn("cell",
+      when(col("embedding").isNull, lit(-1))
+        .otherwise(coalesce(
+          graft.functions.QArgminCell.of("embedding", centroids), lit(-1))))
 
   /** Fixed-iteration Lloyd k-means over the collection; returns the final
     * centroids as 1e-7-grid integer vectors (the per-iteration groupBy(k)
@@ -104,23 +92,32 @@ object Ivf {
       }
     val dim = centroids.head._2.length
     (1 to iterations).foreach { _ =>
-      val assigned = assign(vecs, centroids)
       // cell means from EXACT integer sums of the quantized components,
       // re-snapped to the grid with floor(sum/n): sums < 2^53 are exact
       // in double, so the one double division is IEEE-identical on the
-      // driver, in Spark SQL and in DuckDB — bit-reproducible everywhere
-      val sumCols = (0 until dim).map(i =>
-        sum(expr(qz(s"element_at(embedding, ${i + 1})"))).as(s"s$i")) :+
-        count(lit(1)).as("n")
-      val means = assigned.groupBy("cell")
-        .agg(sumCols.head, sumCols.tail: _*)
+      // driver, in Spark SQL and in DuckDB — bit-reproducible everywhere.
+      // The sums posexplode the raw embedding and quantize the exploded
+      // SCALAR — no higher-order function anywhere, so the whole pass
+      // stays inside WholeStageCodegen — through ONE constant-shape
+      // (cell, dim) hash aggregate instead of 64 per-dimension sum
+      // columns: integer addition is order-independent, so the result
+      // is bit-identical, and the per-iteration plan the analyzer must
+      // rebuild (fresh centroid constants every iteration) shrinks from
+      // 65 agg expressions to 2. Collected state is k·dim rows —
+      // bounded by the index size, not the data.
+      val means = assign(vecs, centroids)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(sum(expr(qz("v"))).as("s"), count(lit(1)).as("n"))
         .collect()
-      val updated = means.map { r =>
-        val n = r.getAs[Long]("n").toDouble
-        (r.getAs[Int]("cell"),
-          (0 until dim).map(i =>
-            math.floor(r.getAs[Long](s"s$i").toDouble / n).toLong).toArray)
-      }.toMap
+      val updated = means.groupBy(_.getAs[Int]("cell")).map { case (cell, rows) =>
+        val comps = new Array[Long](dim)
+        rows.foreach { r =>
+          comps(r.getAs[Int]("dim")) =
+            math.floor(r.getAs[Long]("s").toDouble / r.getAs[Long]("n").toDouble).toLong
+        }
+        (cell, comps)
+      }
       // empty cells keep their previous centroid
       centroids = centroids.map { case (cid, c) => (cid, updated.getOrElse(cid, c)) }
     }
@@ -132,8 +129,15 @@ object Ivf {
     * instead of recomputing cell means). */
   def buildIndexFull(spark: SparkSession, dir: String, k: Int = 16,
                      iterations: Int = 3): IvfIndex = {
+    // persisted because Lloyd makes iterations+1 full passes (one argmin
+    // + cell-mean job per iteration, then the final assignment): the
+    // collection is read from the source once and served from
+    // executor-local storage after that — the cache IS the index's
+    // backing store, sized at one copy of the collection and evictable
+    // (MEMORY_AND_DISK via StorageLevel default) under pressure
     val vecs = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
+      .persist()
     val centroids = lloyd(vecs, k, iterations)
     val centroidDf = spark.createDataFrame(
       centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) })
@@ -163,7 +167,11 @@ object Ivf {
   def search(spark: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
              topK: Int = 10, nQueries: Int = 5): DataFrame = {
     val idx = buildIndexFull(spark, dir, k)
-    val queries = idx.assignments.filter(col("vec_id") < nQueries)
+    // queries never use `cell` — read the raw table instead of
+    // idx.assignments so the k-candidate argmin isn't evaluated a
+    // second time just to be projected away
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
 
     val probes = queries
