@@ -75,6 +75,14 @@ object Bench {
     // 14× "speed-up" unless the artifact shows the rows went to zero.
     def timed(name: String): (String, Double, Double, Long) =
       try {
+        // drain the PREVIOUS op's garbage before timing this one: a
+        // pair-listing op that collects millions of rows (9.9M for
+        // ann_lsh_dedup_pairs at the 100x rung) leaves the old gen full,
+        // and without this the NEXT three ops in sequence measured 3-5x
+        // their fresh-JVM cost — a sick-JVM artifact misattributed to
+        // the ops (text_stats read as 10x superlinear; it is exactly
+        // linear). The pause lands outside the timed window.
+        System.gc()
         var rows = 0L
         val runs = (1 to TimedRuns).map { _ =>
           val t0 = System.nanoTime()

@@ -58,6 +58,11 @@ object BenchExt {
       }
       val results = qs.map { name =>
         try {
+          // per-op gc, outside the timed window: without it a
+          // multi-million-row pair-listing collect leaves the old gen
+          // full and the NEXT ops measure their neighbor's GC debt
+          // (same rationale as Bench.timed)
+          System.gc()
           val runs = (1 to TimedRuns).map { _ =>
             val t0 = System.nanoTime()
             SparkEntry.queries(name)(spark, sfDir).collect()
