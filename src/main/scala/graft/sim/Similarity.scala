@@ -387,6 +387,66 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
   val annLshDedupPairsSql: String =
     annLshPairsSqlCore(adaptiveRowsCaseE, 0.8, LshBucketCap)
 
+  /** One materialized CC run per (session, dir) — the iterative label
+    * propagation executes jobs eagerly at construction and caches label
+    * rounds, so re-running it per bench pass would stack abandoned
+    * cache entries (the [[graft.text.DedupClusters.dedupClusters]]
+    * pattern, for the same reason). */
+  private val repsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** The output-BOUNDED form of embedding deduplication — what a 100 TB
+    * pipeline actually ships: [[annLshDedupPairs]] emits one row per
+    * near-duplicate PAIR, which is intrinsically quadratic in clone
+    * multiplicity (measured: 9.9M pairs at the 100× rung's piles of
+    * 100), while this op collapses the pair graph to connected
+    * components and elects the min-vec_id representative per cluster —
+    * output exactly one row per VECTOR, whatever the clone structure.
+    * Composition of two verified pieces: the adaptive-depth dedup-grade
+    * pair generator and the shared minimum-label-propagation CC
+    * ([[graft.text.DedupClusters.connectedComponents]] — per-round one
+    * shuffle join + one groupBy min, no driver-side graph). On the
+    * driver corpus the similarity graph is EMPTY (pairwise cosine tops
+    * out at 0.51/0.60 < 0.8), so every vector is its own keeper — the
+    * oracle checks exactly that fixpoint via the same recursive CTE;
+    * AnnDedupGradeSpec drives clone piles and asserts each pile
+    * collapses to one representative. */
+  def annDedupReps(spark: SparkSession, dir: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    repsCache.keys.filter(_._1 != appId).foreach(repsCache.remove)
+    repsCache.getOrElseUpdate((appId, dir),
+      annDedupRepsOver(Tables.embeddings(spark, dir)))
+  }
+
+  /** Core over any (vec_id, embedding) frame (spec surface). */
+  private[graft] def annDedupRepsOver(e: DataFrame): DataFrame = {
+    val rows = adaptiveLshRows(e.count())
+    val pairs = annLshNearDupPairsOver(e, 64 / rows, rows, 0.8, LshBucketCap)
+      .select(col("vec_a"), col("vec_b"))
+    graft.text.DedupClusters
+      .connectedComponents(e.select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("is_keeper"))
+  }
+
+  /** Recursive-CTE twin over the SAME pair SQL the ann_lsh_dedup_pairs
+    * oracle verifies (nested WITH in a derived table), min label per
+    * node fixpoint — the iterative Spark algorithm is value-verified
+    * against a closed-form reachability computation. */
+  val annDedupRepsSql: String = s"""
+WITH RECURSIVE prs AS (
+  SELECT vec_a AS a, vec_b AS b FROM ($annLshDedupPairsSql) t),
+edges AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+reach(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON r.node = e.b),
+rch AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+sizes AS (SELECT label AS cluster_id, COUNT(*) AS cluster_size FROM rch GROUP BY label)
+SELECT r.node AS vec_id, r.label AS cluster_id, s.cluster_size,
+       r.node = r.label AS is_keeper
+FROM rch r JOIN sizes s ON r.label = s.cluster_id"""
+
   /** Int8 quantization of the embedding store — the storage-reduction
     * pass a 100 TB vector corpus runs before serving (4x smaller than
     * float32, cosine ranking preserved to ~1e-2): per-dimension min/max
@@ -432,6 +492,7 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "ann_lsh_buckets"          -> (annLshBuckets _),
     "ann_lsh_near_dup_pairs"   -> (annLshNearDupPairs _),
     "ann_lsh_dedup_pairs"      -> (annLshDedupPairs _),
+    "ann_dedup_reps"           -> (annDedupReps _),
     "embedding_quantize"       -> (embeddingQuantize _))
 
   val oracle: Map[String, String] = Map(
@@ -440,5 +501,6 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "ann_lsh_buckets"          -> annLshBucketsSql,
     "ann_lsh_near_dup_pairs"   -> annLshNearDupPairsSql,
     "ann_lsh_dedup_pairs"      -> annLshDedupPairsSql,
+    "ann_dedup_reps"           -> annDedupRepsSql,
     "embedding_quantize"       -> embeddingQuantizeSql)
 }

@@ -43,12 +43,29 @@ object DedupClusters {
   private def buildDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = TextOps.dedupJaccardPairs(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    connectedComponents(nodes, pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("is_keeper"))
+  }
+
+  /** Generic minimum-label-propagation connected components over an
+    * arbitrary similarity graph: `nodes` one `id` column, `pairs` one
+    * undirected edge per (a, b) row. Returns (id, cluster_id,
+    * cluster_size, is_keeper) — shared by the text-side Jaccard
+    * clusters above and the embedding-side [[graft.sim.Similarity
+    * .annDedupReps]]. Each round is one shuffle join edge⋈labels + one
+    * groupBy min — the standard large-graph CC pattern, no driver-side
+    * graph state; near-dup components are shallow (clone piles are
+    * cliques, diameter 1), so convergence is a handful of rounds. */
+  private[graft] def connectedComponents(nodes: DataFrame, pairs0: DataFrame,
+                                         maxRounds: Int = 20): DataFrame = {
+    val pairs = pairs0.toDF("a", "b")
     // undirected edge list
     val edges = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"))).cache()
 
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("label")).cache()
+    var labels = nodes.select(col("id"), col("id").as("label")).cache()
 
     // Convergence check without a per-round compare join: every node's
     // label is monotonically non-increasing (least of itself and its
@@ -66,15 +83,14 @@ object DedupClusters {
     var changed = true
     var prevTotal = labelTotal(labels)
     var rounds = 0
-    val maxRounds = 20
     while (changed && rounds < maxRounds) {
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "b")
+        .join(labels.withColumnRenamed("id", "b")
           .withColumnRenamed("label", "nlabel"), "b")
-        .groupBy(col("a").as("doc_id"))
+        .groupBy(col("a").as("id"))
         .agg(min("nlabel").as("minNeighbor"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
           least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
         .cache()
       val total = labelTotal(next) // also materializes next's cache
@@ -89,8 +105,9 @@ object DedupClusters {
     // oracle's recursive-CTE fixpoint.
     if (changed)
       throw new IllegalStateException(
-        s"dedupClusters did not converge in $maxRounds rounds (labels still changing); " +
-          "the similarity graph has components deeper than expected — raise maxRounds")
+        s"connectedComponents did not converge in $maxRounds rounds (labels still " +
+          "changing); the similarity graph has components deeper than expected — " +
+          "raise maxRounds")
 
     // the final labels (cached, already materialized by labelTotal) are
     // all the result plan needs — release the edge cache
@@ -98,10 +115,10 @@ object DedupClusters {
 
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    labels.select(col("id"), col("label").as("cluster_id"))
       .join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .select(col("id"), col("cluster_id"), col("cluster_size"),
+        (col("id") === col("cluster_id")).as("is_keeper"))
   }
 
   /** Recursive-CTE twin: reach(node,label) closure over the same edges,

@@ -48,6 +48,28 @@ class AnnDedupGradeSpec extends SparkSpec {
     assert(found.size >= 190, s"recall too low: ${found.size}/200 clone pairs")
   }
 
+  test("dedup reps collapse each clone pile to one keeper, output one row per vector") {
+    val e = corpus.toDF("vec_id", "embedding")
+    val reps = Similarity.annDedupRepsOver(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // bounded output: exactly one row per vector, whatever the clone structure
+    assert(reps.length == corpus.size, s"${reps.length} rows for ${corpus.size} vectors")
+    // every pile collapses to its min vec_id (piles are cliques at
+    // cosine ~0.999, recall ~1 at the adaptive operating point)
+    val pileRows = reps.filter(_._1 < 1000)
+    pileRows.groupBy(t => pileOf(t._1)).foreach { case (p, rows) =>
+      val clusterIds = rows.map(_._2).toSet
+      assert(clusterIds == Set(p * 10),
+        s"pile $p should collapse to cluster ${p * 10}, got $clusterIds")
+      assert(rows.count(_._4) == 1, s"pile $p must elect exactly one keeper")
+      assert(rows.forall(_._3 == 5), s"pile $p cluster_size must be 5")
+    }
+    // unrelated vectors stay their own keepers
+    val noiseRows = reps.filter(_._1 >= 1000)
+    assert(noiseRows.forall(t => t._2 == t._1 && t._3 == 1 && t._4),
+      "noise vectors must be singleton keepers")
+  }
+
   test("deep bands pass few random pairs as candidates; shallow bands cannot") {
     val e = noise.toDF("vec_id", "embedding")
     val allPairs = 150 * 149 / 2.0
