@@ -205,9 +205,9 @@ FROM s GROUP BY bucket"""
     * Measured truncation behavior at FIXED depth (jittered-replica
     * ScaleGen rungs, 2k direction corpus): at 20k vectors the 16×4
     * config's cells hold ~1250 avg / ~2080 max, under the cap, and the
-    * op does its full Θ(n²/2^rows) work (16s median, 176k pairs out);
+    * op does its full Θ(n²/2^rows) work (11.7s median, 176k pairs out);
     * at 60k vectors EVERY cell exceeds the cap and the result is EMPTY
-    * — fast (1.1s) but zero rows. That is the cap contract operating as
+    * — fast (0.8s) but zero rows. That is the cap contract operating as
     * designed (bounded work + documented recall loss, never a melted
     * join), and the committed bench artifact carries `ext_rows` so the
     * truncation is visible, not a fake speed-up. The production answer
@@ -224,14 +224,16 @@ FROM s GROUP BY bucket"""
     * Scale honesty: AT THIS THRESHOLD the banding cannot prune —
     * recall-preserving bands pass ~64% of random pairs ([[LshBands]]),
     * so candidate mass is Θ(n²) within a constant of brute force, and
-    * the ScaleGen rungs measure exactly that (0.77s at 2k vectors →
-    * 16s at 20k, then cap truncation at 60k — see [[LshBucketCap]]).
+    * the ScaleGen rungs measure exactly that (0.60s at 2k vectors →
+    * 11.7s at 20k, then cap truncation at 60k — see [[LshBucketCap]]).
     * This is the information-theoretic wall of the problem statement
     * ("all pairs barely above random"), not an implementation defect;
     * the configuration a 100 TB corpus actually runs is the
     * occupancy-adaptive dedup-grade [[annLshDedupPairs]], whose rungs
-    * scale near-linearly (0.57s → 1.19s → 3.26s, 870k clone pairs
-    * found at the 60k-vector rung).
+    * scale with their own OUTPUT (0.47s → 1.01s → 2.89s at 2k/20k/60k
+    * vectors; 9.9M clone pairs found at 200k — recall 1.0, output
+    * quadratic in clone multiplicity, which is what [[annDedupReps]]
+    * bounds to one row per vector).
     */
   def annLshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     annLshNearDupPairsWith(spark, dir, LshBands, LshRows, 0.4)
