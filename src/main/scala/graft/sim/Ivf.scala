@@ -232,11 +232,11 @@ c$i AS (
     (SELECT cell, list(comp ORDER BY dim) AS centroid FROM m$i GROUP BY cell) mm
   ON p.cell = mm.cell)"""
 
-  /** Full replay of buildIndexFull(k=16, iterations=3) + search(nprobe=4,
-    * topK=10, nQueries=5) in DuckDB: same grid quantization, same
-    * fixed-point Lloyd, same tie-breaks, same exact-integer cosine. */
-  val ivfSearchSql: String = s"""
-WITH q AS (
+  /** The shared Lloyd-replay prefix (quantize → init → $Iterations
+    * fixed iterations → final assignment `afin`) — one source of truth
+    * for every IVF oracle, so the banding arithmetic cannot drift
+    * between the search and cells queries. */
+  private val ivfCommonCtes: String = s"""q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS qe
   FROM embeddings),
@@ -249,7 +249,13 @@ afin AS (
     SELECT q.vec_id, q.qe, c.cell,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
              ORDER BY ${d2("q.qe", "c.centroid")}, c.cell) AS rn
-    FROM q CROSS JOIN c$Iterations c) WHERE rn = 1),
+    FROM q CROSS JOIN c$Iterations c) WHERE rn = 1)"""
+
+  /** Full replay of buildIndexFull(k=16, iterations=3) + search(nprobe=4,
+    * topK=10, nQueries=5) in DuckDB: same grid quantization, same
+    * fixed-point Lloyd, same tie-breaks, same exact-integer cosine. */
+  val ivfSearchSql: String = s"""
+WITH $ivfCommonCtes,
 probes AS (
   SELECT query_id, qqe, cell FROM (
     SELECT f.vec_id AS query_id, f.qe AS qqe, c.cell,
@@ -272,9 +278,28 @@ SELECT query_id, vec_id, cosine, rank FROM (
   FROM probes p JOIN afin a ON p.cell = a.cell AND a.vec_id <> p.query_id)
 WHERE rank <= $TopK"""
 
+  /** The inverted-list layout of the built index — cell occupancy and
+    * the smallest member id per cell (the inspection/persistence
+    * surface: at 100 TB this frame IS what gets written next to the
+    * centroid table when the index is stored; a serving tier reads it
+    * to size per-cell fetches). One hash aggregation over the
+    * assignments; same build as [[search]], so the oracle shares the
+    * Lloyd-replay CTEs verbatim. */
+  def cells(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    buildIndexFull(spark, dir, k).assignments
+      .groupBy("cell")
+      .agg(count(lit(1)).as("cell_size"), min("vec_id").as("min_vec_id"))
+
+  val ivfCellsSql: String = s"""
+WITH $ivfCommonCtes
+SELECT cell, COUNT(*) AS cell_size, MIN(vec_id) AS min_vec_id
+FROM afin GROUP BY cell"""
+
   val inventory: Map[String, Q] = Map(
-    "ivf_search" -> ((s, dir) => search(s, dir, K, NProbe, TopK, NQueries)))
+    "ivf_search" -> ((s, dir) => search(s, dir, K, NProbe, TopK, NQueries)),
+    "ivf_cells"  -> ((s, dir) => cells(s, dir, K)))
 
   val oracle: Map[String, String] = Map(
-    "ivf_search" -> ivfSearchSql)
+    "ivf_search" -> ivfSearchSql,
+    "ivf_cells"  -> ivfCellsSql)
 }

@@ -34,6 +34,15 @@ class IvfSpec extends SparkSpec {
     assert(cells(2L) == -1, s"null embedding must route to -1, got ${cells(2L)}")
   }
 
+  test("ivf cells partition the corpus") {
+    val n = Tables.embeddings(spark, sf).count()
+    val cs = Ivf.cells(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("cell_size"), r.getAs[Long]("min_vec_id")))
+    assert(cs.map(_._2).sum == n, "cell sizes must sum to the corpus size")
+    assert(cs.length <= Ivf.K && cs.forall(c => c._1 >= 0 && c._1 < Ivf.K))
+    assert(cs.map(_._1).distinct.length == cs.length, "one row per cell")
+  }
+
   test("ivf search recall against exact top-k is reasonable") {
     val exact = Similarity.annCosineTopK(spark, sf)
       .select("query_id", "vec_id").collect()
