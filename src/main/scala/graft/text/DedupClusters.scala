@@ -61,9 +61,17 @@ object DedupClusters {
   private[graft] def connectedComponents(nodes: DataFrame, pairs0: DataFrame,
                                          maxRounds: Int = 20): DataFrame = {
     val pairs = pairs0.toDF("a", "b")
-    // undirected edge list
-    val edges = pairs.unionByName(
-      pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+    // undirected edge list in ONE pass over the pair generator: the
+    // union-with-flipped form evaluates `pairs` twice while the edge
+    // cache materializes — for the embedding reps that is the banded
+    // LSH join run twice (~8s of the 41s build at the 100x rung);
+    // exploding both directions per input row reads it once
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .cache()
 
     var labels = nodes.select(col("id"), col("id").as("label")).cache()
 
