@@ -91,9 +91,20 @@ object DataGen {
     * the generator family, for scaling the LLM-pipeline operators
     * beyond the provided SFs. Same discipline as the retail generators:
     * every token is md5-derived from (seed, doc, position), so the
-    * corpus is deterministic and partition-independent, and near-dup
-    * density stays low and random (unlike exact replication, which
-    * would hand every doc N-1 clones and degenerate the dedup family).
+    * corpus is deterministic and partition-independent.
+    *
+    * NEAR-DUPLICATE REALISM: 10% of docs form clone piles of 5 (ids
+    * [b, b+5) for every b ≡ 0 mod 50) — each member reuses its BASE
+    * doc's token stream with one GUARANTEED token substitution plus 2%
+    * per-position edits, the text twin of ScaleGen's jittered embedding
+    * replicas. A real corpus is neither dup-free (fresh random text —
+    * scaled text-dedup rungs measured cost against ~zero output) nor
+    * fully degenerate (exact replication — every doc gains N-1 clones);
+    * piles at ~1-3 token edits sit where the dedup family actually
+    * operates: shingle-Jaccard mostly ≥0.7, MinHash/SimHash bands
+    * collide, winnow fingerprints share passages, and `dedup_exact`
+    * stays non-degenerate because the guaranteed edit keeps texts
+    * distinct (up to the ~3% chance the substituted token matches).
     */
   def documents(spark: SparkSession, n: Long, seed: Long = 42): DataFrame = {
     val vocab = Seq("data", "query", "spark", "table", "row", "column",
@@ -101,14 +112,22 @@ object DataGen {
       "merge", "batch", "stream", "window", "part", "line", "order",
       "hash", "fast", "slow", "big", "small", "vector", "a", "the")
     val vArr = vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
-    // uniform in [0,1) from (seed, doc id, position) — 48 bits of md5
-    def up(tag: String, pos: String) =
-      s"cast(conv(substr(md5(concat('$seed', ':$tag:', cast(id as string), ':', cast($pos as string))), 1, 12), 16, 10) as double) / 281474976710656.0"
+    // pile base: members of a pile draw their token stream from the
+    // base id, everyone else from themselves (base = own id)
+    val baseE = "(CASE WHEN id % 50 < 5 THEN id - (id % 50) ELSE id END)"
+    // uniform in [0,1) from (seed, key expr, position) — 48 bits of md5
+    def up(tag: String, idE: String, pos: String) =
+      s"cast(conv(substr(md5(concat('$seed', ':$tag:', cast($idE as string), ':', cast($pos as string))), 1, 12), 16, 10) as double) / 281474976710656.0"
+    val tokE =
+      s"""if(id % 50 < 5 AND id % 50 > 0
+             AND (p = 1 + cast(id % 15 as int) OR ${up("edit", "id", "p")} < 0.02),
+           element_at($vArr, 1 + cast(${up("etok", "id", "p")} * ${vocab.size} as int)),
+           element_at($vArr, 1 + cast(${up("tok", baseE, "p")} * ${vocab.size} as int)))"""
     spark.range(n)
       .select(
         col("id").as("doc_id"),
-        expr(s"""array_join(transform(sequence(1, 15 + cast(${up("len", "0")} * 46 as int)),
-                   p -> element_at($vArr, 1 + cast(${up("tok", "p")} * ${vocab.size} as int))), ' ')""")
+        expr(s"""array_join(transform(sequence(1, 15 + cast(${up("len", baseE, "0")} * 46 as int)),
+                   p -> $tokE), ' ')""")
           .as("text"),
         pick(seed, "lang", "id", Seq("en", "en", "zh", "fr", "es", "de")).as("lang"),
         concat(lit("src"), (u(seed, "src", "id") * 20).cast("int").cast("string")).as("source"))

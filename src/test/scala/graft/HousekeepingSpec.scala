@@ -76,6 +76,31 @@ class HousekeepingSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("documents generator plants clone piles that the dedup family can detect") {
+    val texts = graft.datagen.DataGen.documents(spark, 200)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    def posIdentity(a: Array[String], b: Array[String]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / math.max(a.length, b.length)
+    // piles: ids [b, b+5) for b % 50 == 0 — members are 1-3 token edits
+    // off their base, everyone else is an unrelated stream
+    Seq(0L, 50L, 100L, 150L).foreach { b =>
+      (1 to 4).foreach { c =>
+        val id = b + c
+        assert(texts(id).length == texts(b).length, s"clone $id must keep base length")
+        val ident = posIdentity(texts(b), texts(id))
+        assert(ident >= 0.8, s"clone $id only $ident positionally identical to base $b")
+      }
+      // the guaranteed edit keeps MOST clones textually distinct (the
+      // substituted token matches the original w.p. 1/29 — a low exact-dup
+      // rate is itself realistic)
+      val exact = (1 to 4).count(c => texts(b + c).sameElements(texts(b)))
+      assert(exact <= 2, s"pile $b: $exact of 4 clones exactly equal the base")
+      val unrelated = posIdentity(texts(b), texts(b + 7))
+      assert(unrelated <= 0.5, s"non-member ${b + 7} too similar to base $b: $unrelated")
+    }
+  }
+
   test("datagen is deterministic, FK-consistent, with correct totals") {
     val c = DataGen.customers(spark, 50)
     val t = DataGen.transactions(spark, 200, 50)
