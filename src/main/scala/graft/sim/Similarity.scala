@@ -257,18 +257,89 @@ FROM s GROUP BY bucket"""
     r
   }
 
+  /** Candidate-mass budget per vector for the dedup operating point,
+    * and the depth ceiling of the mass refinement below. The occupancy
+    * rule above is a PROXY: it assumes cells fill ~uniformly (n/2^r),
+    * which holds for direction-diverse corpora but undershoots badly
+    * when the corpus is directionally CONCENTRATED — mean occupancy can
+    * look healthy while a few directions hold most vectors and the
+    * banded self-join's real cost, Σ_cells C(occ,2), stays ~quadratic.
+    * Measured on the 10× jittered-replica rung (20k vectors): the
+    * occupancy rule picks r=9 with a healthy-looking 41 avg occupancy —
+    * and 3.98M candidate pairs; r=13 yields 495k, of which ~360k are
+    * the genuine clone pairs (the true output floor). Mass is what
+    * costs; mass is what the rule must bound.
+    *
+    * [[LshMassMaxRows]] = 16 keeps ≥ 4 bands from the 64-plane
+    * signature (clone recall at cosine 0.999 is still ≥ 0.998 at 16×4;
+    * deeper rows would start trading band redundancy for nothing the
+    * cap doesn't already bound). Beyond n = 50·2^16 ≈ 3.3M vectors the
+    * occupancy base itself exceeds 16 and governs alone. */
+  val LshMassTargetPerVec = 32L
+  val LshMassMaxRows = 16
+
+  /** Measured capped candidate mass Σ_cells C(occ,2) at depth `rows`,
+    * counting a cell beyond [[LshBucketCap]] as 0 — exactly what the
+    * hot-cell anti-join drops. One O(n·bands) aggregation job; the
+    * collect is a single row. */
+  private def cappedCandMass(sigs: DataFrame, rows: Int): Long = {
+    val bands = 64 / rows
+    sigs
+      .select(explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .selectExpr("band",
+        s"cast(shiftright(sig, band * $rows) & ${(1L << rows) - 1} as bigint) as bucket")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr(
+        s"if(c > $LshBucketCap, cast(0 as bigint), c * (c - 1) div 2)")),
+        lit(0L)).as("mass"))
+      .collect()(0).getLong(0)
+  }
+
+  /** The dedup operating point's depth: start from the occupancy base
+    * [[adaptiveLshRows]], then deepen while the MEASURED capped
+    * candidate mass exceeds [[LshMassTargetPerVec]]·n, stopping at
+    * [[LshMassMaxRows]]. Each probe step is one O(n) aggregation over
+    * the cached (vec_id, sig) projection — a handful of cheap jobs
+    * that are amortized trivially against the quadratic join work they
+    * prevent (measured at the 10× rung: 8× fewer candidate pairs).
+    * On a clone-heavy corpus the floor of the mass is the genuine
+    * near-dup output itself, which no depth can (or should) shrink —
+    * the refinement then correctly runs to the ceiling and stops.
+    * Deterministic: same corpus → same masses → same depth; driver
+    * state is one Long per probed depth. Mirrored exactly in the
+    * DuckDB oracle ([[annLshDedupPairsSql]]). */
+  private[graft] def adaptiveLshRowsByMass(e: DataFrame, n: Long): Int = {
+    val base = adaptiveLshRows(n)
+    if (base >= LshMassMaxRows) base
+    else {
+      val sigs = e
+        .repartition(e.sparkSession.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          graft.functions.SrpSig64.of(col("embedding")).as("sig"))
+        .cache()
+      try {
+        var r = base
+        while (r < LshMassMaxRows && cappedCandMass(sigs, r) > LshMassTargetPerVec * n)
+          r += 1
+        r
+      } finally { sigs.unpersist(); () }
+    }
+  }
+
   /** The dedup-grade operating point, registered first-class:
-    * occupancy-adaptive depth (≥ 8 rows — see [[adaptiveLshRows]], 8×8
-    * on both driver SFs) from the 64-plane signature, bands = 64/rows,
-    * exact rescore at cosine ≥ 0.8. This is the configuration a 100 TB
+    * mass-adaptive depth (occupancy base deepened until measured
+    * candidate mass fits the budget — see [[adaptiveLshRowsByMass]];
+    * 8×8 at sf0.01 and 9-deep at sf0.1) from the 64-plane signature,
+    * bands = 64/rows, exact rescore at cosine ≥ 0.8. This is the configuration a 100 TB
     * near-duplicate pass actually runs: at cosine 0.95 (true
     * near-clones) a plane agrees w.p. 0.90 and deep bands still collide
     * w.p. ≈ 0.99 in ≥1 band, while a random pair passes any 8-plane
     * band w.p. 0.5⁸ ≈ 0.4% (deeper rows push it lower still) — orders
     * of magnitude fewer candidates than the 0.4-threshold demo config
     * above, which is information-theoretically forced to pass ~64% of
-    * random pairs (see [[LshBands]]). The one extra count() job that
-    * sizes the depth is a parquet-metadata read. On the driver corpus
+    * random pairs (see [[LshBands]]). Sizing the depth costs one
+    * count() (a parquet-metadata read) plus a handful of O(n)
+    * mass-probe aggregations over a cached (vec_id, sig) projection. On the driver corpus
     * the result is EMPTY — measured pairwise cosine tops out at 0.51
     * (sf0.01) / 0.60 (sf0.1), so both engines agree the rescored set is
     * empty, which is itself the oracle-checked claim; AnnDedupGradeSpec
@@ -277,7 +348,7 @@ FROM s GROUP BY bucket"""
     * rungs measure it at 50k/150k vectors. */
   def annLshDedupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val rows = adaptiveLshRows(e.count())
+    val rows = adaptiveLshRowsByMass(e, e.count())
     annLshNearDupPairsOver(e, 64 / rows, rows, 0.8, LshBucketCap)
   }
 
@@ -386,8 +457,72 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
       s"WHEN n <= ${LshAdaptiveTargetOccupancy * (1L << r)} THEN $r")
       .mkString("CASE ", " ", " ELSE 32 END")
 
-  val annLshDedupPairsSql: String =
-    annLshPairsSqlCore(adaptiveRowsCaseE, 0.8, LshBucketCap)
+  /** Oracle for the mass-adaptive dedup operating point. Mirrors
+    * [[adaptiveLshRowsByMass]] end to end: occupancy base via the CASE
+    * ladder, per-depth capped candidate masses Σ C(occ,2) for every
+    * depth in [8, 32] (refinement consults only [base, 16], exactly
+    * like the Scala loop; depths beyond 16 exist so an occupancy base
+    * > 16 still has its buckets defined), smallest refining depth with
+    * mass ≤ target·n else 16, then the same hot-cell drop → distinct
+    * candidates → exact integer rescore as the engine. Structurally
+    * cheaper than the per-row lambda form: the md5 sign matrix is a
+    * 64×dims CTE computed once and joined, not recomputed per row. */
+  val annLshDedupPairsSql: String = s"""
+WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+base AS (SELECT CAST(($adaptiveRowsCaseE) AS INT) AS r0, n FROM cnt),
+planes AS (
+  SELECT p.p, i.i,
+         CASE WHEN (CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) & 1) = 1
+              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS s
+  FROM (SELECT unnest(generate_series(0, 63)) AS p) p
+  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT MAX(len(embedding)) FROM embeddings))) AS i) i),
+comps AS (
+  SELECT vec_id,
+         unnest(list_transform(generate_series(1, len(embedding)),
+           i -> {'i': i, 'q': ${duckQz("embedding[i]")}})) AS u
+  FROM embeddings),
+cvals AS (SELECT vec_id, u.i AS i, u.q AS q FROM comps),
+bits AS (
+  SELECT c.vec_id, pl.p,
+         CASE WHEN SUM(c.q * pl.s) > 0 THEN 1 ELSE 0 END AS bit
+  FROM cvals c JOIN planes pl ON c.i = pl.i
+  GROUP BY c.vec_id, pl.p),
+rs AS (SELECT unnest(generate_series(8, 32)) AS r),
+buckets AS (
+  SELECT b.vec_id, rs.r, CAST(b.p // rs.r AS INT) AS band,
+         SUM(CAST(b.bit AS BIGINT) << (b.p % rs.r)) AS bucket
+  FROM bits b CROSS JOIN rs
+  WHERE b.p < rs.r * (64 // rs.r)
+  GROUP BY b.vec_id, rs.r, b.p // rs.r),
+cells AS (SELECT r, band, bucket, COUNT(*) AS c FROM buckets GROUP BY 1, 2, 3),
+masses AS (
+  SELECT r, COALESCE(SUM(CASE WHEN c > $LshBucketCap THEN 0 ELSE c * (c - 1) // 2 END), 0) AS mass
+  FROM cells GROUP BY r),
+chosen AS (
+  SELECT CASE WHEN b.r0 >= $LshMassMaxRows THEN b.r0
+              ELSE COALESCE((SELECT MIN(m.r) FROM masses m
+                             WHERE m.r >= b.r0 AND m.r <= $LshMassMaxRows
+                               AND m.mass <= $LshMassTargetPerVec * b.n), $LshMassMaxRows)
+         END AS r
+  FROM base b),
+kept AS (
+  SELECT bu.vec_id, bu.band, bu.bucket
+  FROM buckets bu
+  JOIN chosen ch ON bu.r = ch.r
+  JOIN cells ce ON ce.r = bu.r AND ce.band = bu.band AND ce.bucket = bu.bucket
+  WHERE ce.c <= $LshBucketCap),
+vecs AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM kept a JOIN kept b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT c.vec_a, c.vec_b,
+       CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
+              i -> ${duckQz("x.embedding[i]")} * ${duckQz("y.embedding[i]")})) AS DOUBLE)
+         / (x.nrm * y.nrm) AS cosine
+FROM cand c JOIN vecs x ON c.vec_a = x.vec_id JOIN vecs y ON c.vec_b = y.vec_id
+WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
+             i -> ${duckQz("x.embedding[i]")} * ${duckQz("y.embedding[i]")})) AS DOUBLE)
+        / (x.nrm * y.nrm) >= 0.8"""
 
   /** One materialized CC run per (session, dir) — the iterative label
     * propagation executes jobs eagerly at construction and caches label
@@ -422,7 +557,7 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
 
   /** Core over any (vec_id, embedding) frame (spec surface). */
   private[graft] def annDedupRepsOver(e: DataFrame): DataFrame = {
-    val rows = adaptiveLshRows(e.count())
+    val rows = adaptiveLshRowsByMass(e, e.count())
     val pairs = annLshNearDupPairsOver(e, 64 / rows, rows, 0.8, LshBucketCap)
       .select(col("vec_a"), col("vec_b"))
     graft.text.DedupClusters

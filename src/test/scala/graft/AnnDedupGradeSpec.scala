@@ -70,6 +70,34 @@ class AnnDedupGradeSpec extends SparkSpec {
       "noise vectors must be singleton keepers")
   }
 
+  test("mass refinement keeps the occupancy base on a direction-diverse corpus") {
+    // 250 well-spread vectors: measured candidate mass at the base depth
+    // is far under the 32/vec budget, so the rule must not deepen
+    val e = corpus.toDF("vec_id", "embedding")
+    assert(Similarity.adaptiveLshRowsByMass(e, corpus.size.toLong) ==
+      Similarity.adaptiveLshRows(corpus.size.toLong))
+  }
+
+  test("mass refinement deepens to the ceiling on a direction-concentrated corpus") {
+    // 1200 vectors in only 4 directions: every cell at every depth holds
+    // ~a full pile, so Σ C(occ,2) stays quadratic no matter how deep the
+    // buckets go — the rule must run to LshMassMaxRows and stop (the
+    // residual mass is genuine near-dup output, which belongs to the
+    // rescore, not to deeper hashing). The occupancy base for n=1200
+    // is 8, so this is exactly the case the base rule gets wrong.
+    val dense = (0 until 4).flatMap { p =>
+      val base = randVec()
+      (0 until 300).map { c =>
+        (p * 1000 + c).toLong ->
+          base.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      }
+    }
+    val e = dense.toDF("vec_id", "embedding")
+    assert(Similarity.adaptiveLshRows(dense.size.toLong) == 8)
+    assert(Similarity.adaptiveLshRowsByMass(e, dense.size.toLong) ==
+      Similarity.LshMassMaxRows)
+  }
+
   test("deep bands pass few random pairs as candidates; shallow bands cannot") {
     val e = noise.toDF("vec_id", "embedding")
     val allPairs = 150 * 149 / 2.0
