@@ -278,51 +278,43 @@ FROM s GROUP BY bucket"""
   val LshMassTargetPerVec = 32L
   val LshMassMaxRows = 16
 
-  /** Measured capped candidate mass Σ_cells C(occ,2) at depth `rows`,
-    * counting a cell beyond [[LshBucketCap]] as 0 — exactly what the
-    * hot-cell anti-join drops. One O(n·bands) aggregation job; the
-    * collect is a single row. */
-  private def cappedCandMass(sigs: DataFrame, rows: Int): Long = {
-    val bands = 64 / rows
-    sigs
-      .select(explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
-      .selectExpr("band",
-        s"cast(shiftright(sig, band * $rows) & ${(1L << rows) - 1} as bigint) as bucket")
-      .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(expr(
-        s"if(c > $LshBucketCap, cast(0 as bigint), c * (c - 1) div 2)")),
-        lit(0L)).as("mass"))
-      .collect()(0).getLong(0)
-  }
-
   /** The dedup operating point's depth: start from the occupancy base
     * [[adaptiveLshRows]], then deepen while the MEASURED capped
-    * candidate mass exceeds [[LshMassTargetPerVec]]·n, stopping at
-    * [[LshMassMaxRows]]. Each probe step is one O(n) aggregation over
-    * the cached (vec_id, sig) projection — a handful of cheap jobs
-    * that are amortized trivially against the quadratic join work they
-    * prevent (measured at the 10× rung: 8× fewer candidate pairs).
+    * candidate mass Σ_cells C(occ,2) exceeds [[LshMassTargetPerVec]]·n,
+    * stopping at [[LshMassMaxRows]] (a cell beyond [[LshBucketCap]]
+    * counts 0 — exactly what the hot-cell anti-join drops). The first
+    * depth meeting the budget is the smallest one, so all candidate
+    * depths are probed in ONE aggregation job — one explode over the
+    * ~40 (depth, band) combinations, one (r, band, bucket) count, one
+    * per-depth mass rollup, a ≤9-row collect — rather than a
+    * job-per-depth loop (measured: the loop's per-job overhead at the
+    * 10× rung cost more than the join it was sizing).
     * On a clone-heavy corpus the floor of the mass is the genuine
     * near-dup output itself, which no depth can (or should) shrink —
     * the refinement then correctly runs to the ceiling and stops.
     * Deterministic: same corpus → same masses → same depth; driver
-    * state is one Long per probed depth. Mirrored exactly in the
-    * DuckDB oracle ([[annLshDedupPairsSql]]). */
+    * state is one (r, mass) row per candidate depth. Mirrored exactly
+    * in the DuckDB oracle ([[annLshDedupPairsSql]]). */
   private[graft] def adaptiveLshRowsByMass(e: DataFrame, n: Long): Int = {
     val base = adaptiveLshRows(n)
     if (base >= LshMassMaxRows) base
     else {
-      val sigs = e
+      val rb = (base to LshMassMaxRows)
+        .flatMap(r => (0 until 64 / r).map(b => (r, b)))
+      val masses = e
         .repartition(e.sparkSession.sparkContext.defaultParallelism)
-        .select(col("vec_id"),
-          graft.functions.SrpSig64.of(col("embedding")).as("sig"))
-        .cache()
-      try {
-        var r = base
-        while (r < LshMassMaxRows && cappedCandMass(sigs, r) > LshMassTargetPerVec * n)
-          r += 1
-        r
-      } finally { sigs.unpersist(); () }
+        .select(graft.functions.SrpSig64.of(col("embedding")).as("sig"))
+        .select(col("sig"), explode(array(rb.map { case (r, b) =>
+          struct(lit(r).as("r"), lit(b).as("band")) }: _*)).as("rb"))
+        .selectExpr("rb.r as r", "rb.band as band",
+          "cast(shiftright(sig, rb.band * rb.r) & (shiftleft(cast(1 as bigint), rb.r) - 1) as bigint) as bucket")
+        .groupBy("r", "band", "bucket").agg(count(lit(1)).as("c"))
+        .groupBy("r").agg(sum(expr(
+          s"if(c > $LshBucketCap, cast(0 as bigint), c * (c - 1) div 2)")).as("mass"))
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      (base to LshMassMaxRows)
+        .find(r => masses.getOrElse(r, 0L) <= LshMassTargetPerVec * n)
+        .getOrElse(LshMassMaxRows)
     }
   }
 
@@ -338,8 +330,8 @@ FROM s GROUP BY bucket"""
     * of magnitude fewer candidates than the 0.4-threshold demo config
     * above, which is information-theoretically forced to pass ~64% of
     * random pairs (see [[LshBands]]). Sizing the depth costs one
-    * count() (a parquet-metadata read) plus a handful of O(n)
-    * mass-probe aggregations over a cached (vec_id, sig) projection. On the driver corpus
+    * count() (a parquet-metadata read) plus ONE O(n) mass-probe
+    * aggregation covering every candidate depth. On the driver corpus
     * the result is EMPTY — measured pairwise cosine tops out at 0.51
     * (sf0.01) / 0.60 (sf0.1), so both engines agree the rescored set is
     * empty, which is itself the oracle-checked claim; AnnDedupGradeSpec
