@@ -37,7 +37,9 @@ object SparkEntry {
       analytics.Quantiles.inventory ++
       ext.SetOps.inventory ++
       text.Curation.inventory ++
-      text.Packing.inventory
+      text.Packing.inventory ++
+      text.Incremental.inventory ++
+      text.Relevance.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -62,5 +64,7 @@ object SparkEntry {
       analytics.Quantiles.oracle ++
       ext.SetOps.oracle ++
       text.Curation.oracle ++
-      text.Packing.oracle
+      text.Packing.oracle ++
+      text.Incremental.oracle ++
+      text.Relevance.oracle
 }

@@ -1,0 +1,146 @@
+package graft.text
+
+import graft.{Det, Sql, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-statistical text relevance and quality operators over the
+  * `documents` table: per-document TF-IDF keyword extraction and a
+  * corpus-trained unigram language-model quality score — the two
+  * cheapest corpus-level signals a 100 TB training-data pipeline
+  * computes after the per-document heuristics ([[TextOps.textStats]],
+  * [[TextOps.langId]]).
+  *
+  * Both are two-aggregate shapes: one pass builds the corpus-level term
+  * statistics (document frequencies / unigram counts — the "model"), a
+  * second pass scores every document against them via an equi-join on
+  * the term. At 100 TB the model side is materialized once per corpus
+  * snapshot and reused across scoring runs; the join is a shuffle on
+  * `term` whose output is exactly the occurrence count (one model row
+  * matches each occurrence — no fanout), with AQE handling the
+  * heavy-tailed hot terms and a broadcast when the vocabulary fits.
+  *
+  * Determinism: ln(·) is evaluated per row on integer-derived ratios —
+  * identical IEEE inputs in both engines — and every aggregated measure
+  * follows the [[graft.Det]] decimal convention, so the DuckDB oracle
+  * hash-matches despite distributed summation.
+  */
+object Relevance {
+  import TextOps.Q
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** (doc_id, term) per token occurrence, over documents with at least
+    * one token. */
+  private def occurrencesOver(d: DataFrame): DataFrame =
+    d.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(expr(TextOps.toksE)).as("term"))
+
+  /** Top-3 characteristic terms per document by smooth TF-IDF
+    * (`tf · ln(N/df)`): raw term frequency times inverse document
+    * frequency over the corpus. Ranking happens on the full-precision
+    * double (ties — equal (tf, df) — break on the term itself, a total
+    * order); the reported measure is snapped to the Det scale-2 output
+    * convention. The per-document window ranks ≤ |distinct terms of one
+    * doc| rows per key — hash-partitioned by `doc_id`, no global sort,
+    * and Spark's WindowGroupLimit ships at most k rows per map
+    * partition per key. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTermsOver(docs(spark, dir))
+
+  /** Parameterized core over any (doc_id, text) frame (RelevanceSpec). */
+  private[graft] def tfidfTopTermsOver(d: DataFrame): DataFrame = {
+    val occ = occurrencesOver(d)
+    val tf = occ.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = occ.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = d
+      .filter(length(trim(col("text"))) > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("raw",
+        col("tf").cast("double")
+          * log(col("n_docs").cast("double") / col("df").cast("double")))
+    scored
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("raw").desc, col("term").asc))
+          .cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        Det.d2d(round(Det.dec6(col("raw")), 2)).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfTopTermsSql: String = """
+WITH occ AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+             FROM documents WHERE length(trim(text)) > 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE length(trim(text)) > 0),
+scored AS (SELECT doc_id, term, tf, df,
+                  CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS raw
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+rk AS (SELECT doc_id, term, tf, df, raw,
+              CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw DESC, term ASC) AS BIGINT) AS rank
+       FROM scored)
+SELECT doc_id, rank, term, tf, df,
+       CAST(CAST(ROUND(CAST(raw AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS tfidf
+FROM rk WHERE rank <= 3
+ORDER BY doc_id, rank"""
+
+  /** Corpus-trained unigram LM quality score: each document's mean token
+    * log-probability under the corpus's own unigram distribution
+    * (`p(t) = count(t) / total_tokens`). The classic cheap perplexity
+    * proxy — boilerplate and low-entropy spam score HIGH (common tokens
+    * only), natural text sits in a band, and gibberish scores LOW; a
+    * quality gate keeps the band. Per-occurrence ln(p) values snap to
+    * DECIMAL(18,6) before the sum ([[graft.Det]]) so the distributed
+    * aggregation is partition-order independent and oracle-exact. */
+  def lmQualityScore(spark: SparkSession, dir: String): DataFrame =
+    lmQualityScoreOver(docs(spark, dir))
+
+  /** Parameterized core over any (doc_id, text) frame (RelevanceSpec). */
+  private[graft] def lmQualityScoreOver(d: DataFrame): DataFrame = {
+    val occ = occurrencesOver(d)
+    val counts = occ.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = occ.agg(count(lit(1)).as("total"))
+    val lp = log(col("cnt").cast("double") / col("total").cast("double"))
+    occ.join(counts, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        Det.msum(lp).as("sum_logprob"),
+        Det.mavg(lp).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  private val lmQualityScoreSql: String = {
+    val lp = "ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))"
+    s"""
+WITH occ AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+             FROM documents WHERE length(trim(text)) > 0),
+counts AS (SELECT term, COUNT(*) AS cnt FROM occ GROUP BY 1),
+tot AS (SELECT COUNT(*) AS total FROM occ)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ${Sql.msum(lp)} AS sum_logprob,
+       ${Sql.mavg(lp)} AS avg_logprob
+FROM occ JOIN counts USING (term) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id"""
+  }
+
+  val inventory: Map[String, Q] = Map(
+    "tfidf_top_terms"  -> (tfidfTopTerms _),
+    "lm_quality_score" -> (lmQualityScore _))
+
+  val oracle: Map[String, String] = Map(
+    "tfidf_top_terms"  -> tfidfTopTermsSql,
+    "lm_quality_score" -> lmQualityScoreSql)
+}

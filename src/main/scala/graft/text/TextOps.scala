@@ -608,6 +608,24 @@ FROM c"""
       docs(spark, dir).repartition(spark.sparkContext.defaultParallelism),
       MinhashBandCap)
 
+  /** (doc_id, mhs, band, band_hash) rows — one per LSH band per doc with
+    * ≥ 3 tokens: the shared signature→band projection behind both the
+    * full pairwise candidate join ([[minhashPairsOverDocs]]) and the
+    * incremental corpus-index membership probe
+    * ([[Incremental.dedupIncremental]]). */
+  private[text] def minhashBands(d: DataFrame): DataFrame = {
+    val sigs = d
+      .filter(expr(s"size($toksE)") >= 3)
+      .select(col("doc_id"), shinglesNative.as("sh"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.signatureOf("sh").as("mhs"))
+    sigs.select(
+      col("doc_id"), col("mhs"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> md5(concat_ws(',', transform(slice(mhs, b * 4 + 1, 4), x -> cast(x as string)))))"))
+        .as(Seq("band", "band_hash")))
+  }
+
   /** Parameterized core over any (doc_id, text) frame — the spec drives
     * it with an adversarial single-signature corpus and a tiny cap
     * (MinhashCapSpec), mirroring [[simhashPairsOverDocs]]. Carrying mhs
@@ -617,16 +635,7 @@ FROM c"""
     * higher-order-function formulation in [[minhashE]] (kept above as
     * the executable spec) — same md5-derived values, ~4x faster. */
   private[graft] def minhashPairsOverDocs(d: DataFrame, bucketCap: Int): DataFrame = {
-    val sigs = d
-      .filter(expr(s"size($toksE)") >= 3)
-      .select(col("doc_id"), shinglesNative.as("sh"))
-      .select(col("doc_id"),
-        graft.functions.MinHashSig.signatureOf("sh").as("mhs"))
-    val bands = sigs.select(
-      col("doc_id"), col("mhs"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> md5(concat_ws(',', transform(slice(mhs, b * 4 + 1, 4), x -> cast(x as string)))))"))
-        .as(Seq("band", "band_hash")))
+    val bands = minhashBands(d)
     val hot = bands.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > bucketCap)
@@ -644,7 +653,10 @@ FROM c"""
           / lit(16.0)).as("est_jaccard"))
   }
 
-  private val dedupMinhashLshSqlRaw: String = """
+  /** Shared DuckDB CTE block reproducing [[minhashBands]]'s
+    * tokens → shingles → 16-hash signature → 4 band hashes, used by both
+    * the pairwise oracle below and [[Incremental.dedupIncrementalSql]]. */
+  private[text] val minhashBandCtes: String = """
 WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
 shl AS (SELECT doc_id,
                list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -657,7 +669,9 @@ mh AS (SELECT doc_id,
        FROM shl),
 bands AS (SELECT doc_id, b.b AS band,
                  md5(array_to_string(list_transform(mhs[b.b*4+1:b.b*4+4], x -> CAST(x AS VARCHAR)), ',')) AS band_hash
-          FROM mh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
+          FROM mh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b)"""
+
+  private val dedupMinhashLshSqlRaw: String = minhashBandCtes + """,
 hot AS (SELECT band, band_hash FROM bands GROUP BY 1, 2 HAVING COUNT(*) > __MINHASH_CAP__),
 kept AS (SELECT * FROM bands ANTI JOIN hot USING (band, band_hash)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -1,0 +1,62 @@
+package graft
+
+import graft.text.Relevance
+
+/** TF-IDF keyword extraction and the unigram-LM quality score against
+  * hand-computed fixtures. */
+class RelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidf top terms: hand-computed ranks, tf and df") {
+    val d = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "apple date date date")).toDF("doc_id", "text")
+    val rows = Relevance.tfidfTopTermsOver(d).collect()
+    // N=3; df: apple 2, banana 2, cherry 1, date 1
+    // doc1: apple 2·ln(1.5)=0.81 > banana 1·ln(1.5)=0.41
+    // doc2: cherry 1·ln(3)=1.10 > banana 0.41
+    // doc3: date 3·ln(3)=3.30 > apple 0.41
+    def top(doc: Long) = rows.find(r => r.getLong(0) == doc && r.getLong(1) == 1L).get
+    assert(top(1L).getString(2) == "apple" && top(1L).getLong(3) == 2L && top(1L).getLong(4) == 2L)
+    assert(top(2L).getString(2) == "cherry")
+    assert(top(3L).getString(2) == "date")
+    assert(math.abs(top(3L).getDouble(5) - 3.30) < 0.005)
+    // every doc emits at most 3 ranked rows, ranks densely from 1
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length))
+      assert(rs.length <= 3)
+    }
+  }
+
+  test("tfidf exact score ties break on the term, ascending") {
+    val d = Seq(
+      (1L, "zeta alpha"),
+      (2L, "zeta alpha")).toDF("doc_id", "text")
+    // both terms: tf=1, df=2 → identical tfidf (= 0.0 here); the
+    // term itself must order the ranks deterministically
+    val r1 = Relevance.tfidfTopTermsOver(d)
+      .filter($"doc_id" === 1L).orderBy("rank").collect()
+    assert(r1.map(_.getString(2)).toSeq == Seq("alpha", "zeta"))
+  }
+
+  test("lm quality score: hand-computed single-doc log-probs") {
+    val d = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val r = Relevance.lmQualityScoreOver(d).collect().head
+    // p(a)=2/3, p(b)=1/3; sum = 2·ln(2/3)+ln(1/3) = -1.9095
+    assert(r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - (-1.91)) < 0.005, s"sum=${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - (-1.91 / 3)) < 0.005, s"avg=${r.getDouble(3)}")
+  }
+
+  test("lm quality score separates boilerplate from gibberish") {
+    // 10 identical boilerplate docs + one all-unique-token doc over the
+    // same corpus: the common-token docs must score strictly higher
+    val d = ((1 to 10).map(i => (i.toLong, "click here to subscribe now")) :+
+      (99L, "qwfp zxcv mlkj uiop ghjk")).toDF("doc_id", "text")
+    val scores = Relevance.lmQualityScoreOver(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(1L) > scores(99L),
+      s"boilerplate ${scores(1L)} should outscore gibberish ${scores(99L)}")
+  }
+}
