@@ -86,7 +86,7 @@ object DataGen {
       Seq("transaction_id"), "left")
 
   /** Synthetic `documents` corpus with the driver testdata's shape
-    * (doc_id, text, lang, source, n_chars; ~30-word tech vocabulary,
+    * (doc_id, text, lang, source, n_chars; ~440-word vocabulary,
     * 15-60 tokens/doc, 20 sources, 5 langs) — the text-domain member of
     * the generator family, for scaling the LLM-pipeline operators
     * beyond the provided SFs. Same discipline as the retail generators:
@@ -107,10 +107,30 @@ object DataGen {
     * distinct (up to the ~3% chance the substituted token matches).
     */
   def documents(spark: SparkSession, n: Long, seed: Long = 42): DataFrame = {
-    val vocab = Seq("data", "query", "spark", "table", "row", "column",
+    // ~440-word vocabulary: the 29 base tech words plus 410 syllable-
+    // composed words in a fixed multiplicative-permutation order (421 is
+    // coprime to 1792 = 28·8·8, so i·421 mod 1792 enumerates the cross
+    // product without clustering same-onset words together). A 29-word
+    // vocabulary made every winnow char-8-gram fingerprint df-hot, so
+    // the GENERATED corpora exercised the winnow family only through its
+    // df-cap (0 output rows at every scale rung); with a realistic
+    // type/token ratio the fingerprints diversify and the scaled winnow
+    // and shingle rungs measure output-bearing behavior. Deterministic:
+    // a pure function of the index, no RNG.
+    val baseVocab = Seq("data", "query", "spark", "table", "row", "column",
       "key", "value", "join", "filter", "agg", "group", "sort", "scan",
       "merge", "batch", "stream", "window", "part", "line", "order",
       "hash", "fast", "slow", "big", "small", "vector", "a", "the")
+    val onsets = Seq("b", "br", "ch", "d", "dr", "f", "fl", "g", "gr", "h",
+      "j", "k", "kl", "l", "m", "n", "p", "pr", "qu", "r", "s", "st", "t",
+      "tr", "v", "w", "y", "z")
+    val nuclei = Seq("a", "e", "i", "o", "u", "ai", "ea", "ou")
+    val codas = Seq("on", "er", "is", "at", "or", "en", "il", "um")
+    val composed = (0 until 410).map { i =>
+      val j = (i * 421) % 1792
+      onsets(j % 28) + nuclei((j / 28) % 8) + codas((j / 224) % 8)
+    }
+    val vocab = baseVocab ++ composed
     val vArr = vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
     // pile base: members of a pile draw their token stream from the
     // base id, everyone else from themselves (base = own id)
