@@ -295,11 +295,48 @@ WITH $ivfCommonCtes
 SELECT cell, COUNT(*) AS cell_size, MIN(vec_id) AS min_vec_id
 FROM afin GROUP BY cell"""
 
+  /** Recall@k of the IVF search against the exact brute-force top-k
+    * ([[Similarity.annCosineTopK]] — same 5 queries, same k): per query,
+    * how many of the true top-10 neighbors the nprobe=4 probe actually
+    * surfaced. THE acceptance metric of an ANN operating point — an
+    * index whose recall is not measured is not an index, it is a hope —
+    * and at 100 TB this exact frame (exact top-k over a small held-out
+    * query sample vs the production index) is the recurring quality
+    * probe run after every index rebuild. Left join exact→approx so
+    * misses count as 0, one k-row-per-query aggregation. */
+  def recallVsExact(spark: SparkSession, dir: String): DataFrame = {
+    val approx = search(spark, dir, K, NProbe, TopK, NQueries)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
+    Similarity.annCosineTopK(spark, dir)
+      .select("query_id", "vec_id")
+      .join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(TopK.toDouble)).as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
+  /** Both sides' oracles nest verbatim as subqueries (their CTE
+    * namespaces clash — both define `q`), so the recall oracle verifies
+    * the composition of two already-green replays. */
+  lazy val ivfRecallSql: String = s"""
+WITH approx AS (SELECT query_id, vec_id FROM ($ivfSearchSql)),
+exact AS (SELECT query_id, vec_id FROM (${Similarity.annCosineTopKSql}))
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / ${TopK.toDouble} AS recall_at_k
+FROM exact e LEFT JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
+
   val inventory: Map[String, Q] = Map(
     "ivf_search" -> ((s, dir) => search(s, dir, K, NProbe, TopK, NQueries)),
-    "ivf_cells"  -> ((s, dir) => cells(s, dir, K)))
+    "ivf_cells"  -> ((s, dir) => cells(s, dir, K)),
+    "ivf_recall" -> (recallVsExact _))
 
   val oracle: Map[String, String] = Map(
     "ivf_search" -> ivfSearchSql,
-    "ivf_cells"  -> ivfCellsSql)
+    "ivf_cells"  -> ivfCellsSql,
+    "ivf_recall" -> ivfRecallSql)
 }

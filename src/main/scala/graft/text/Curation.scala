@@ -169,15 +169,91 @@ SELECT g.source, g.lang, g.n_docs, g.total_chars, g.total_bpe_tokens,
 FROM g CROSS JOIN t
 ORDER BY g.source, g.lang"""
 
+  /** Mixture weights (percent) per language for [[corpusMixBudget]] —
+    * the "domain weights" knob of a training-corpus recipe. */
+  val MixWeightPct: Seq[(String, Long)] =
+    Seq("en" -> 40L, "zh" -> 15L, "fr" -> 15L, "es" -> 15L, "de" -> 15L)
+  /** Overall token budget as a percent of the corpus total. */
+  val MixBudgetPct = 30L
+
+  /** Corpus mixing under a token budget: allocate
+    * `MixBudgetPct`% of the corpus's estimated BPE tokens across
+    * languages by [[MixWeightPct]], then select documents per stratum
+    * via an md5-derived uniform at the stratum's selection fraction
+    * (`min(1, target/stratum_tokens)`). Hits each target in
+    * EXPECTATION — the deliberate 100 TB trade: the exact-cut
+    * formulation (running token sum per stratum, stop at the budget)
+    * needs a per-stratum TOTAL ORDER, which with a handful of strata is
+    * a handful of serial reducers over the whole corpus; the
+    * hash-threshold form is a narrow, partitioning-independent filter
+    * (two scans + one broadcast join), and sampling noise at corpus
+    * scale is relative ~1/√docs. Weight-0 languages (absent from
+    * [[MixWeightPct]]) select nothing and drop out of the rollup.
+    * Integer targets all the way (`div`), so both engines compute
+    * identical budgets; the uniform and the fraction compare are the
+    * same IEEE doubles from the same integers. */
+  def corpusMixBudget(spark: SparkSession, dir: String): DataFrame =
+    corpusMixBudgetOver(Tables.documents(spark, dir))
+
+  /** Parameterized core over any (doc_id, lang, text) frame
+    * (CurationMixSpec). */
+  private[graft] def corpusMixBudgetOver(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("lang"), TextOps.estBpeTokens.as("toks"))
+    val strata = d.groupBy("lang").agg(sum("toks").as("stratum_tokens"))
+    val grand = strata.agg(sum("stratum_tokens").as("corpus_tokens"))
+    val weight = MixWeightPct.foldLeft(lit(0L)) { case (acc, (l, w)) =>
+      when(col("lang") === l, lit(w)).otherwise(acc)
+    }
+    val targets = strata.crossJoin(broadcast(grand))
+      .withColumn("target_tokens",
+        expr(s"((corpus_tokens * $MixBudgetPct) div 100)") * weight / lit(100L))
+      .withColumn("target_tokens", expr("cast(floor(target_tokens) as bigint)"))
+      .select("lang", "stratum_tokens", "target_tokens")
+    val u = expr(
+      "cast(conv(substr(md5(concat('mix:', cast(doc_id as string))), 1, 12), 16, 10) as double) / 281474976710656.0")
+    d.join(broadcast(targets), "lang")
+      .filter(u < least(lit(1.0),
+        col("target_tokens").cast("double") / col("stratum_tokens").cast("double")))
+      .groupBy("lang", "stratum_tokens", "target_tokens")
+      .agg(count(lit(1)).as("n_selected"), sum("toks").as("selected_tokens"))
+      .orderBy("lang")
+  }
+
+  lazy val corpusMixBudgetSql: String = {
+    val weightCase = MixWeightPct
+      .map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ")
+    s"""
+WITH d AS (SELECT doc_id, lang, ${TextOps.estBpeTokensSqlE} AS toks FROM documents),
+strata AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS stratum_tokens FROM d GROUP BY lang),
+grand AS (SELECT CAST(SUM(stratum_tokens) AS BIGINT) AS corpus_tokens FROM strata),
+t AS (SELECT lang, stratum_tokens,
+             CAST(floor(CAST(((corpus_tokens * $MixBudgetPct) // 100)
+                             * (CASE lang $weightCase ELSE 0 END) AS DOUBLE) / 100.0) AS BIGINT)
+               AS target_tokens
+      FROM strata CROSS JOIN grand),
+sel AS (SELECT d.lang, d.toks, t.stratum_tokens, t.target_tokens
+        FROM d JOIN t USING (lang)
+        WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS DOUBLE)
+                / 281474976710656.0
+              < least(1.0, CAST(target_tokens AS DOUBLE) / CAST(stratum_tokens AS DOUBLE)))
+SELECT lang, stratum_tokens, target_tokens,
+       COUNT(*) AS n_selected, CAST(SUM(toks) AS BIGINT) AS selected_tokens
+FROM sel GROUP BY lang, stratum_tokens, target_tokens
+ORDER BY lang"""
+  }
+
   val inventory: Map[String, Q] = Map(
     "corpus_curation"         -> (corpusCuration _),
     "corpus_curated_docs"     -> (curatedDocs _),
     "corpus_published"        -> (publishedCorpus _),
+    "corpus_mix_budget"       -> (corpusMixBudget _),
     "corpus_token_accounting" -> (corpusTokenAccounting _))
 
   val oracle: Map[String, String] = Map(
     "corpus_curation"         -> corpusCurationSql,
     "corpus_curated_docs"     -> curatedDocsSql,
     "corpus_published"        -> publishedCorpusSql,
+    "corpus_mix_budget"       -> corpusMixBudgetSql,
     "corpus_token_accounting" -> corpusTokenAccountingSql)
 }

@@ -129,10 +129,12 @@ object DedupClusters {
         (col("id") === col("cluster_id")).as("is_keeper"))
   }
 
-  /** Recursive-CTE twin: reach(node,label) closure over the same edges,
-    * min label per node. Shingle CTEs (including the hot-shingle df cap)
-    * are shared with the dedup_jaccard_pairs oracle. */
-  val dedupClustersSql: String = s"""
+  /** Recursive-CTE block computing the same fixpoint — `rch` (node →
+    * min reachable label) and `sizes` — shared by the cluster oracle
+    * below and the [[dedupKeepBest]] oracle. Shingle CTEs (including
+    * the hot-shingle df cap) are shared with the dedup_jaccard_pairs
+    * oracle. */
+  private[text] val dedupClustersCtes: String = s"""
 WITH RECURSIVE ${TextOps.shingleCtes(TextOps.HotShingleDfCap)},
 prs AS (SELECT doc_a AS a, doc_b AS b
         FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
@@ -143,10 +145,55 @@ reach(node, label) AS (
   UNION
   SELECT e.a, r.label FROM reach r JOIN edges e ON r.node = e.b),
 rch AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
-sizes AS (SELECT label AS cluster_id, COUNT(*) AS cluster_size FROM rch GROUP BY label)
+sizes AS (SELECT label AS cluster_id, COUNT(*) AS cluster_size FROM rch GROUP BY label)"""
+
+  /** Recursive-CTE twin: reach(node,label) closure over the same edges,
+    * min label per node. */
+  val dedupClustersSql: String = dedupClustersCtes + """
 SELECT r.node AS doc_id, r.label AS cluster_id, s.cluster_size,
        r.node = r.label AS is_keeper
 FROM rch r JOIN sizes s ON r.label = s.cluster_id"""
+
+  /** Cluster representatives elected by QUALITY instead of min-id: each
+    * near-dup cluster keeps its highest-[[TextOps.withTextStats
+    * quality_score]] member (exact score ties — same stats — break on
+    * the smaller doc_id). Min-id keepers ([[dedupClusters]]'
+    * `is_keeper`) are the cheap default; a curation pass that is about
+    * to TRAIN on the keeper wants the best-written member of each pile,
+    * not the lowest-numbered one. One join (labels ⋈ stats) plus a
+    * per-cluster window — hash-partitioned by cluster_id, ≤
+    * cluster_size rows per key, no global sort; quality_score is
+    * computed identically in both engines (its own oracle row is
+    * hash-green), so the argmax is value-exact. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextOps
+      .withTextStats(Tables.documents(spark, dir).select("doc_id", "text"))
+      .select("doc_id", "quality_score")
+    dedupClusters(spark, dir)
+      .join(quality, "doc_id")
+      .withColumn("rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+            .orderBy(col("quality_score").desc, col("doc_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("cluster_size"), col("quality_score").as("rep_quality"))
+      .orderBy("cluster_id")
+  }
+
+  /** Oracle: the cluster fixpoint CTEs + the (green) stats SQL, argmax
+    * via the same windowed rank. */
+  lazy val dedupKeepBestSql: String = dedupClustersCtes + s""",
+stats AS (${TextOps.textStatsSql}),
+lbl AS (SELECT r.node AS doc_id, r.label AS cluster_id, s.cluster_size
+        FROM rch r JOIN sizes s ON r.label = s.cluster_id),
+rk AS (SELECT l.cluster_id, l.doc_id, l.cluster_size, st.quality_score,
+              ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                 ORDER BY st.quality_score DESC, l.doc_id ASC) AS rk
+       FROM lbl l JOIN stats st USING (doc_id))
+SELECT cluster_id, doc_id AS rep_doc_id, cluster_size, quality_score AS rep_quality
+FROM rk WHERE rk = 1
+ORDER BY cluster_id"""
 
   /** Deterministic stratified sampling: per-language rates via an
     * md5-derived uniform per doc — reproducible on any cluster layout
@@ -181,9 +228,11 @@ WHERE (lang = 'en' AND CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARC
 
   val inventory: Map[String, TextOps.Q] = Map(
     "dedup_clusters"    -> (dedupClusters _),
+    "dedup_keep_best"   -> (dedupKeepBest _),
     "stratified_sample" -> (stratifiedSample _))
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters"    -> dedupClustersSql,
+    "dedup_keep_best"   -> dedupKeepBestSql,
     "stratified_sample" -> stratifiedSampleSql)
 }

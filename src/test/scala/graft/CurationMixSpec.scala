@@ -1,0 +1,66 @@
+package graft
+
+import graft.text.{Curation, DedupClusters, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing under a token budget, and quality-elected dedup
+  * representatives. */
+class CurationMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mix budget: integer targets follow the weight allocation exactly") {
+    // 100 docs per lang, every text exactly 40 chars → 10 est tokens:
+    // corpus = 2000 tokens, budget 30% = 600; en 40% → 240, de 15% → 90
+    val text = "x" * 40
+    val d = ((1 to 100).map(i => (i.toLong, "en", text)) ++
+      (1 to 100).map(i => (1000L + i, "de", text)))
+      .toDF("doc_id", "lang", "text")
+    val rows = Curation.corpusMixBudgetOver(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("en").getLong(1) == 1000L && rows("en").getLong(2) == 240L)
+    assert(rows("de").getLong(1) == 1000L && rows("de").getLong(2) == 90L)
+    // realized tokens track the target in expectation (10 tokens/doc →
+    // ±~40% at these tiny strata is still diagnostic of gross errors
+    // like selecting everything or nothing)
+    val en = rows("en").getLong(4)
+    assert(en > 0 && en < 1000L, s"en selected_tokens $en out of range")
+    assert(rows("en").getLong(3) * 10L == en,
+      "selected_tokens must equal 10 per selected doc")
+  }
+
+  test("mix budget: weight-0 languages select nothing") {
+    val d = ((1 to 50).map(i => (i.toLong, "en", "y " * 20)) ++
+      (1 to 50).map(i => (500L + i, "xx", "y " * 20)))
+      .toDF("doc_id", "lang", "text")
+    val langs = Curation.corpusMixBudgetOver(d).collect().map(_.getString(0)).toSet
+    assert(!langs.contains("xx"), "unweighted lang must drop out")
+  }
+
+  test("mix budget: over-allocated stratum is capped at keep-everything") {
+    // a tiny en stratum vs a huge unweighted one: en's target exceeds
+    // its stratum, fraction caps at 1.0, every en doc is kept
+    val d = ((1 to 5).map(i => (i.toLong, "en", "z " * 30)) ++
+      (1 to 500).map(i => (1000L + i, "xx", "z " * 30)))
+      .toDF("doc_id", "lang", "text")
+    val en = Curation.corpusMixBudgetOver(d).collect()
+      .find(_.getString(0) == "en").get
+    assert(en.getLong(3) == 5L, s"expected all 5 en docs kept: ${en.getLong(3)}")
+  }
+
+  test("keep-best elects the max-quality member of every cluster") {
+    val clusters = DedupClusters.dedupClusters(spark, sf)
+    val best = DedupClusters.dedupKeepBest(spark, sf)
+    // one representative per cluster
+    assert(best.count() == clusters.select("cluster_id").distinct().count())
+    // the representative's quality is the cluster max, computed
+    // independently from the stats surface
+    val q = TextOps.withTextStats(
+        Tables.documents(spark, sf).select("doc_id", "text"))
+      .select("doc_id", "quality_score")
+    val clusterMax = clusters.join(q, "doc_id")
+      .groupBy("cluster_id").agg(max("quality_score").as("max_q"))
+    val mismatches = best.join(clusterMax, "cluster_id")
+      .filter(col("rep_quality") =!= col("max_q")).count()
+    assert(mismatches == 0)
+  }
+}

@@ -56,6 +56,24 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall was $recall")
   }
 
+  test("ivf_recall matches an independently computed per-query recall") {
+    val exact = Similarity.annCosineTopK(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val approx = Ivf.search(spark, sf, Ivf.K, Ivf.NProbe, Ivf.TopK, Ivf.NQueries)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = exact.groupBy(_._1).view
+      .mapValues(_.count(approx.contains).toLong).toMap
+    val rows = Ivf.recallVsExact(spark, sf).collect()
+    assert(rows.length == Ivf.NQueries)
+    rows.foreach { r =>
+      val (q, hits, rec) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(hits == expected(q), s"query $q: $hits vs ${expected(q)}")
+      assert(rec == hits.toDouble / Ivf.TopK)
+    }
+  }
+
   test("ivf search job count is independent of query count") {
     def jobsFor(n: Int): Int = {
       val group = s"ivf-jobs-$n"
