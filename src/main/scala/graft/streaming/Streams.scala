@@ -286,6 +286,37 @@ GROUP BY user_id, session_seq"""
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
+  /** Streaming twin of [[graft.text.TextOps.dedupExact]]: exact
+    * content-hash dedup of a document ingest stream. Keyed on
+    * `md5(text)` with `dropDuplicatesWithinWatermark`, so a document
+    * whose content already arrived within the watermark horizon is
+    * suppressed at ingest time, and state for content older than the
+    * horizon is EVICTED — bounded memory on an unbounded corpus, which
+    * plain `dropDuplicates` on a stream cannot promise (its key state
+    * grows with every distinct document ever seen). The trade is
+    * explicit and spec-pinned: two identical documents separated by
+    * more than the horizon both pass (the batch dedup downstream
+    * remains the authority for full-corpus exactness; this operator's
+    * job is cutting the re-crawl/redelivery torrent BEFORE it is ever
+    * written). Takes the ingest frame as a parameter (any
+    * (doc_id, text, ingest_ts) stream) like [[sessionizeStream]]. */
+  def dedupContentStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_md5", md5(col("text")))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_md5")
+      .select(col("content_md5"), col("doc_id").as("keeper_doc_id"))
+
+  /** [[dedupContentStream]] over the corpus ingest view: every document
+    * carries one fixed ingest timestamp (a bounded replay arrives "at
+    * once"), so the emitted set must equal the batch [[graft.text
+    * .TextOps.dedupExact]] key set exactly — asserted in StreamingSpec. */
+  def dedupDocsStream(spark: SparkSession, dir: String): DataFrame =
+    dedupContentStream(
+      docsStream(spark, dir)
+        .withColumn("ingest_ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+
   /** The documents parquet as a bounded file stream (the ingest-time
     * view of the corpus). */
   def docsStream(spark: SparkSession, dir: String): DataFrame = {

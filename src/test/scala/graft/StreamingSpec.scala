@@ -118,6 +118,63 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L), s"expected each id once, got $ids")
   }
 
+  test("streaming content dedup emits exactly the batch dedup key set") {
+    val q = Streams.dedupDocsStream(spark, sf).writeStream
+      .format("memory").queryName("content_dedup_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("content_dedup_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val batchGroups = graft.text.TextOps.dedupExact(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // one emission per distinct content, never more
+    assert(streamed.length == streamed.map(_._1).distinct.length)
+    assert(streamed.map(_._1).toSet == batchGroups.keySet)
+    // the kept doc must belong to its content group: its text hashes to
+    // the key (verified via the batch group's membership by re-hashing)
+    val byId = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    streamed.foreach { case (m, keeper) =>
+      assert(byId(keeper) == m, s"keeper $keeper does not hash to $m")
+    }
+  }
+
+  test("content dedup state is watermark-bounded: horizon-separated dups re-emit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $m:00")
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Streams.dedupContentStream(
+        mem.toDF().toDF("doc_id", "text", "ingest_ts"))
+      .writeStream.format("memory").queryName("content_dedup_evict")
+      .outputMode("append").start()
+    // batch 1: A twice in-batch, B once -> A, B emitted once each
+    mem.addData((1L, "alpha", ts("10:00")), (2L, "alpha", ts("10:00")),
+      (3L, "beta", ts("10:05")))
+    q.processAllAvailable()
+    // batch 2: A redelivered within the 1h horizon -> suppressed
+    mem.addData((4L, "alpha", ts("10:30")))
+    q.processAllAvailable()
+    // batch 3: advance the watermark past A's expiry (10:00 + 1h):
+    // max event time 12:30 -> watermark 11:30 -> A's state evicted
+    mem.addData((5L, "gamma", ts("12:30")))
+    q.processAllAvailable()
+    // batch 4: the SAME content arriving after the horizon is a fresh
+    // key -- bounded state means horizon-separated dups both pass
+    mem.addData((6L, "alpha", ts("12:31")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("content_dedup_evict")
+      .select("keeper_doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L, 5L, 6L),
+      s"expected in-horizon dups suppressed (2,4), post-eviction re-emit (6): $out")
+  }
+
   test("watermark drops late events from the windowed aggregation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
