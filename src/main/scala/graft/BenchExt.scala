@@ -16,7 +16,7 @@ object BenchExt {
   val ops: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_clusters", "ann_cosine_topk", "ann_lsh_buckets",
-    "ann_lsh_near_dup_pairs", "ann_lsh_dedup_pairs", "ann_dedup_reps",
+    "ann_lsh_near_dup_pairs_demo", "ann_lsh_dedup_pairs", "ann_dedup_reps",
     "ivf_search",
     "text_stats", "corpus_curation", "quantiles_line_total",
     "asof_click_attribution", "range_join_click_purchase",

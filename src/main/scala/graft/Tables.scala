@@ -26,19 +26,35 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark has no nanosecond
-    * timestamp, so read nanos as long (legacy flag) and rebuild a
-    * microsecond timestamp — identical to DuckDB's nanos→micros
-    * truncation, so oracle comparisons line up.
-    */
+  /** The driver has shipped `events.ts` in two on-disk vintages:
+    * parquet TIMESTAMP(NANOS) (read as long via the legacy flag, since
+    * Spark has no nanosecond timestamp) and parquet `timestamp[us]`
+    * without timezone (read as TIMESTAMP_NTZ). Downstream operators —
+    * `unix_micros`, watermarks, window() — need TIMESTAMP(LTZ), so every
+    * vintage is normalized here, in ONE place. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = rd(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer division — float division of epoch-nanos loses the low
-      // digits past 2^53 and shifts timestamps by a microsecond
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(rd(spark, dir, "events"))
+  }
+
+  /** Normalize a `ts` column to TimestampType (LTZ) regardless of the
+    * vintage it was read as. Safe for batch and streaming frames alike.
+    *  - LongType (epoch nanos): integer-divide to micros — float division
+    *    of epoch-nanos loses the low digits past 2^53 and shifts
+    *    timestamps by a microsecond. Matches DuckDB's nanos→micros
+    *    truncation, so oracle comparisons line up.
+    *  - TIMESTAMP_NTZ: cast — the session timezone is pinned to UTC
+    *    everywhere (Sessions/Verify/Bench/specs), so the wall-clock
+    *    reinterpretation preserves the instant and DuckDB's naive read
+    *    still matches.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 }

@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       // repartition(1), not coalesce(1): coalesce removes the barrier and
@@ -25,7 +26,17 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A broken query must read as FAILED downstream, not as "not
+        // registered": dump a one-row marker frame under the query's own
+        // name so the driver's DuckDB compare reports a loud
+        // schema/hash mismatch instead of silently skipping the key.
+        failed += name -> String.valueOf(e.getMessage).take(500)
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(failed.last._2).toDF("_verify_error")
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +54,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Independent accounting (ADVICE r8): registered-vs-dumped counts come
+    // from the registry itself, never back-computed from the dump, so a
+    // silent failure cannot hide in the arithmetic.
+    val failJson = failed.map { case (n, m) => s"${q(n)}: ${q(m)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"),
+      s"""{"registered": ${SparkEntry.queries.size}, "failed": $failJson}""")
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: " +
+        failed.map(_._1).mkString(", "))
     spark.stop()
   }
 }

@@ -234,6 +234,12 @@ FROM s GROUP BY bucket"""
     * vectors; 9.9M clone pairs found at 200k — recall 1.0, output
     * quadratic in clone multiplicity, which is what [[annDedupReps]]
     * bounds to one row per vector).
+    *
+    * Registered as `ann_lsh_near_dup_pairs_demo`: the `_demo` suffix
+    * marks this fixed-depth operating point as a demonstration /
+    * recall-measurement surface that empty-truncates above ~60k vectors
+    * by design — nobody should ship it at scale; the production route
+    * is [[annLshDedupPairs]].
     */
   def annLshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     annLshNearDupPairsWith(spark, dir, LshBands, LshRows, 0.4)
@@ -619,7 +625,7 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "ann_cosine_topk"          -> (annCosineTopK _),
     "embedding_near_dup_pairs" -> (embeddingNearDupPairs _),
     "ann_lsh_buckets"          -> (annLshBuckets _),
-    "ann_lsh_near_dup_pairs"   -> (annLshNearDupPairs _),
+    "ann_lsh_near_dup_pairs_demo" -> (annLshNearDupPairs _),
     "ann_lsh_dedup_pairs"      -> (annLshDedupPairs _),
     "ann_dedup_reps"           -> (annDedupReps _),
     "embedding_quantize"       -> (embeddingQuantize _))
@@ -628,7 +634,7 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "ann_cosine_topk"          -> annCosineTopKSql,
     "embedding_near_dup_pairs" -> embeddingNearDupPairsSql,
     "ann_lsh_buckets"          -> annLshBucketsSql,
-    "ann_lsh_near_dup_pairs"   -> annLshNearDupPairsSql,
+    "ann_lsh_near_dup_pairs_demo" -> annLshNearDupPairsSql,
     "ann_lsh_dedup_pairs"      -> annLshDedupPairsSql,
     "ann_dedup_reps"           -> annDedupRepsSql,
     "embedding_quantize"       -> embeddingQuantizeSql)

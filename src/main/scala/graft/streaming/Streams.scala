@@ -123,18 +123,18 @@ GROUP BY user_id, session_seq"""
   // --------------------------------------------- structured streaming ops
 
   /** The events parquet as a bounded file stream. Streaming reads need
-    * the RAW file schema (ts is INT64 nanos on disk) — the nanos→micros
-    * conversion happens after the scan, same as the batch reader. */
+    * the RAW file schema (INT64 nanos or TIMESTAMP_NTZ micros depending
+    * on the testdata vintage) — the normalization to TIMESTAMP(LTZ)
+    * happens after the scan via [[Tables.normalizeTs]], same as the
+    * batch reader, so watermarks always see an event-time-capable type. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val st = spark.readStream
-      .schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    if (raw.schema("ts").dataType == LongType)
-      st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else st
+    Tables.normalizeTs(
+      spark.readStream
+        .schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Streaming tumbling-window aggregation with a 1-hour watermark —
@@ -317,6 +317,25 @@ GROUP BY user_id, session_seq"""
         .withColumn("ingest_ts",
           lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
 
+  /** Oracle-checkable batch twin of [[dedupDocsStream]]: what the stream
+    * emits on a bounded replay where every document carries one fixed
+    * ingest timestamp — all arrivals land inside one watermark horizon,
+    * so exactly one keeper survives per distinct content hash.
+    * `min(doc_id)` pins the keeper deterministically for the DuckDB
+    * hash-compare (the stream keeps whichever row its micro-batch saw
+    * first; StreamingSpec asserts the key-set parity both sides share,
+    * plus keeper-membership by re-hashing). Unlike [[graft.text.TextOps
+    * .dedupExact]] this publishes the STREAM's contract — no `dup_count`,
+    * because an append-mode stream can never finalize a count. */
+  def dedupContentBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min("doc_id").as("keeper_doc_id"))
+
+  val dedupContentBatchSql: String = """
+SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text)"""
+
   /** The documents parquet as a bounded file stream (the ingest-time
     * view of the corpus). */
   def docsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -371,10 +390,12 @@ GROUP BY user_id, session_seq"""
   val inventory: Map[String, Q] = Map(
     "events_hourly_windows"  -> (eventsHourly _),
     "events_sliding_windows" -> (eventsSliding _),
-    "events_sessionization"  -> (eventsSessions _))
+    "events_sessionization"  -> (eventsSessions _),
+    "dedup_stream_content_hash" -> (dedupContentBatch _))
 
   val oracle: Map[String, String] = Map(
     "events_hourly_windows"  -> eventsHourlySql,
     "events_sliding_windows" -> eventsSlidingSql,
-    "events_sessionization"  -> eventsSessionsSql)
+    "events_sessionization"  -> eventsSessionsSql,
+    "dedup_stream_content_hash" -> dedupContentBatchSql)
 }

@@ -132,6 +132,10 @@ class StreamingSpec extends SparkSpec {
     // one emission per distinct content, never more
     assert(streamed.length == streamed.map(_._1).distinct.length)
     assert(streamed.map(_._1).toSet == batchGroups.keySet)
+    // the REGISTERED oracle twin publishes the same key set
+    val twinKeys = Streams.dedupContentBatch(spark, sf)
+      .select("content_md5").collect().map(_.getString(0)).toSet
+    assert(twinKeys == streamed.map(_._1).toSet)
     // the kept doc must belong to its content group: its text hashes to
     // the key (verified via the batch group's membership by re-hashing)
     val byId = Tables.documents(spark, sf)
