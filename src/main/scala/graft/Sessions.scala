@@ -24,6 +24,11 @@ object Sessions {
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.locality.wait", "0")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts nanos vintage reads as long (Tables.normalizeTs);
+      // set at construction so concurrent callers never mutate runtime
+      // conf (Tables.events still sets it defensively for foreign
+      // sessions — constant value, so the write is race-free)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new functions.GraftExtensions)
       .getOrCreate()
@@ -53,5 +58,6 @@ object Sessions {
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
       .config("spark.sql.files.maxPartitionBytes", "256m")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new functions.GraftExtensions)
 }

@@ -105,6 +105,13 @@ object DataGen {
     * collide, winnow fingerprints share passages, and `dedup_exact`
     * stays non-degenerate because the guaranteed edit keeps texts
     * distinct (up to the ~3% chance the substituted token matches).
+    *
+    * TOKEN-MASS REALISM: stopwords are drawn with a per-doc propensity
+    * in [0.10, 0.55) (see the body comment) so the corpus-curation
+    * quality gate STRADDLES on generated corpora — short/low-stopword
+    * docs fail, long/stopword-normal docs pass — instead of uniformly
+    * rejecting (uniform vocabulary draws → stopword term ≈ 0 → every
+    * doc under the 60 bar → scaled curation rungs curated nothing).
     */
   def documents(spark: SparkSession, n: Long, seed: Long = 42): DataFrame = {
     // ~440-word vocabulary: the 29 base tech words plus 410 syllable-
@@ -138,11 +145,27 @@ object DataGen {
     // uniform in [0,1) from (seed, key expr, position) — 48 bits of md5
     def up(tag: String, idE: String, pos: String) =
       s"cast(conv(substr(md5(concat('$seed', ':$tag:', cast($idE as string), ':', cast($pos as string))), 1, 12), 16, 10) as double) / 281474976710656.0"
+    // ZIPFIAN-ISH TOKEN MASS: real text is not uniform over its
+    // vocabulary — function words carry a large share of the tokens.
+    // Each document draws stopwords (the quality gate's 8-word list,
+    // TextOps.withTextStats) with a per-doc propensity in [0.10, 0.55)
+    // keyed on the PILE BASE (members share it, preserving clone
+    // structure), other positions draw uniformly from the diverse
+    // vocabulary. Without this, uniform draws put ~0.5% token mass on
+    // stopwords, every generated doc scores below the quality-gate's 60
+    // bar, and the scaled curation rungs curate ZERO documents — the
+    // gate's pass fraction must straddle, not pin, on synthetic corpora.
+    val stopArr = "array('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+    val spE = s"(0.10 + 0.45 * ${up("sprop", baseE, "'0'")})"
+    val baseTokE =
+      s"""if(${up("stopd", baseE, "p")} < $spE,
+           element_at($stopArr, 1 + cast(${up("stok", baseE, "p")} * 8 as int)),
+           element_at($vArr, 1 + cast(${up("tok", baseE, "p")} * ${vocab.size} as int)))"""
     val tokE =
       s"""if(id % 50 < 5 AND id % 50 > 0
              AND (p = 1 + cast(id % 15 as int) OR ${up("edit", "id", "p")} < 0.02),
            element_at($vArr, 1 + cast(${up("etok", "id", "p")} * ${vocab.size} as int)),
-           element_at($vArr, 1 + cast(${up("tok", baseE, "p")} * ${vocab.size} as int)))"""
+           $baseTokE)"""
     spark.range(n)
       .select(
         col("id").as("doc_id"),

@@ -36,4 +36,18 @@ class RankByKeySpec extends SparkSpec {
     check(Seq(42L, 7L))
     check(Seq(7L))
   }
+
+  test("exclusiveCumsum equals the single-partition running sum directly") {
+    // the shared primitive under rankByUniqueKey AND Packing's offsets —
+    // covered here on its own so neither caller's spec is its only net
+    val rows = Seq((10L, 3L), (2L, 5L), (7L, 0L), (30L, 11L), (1L, 2L), (15L, 7L))
+    val df = rows.toDF("k", "v").repartition(5)
+    val got = Dist.exclusiveCumsum(df, "k", "v", "cum")
+      .select("k", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = df.select(col("k"),
+        (sum("v").over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, 0)) - col("v")).as("cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
 }
