@@ -35,6 +35,26 @@ object TextOps {
   /** Whitespace tokens of trimmed text (shared definition, mirrored as
     * regexp_split_to_array in the oracle). */
   val toksE = "split(trim(text), '\\\\s+')"
+
+  /** The 8-word function-word list — ONE definition shared by the
+    * quality gate's stopword ratio, language markers, and the
+    * content-similarity feature filter below. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val stopwordInE: String = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Content-bearing tokens: [[toksE]] minus stopwords — the feature
+    * set for SimHash. Classic SimHash weights features by importance
+    * (Charikar's scheme as deployed by Manku et al. uses idf weights);
+    * dropping the tiny fixed function-word list is the rank-1
+    * approximation of that weighting, and it matters at scale: on a
+    * Zipfian corpus (~1/3 of token mass on stopwords) unweighted
+    * per-occurrence votes correlate every document's signature, piling
+    * the population into a handful of band buckets — measured on the
+    * 100x generated corpus as the bucket cap truncating candidate
+    * generation to near-zero output (262 pairs vs 47k on a uniform
+    * vocabulary). Filtering restores feature entropy without touching
+    * the banding or the cap contract. */
+  val contentToksE = s"filter($toksE, t -> t NOT IN ($stopwordInE))"
   /** Distinct word-trigram shingles over the tokens. */
   val shinglesE =
     s"""array_distinct(CASE WHEN size($toksE) >= 3 THEN
@@ -686,21 +706,29 @@ FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
 
   // ------------------------------------------------------------- SimHash
 
-  /** 32-bit SimHash per document (md5-derived token hashes, +1/-1 bit
-    * votes over all token occurrences) plus near-duplicate pairs at
-    * Hamming distance <= 4 — found EXACTLY via pigeonhole banding: split
-    * the hash into 5 blocks (7+7+6+6+6 bits); any pair differing in <= 4
-    * bits must agree on at least one block, so candidates come from
+  /** 60-bit SimHash per document (md5-derived hashes of the
+    * CONTENT-bearing tokens, [[contentToksE]] — see there for why the
+    * function-word features are excluded; +1/-1 bit votes over all
+    * remaining occurrences) plus near-duplicate pairs at Hamming
+    * distance <= 4 — found EXACTLY via pigeonhole banding: split the
+    * hash into 5 exact 12-bit blocks; any pair differing in <= 4 bits
+    * must agree on at least one block, so candidates come from
     * block-equality joins (the 100 TB path — no all-pairs comparison),
-    * then the exact Hamming filter keeps no false positives. */
-  /** HOF reference form of the 32-bit SimHash (what the oracle mirrors);
+    * then the exact Hamming filter keeps no false positives. Width and
+    * block size are a SCALE decision (see [[graft.functions
+    * .SimHashSig]]): the earlier 32-bit hash gave 6-7-bit blocks whose
+    * 64-128 bucket values saturate the [[SimhashBucketCap]] wholesale
+    * once the corpus passes a few tens of thousands of docs (measured:
+    * 0 candidates at 500k docs); 12-bit blocks hold expected occupancy
+    * ~122 at 500k. */
+  /** HOF reference form of the 60-bit SimHash (what the oracle mirrors);
     * [[graft.functions.SimHashSig]] is the compiled twin used below —
     * SimHashSigSpec asserts bit-equality. The HOF tree re-evaluates the
-    * per-token md5 array once per bit position, so it is ~30× the work. */
+    * per-token md5 array once per bit position, so it is ~60× the work. */
   private[graft] val simhashHofE: String = {
     val harrE =
-      s"transform($toksE, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
-    s"""aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
+      s"transform($contentToksE, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
+    s"""aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) ->
           acc + if(aggregate($harrE, 0, (a, h) ->
                      a + if(((shiftright(h, j) & 1)) = 1, 1, -1)) > 0,
                    shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""
@@ -730,15 +758,15 @@ FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
     * (SimhashCapSpec), mirroring [[jaccardPairsOverShingles]]. */
   private[graft] def simhashPairsOverDocs(d: DataFrame, bucketCap: Int): DataFrame = {
     val sh = d.select(col("doc_id"),
-      graft.functions.SimHashSig.of(expr(toksE)).as("simhash32"))
-    // blocks: [bits 0-6], [7-13], [14-19], [20-25], [26-31]
-    val blocks = sh.select(col("doc_id"), col("simhash32"),
+      graft.functions.SimHashSig.of(expr(contentToksE)).as("simhash60"))
+    // blocks: five exact 12-bit slices [0-11], [12-23], ..., [48-59]
+    val blocks = sh.select(col("doc_id"), col("simhash60"),
       posexplode(expr(
-        """array(simhash32 & 127,
-                 shiftright(simhash32, 7) & 127,
-                 shiftright(simhash32, 14) & 63,
-                 shiftright(simhash32, 20) & 63,
-                 shiftright(simhash32, 26) & 63)"""))
+        """array(simhash60 & 4095,
+                 shiftright(simhash60, 12) & 4095,
+                 shiftright(simhash60, 24) & 4095,
+                 shiftright(simhash60, 36) & 4095,
+                 shiftright(simhash60, 48) & 4095)"""))
         .as(Seq("block", "block_bits")))
     val hot = blocks.groupBy("block", "block_bits")
       .agg(count(lit(1)).as("df"))
@@ -750,37 +778,40 @@ FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
         col("a.block") === col("b.block") && col("a.block_bits") === col("b.block_bits")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash32 ^ b.simhash32)").cast("long").as("hamming"))
+        expr("bit_count(a.simhash60 ^ b.simhash60)").cast("long").as("hamming"))
       .filter(col("hamming") <= 4)
       .dropDuplicates("doc_a", "doc_b")
   }
 
   private val dedupSimhashPairsSqlRaw: String = """
-WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         t -> t NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')) AS w
+             FROM documents),
 hs AS (SELECT doc_id,
-              list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT AS BIGINT)) AS harr
+              list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT)) AS harr
        FROM tok),
 sh AS (SELECT doc_id,
-              CAST(list_sum(list_transform(generate_series(0, 31), j ->
+              CAST(list_sum(list_transform(generate_series(0, 59), j ->
                 CASE WHEN list_sum(list_transform(harr, h ->
                             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                     THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash32
+                     THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash60
        FROM hs),
 blocks AS (
-  SELECT doc_id, simhash32, b.block,
-         CASE b.block WHEN 0 THEN simhash32 & 127
-                      WHEN 1 THEN (simhash32 >> 7) & 127
-                      WHEN 2 THEN (simhash32 >> 14) & 63
-                      WHEN 3 THEN (simhash32 >> 20) & 63
-                      ELSE (simhash32 >> 26) & 63 END AS block_bits
+  SELECT doc_id, simhash60, b.block,
+         CASE b.block WHEN 0 THEN simhash60 & 4095
+                      WHEN 1 THEN (simhash60 >> 12) & 4095
+                      WHEN 2 THEN (simhash60 >> 24) & 4095
+                      WHEN 3 THEN (simhash60 >> 36) & 4095
+                      ELSE (simhash60 >> 48) & 4095 END AS block_bits
   FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS block) b),
 hot AS (SELECT block, block_bits FROM blocks GROUP BY 1, 2 HAVING COUNT(*) > __SIMHASH_CAP__),
 kept AS (SELECT * FROM blocks ANTI JOIN hot USING (block, block_bits))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash32, b.simhash32)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(a.simhash60, b.simhash60)) AS BIGINT) AS hamming
 FROM kept a JOIN kept b
   ON a.block = b.block AND a.block_bits = b.block_bits AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 4"""
+WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 4"""
 
   val dedupSimhashPairsSql: String =
     dedupSimhashPairsSqlRaw.replace("__SIMHASH_CAP__", SimhashBucketCap.toString)
