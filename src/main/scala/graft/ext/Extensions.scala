@@ -44,19 +44,24 @@ SELECT c_custkey AS customer_id,
          '[0-9]{6,}', '[ID]', 'g')) AS BIGINT) AS chars_redacted
 FROM customer"""
 
+  /** Word bigrams of the document text — shared by the exact frequency
+    * table and the heavy-hitter sketch (built on the shared whitespace
+    * tokenizer: a tokenization change must reach the bigram table and
+    * the shingle operators together). */
+  val bigramsE: String = {
+    val toks = graft.text.TextOps.toksE
+    s"""CASE WHEN size($toks) >= 2 THEN
+          transform(sequence(1, size($toks) - 1),
+            i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1)))
+        ELSE array() END"""
+  }
+
   /** Corpus-wide top-50 word bigrams — the n-gram frequency table that
     * feeds tokenizer/contamination analyses. One explode + one groupBy:
     * map-side partial counts keep the shuffle at |distinct bigrams|. */
   def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
-    // the shared whitespace tokenizer — a tokenization change must reach
-    // the bigram table and the shingle operators together
-    val toks = graft.text.TextOps.toksE
     Tables.documents(spark, dir)
-      .select(explode(expr(
-        s"""CASE WHEN size($toks) >= 2 THEN
-              transform(sequence(1, size($toks) - 1),
-                i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1)))
-            ELSE array() END""")).as("bigram"))
+      .select(explode(expr(bigramsE)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("occurrences"))
       .orderBy(desc("occurrences"), asc("bigram"))
@@ -171,17 +176,75 @@ FROM fact f JOIN dim_date d ON f.date_key = d.date_key
 GROUP BY d.year, d.month
 ORDER BY d.year, d.month""")
 
+  /** Sketch capacity / published-prefix size for the heavy-hitter
+    * bigram query. k=64 counters bound the aggregate state at 64
+    * entries per partial buffer regardless of corpus size; the top-20
+    * exact prefix is what the contract is published over. */
+  val HeavyHitterK = 64
+  val HeavyHitterTop = 20
+
+  /** Heavy-hitter bigrams via the mergeable Misra–Gries summary
+    * ([[graft.functions.MisraGries]]) — the 100 TB path for n-gram
+    * frequency accounting. [[ngramFreq]] (the exact twin) shuffles the
+    * full distinct-bigram domain to count everything; at trillion-token
+    * scale that domain is billions of keys, while the question asked is
+    * "which handful of n-grams dominate". The sketch answers it in ONE
+    * pass with 64-entry bounded state per partial buffer and a k-entry
+    * final merge — no per-bigram shuffle at all.
+    *
+    * Registered with the same oracle discipline as the HLL/percentile
+    * sketch ops: raw counter values are partitioning-dependent, but the
+    * MG guarantee (`est <= true` and `true - est <= N/(k+1)`, est = 0
+    * when absent) is provable for ANY partitioning and merge order, so
+    * the published frame is the exact top-20 bigrams (deterministic)
+    * with the in-plan-evaluated contract boolean the DuckDB oracle
+    * expects to be literally TRUE. A red row means the sketch broke
+    * mathematics, not that the corpus changed. */
+  def heavyHitterNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(explode(expr(bigramsE)).as("bigram"))
+    val exact = bg.groupBy("bigram").agg(count(lit(1)).as("n_exact"))
+    val total = exact.agg(sum("n_exact").as("n_total"))
+    val sketch = bg
+      .agg(graft.functions.MisraGries.of(col("bigram"), HeavyHitterK).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("bigram"), col("e.est").as("est"))
+    val err = expr(s"n_total div ${HeavyHitterK + 1}")
+    exact.orderBy(desc("n_exact"), asc("bigram")).limit(HeavyHitterTop)
+      .join(broadcast(sketch), Seq("bigram"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("n_exact"),
+        (coalesce(col("est"), lit(0L)) <= col("n_exact") &&
+          col("n_exact") - coalesce(col("est"), lit(0L)) <= err)
+          .as("sketch_contract_held"))
+      .orderBy(desc("n_exact"), asc("bigram"))
+  }
+
+  val heavyHitterNgramsSql: String = s"""
+WITH tok AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+bg AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN
+                       list_transform(generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1])
+                     ELSE [] END) AS bigram
+       FROM tok)
+SELECT bigram, COUNT(*) AS n_exact, TRUE AS sketch_contract_held
+FROM bg GROUP BY bigram
+ORDER BY n_exact DESC, bigram
+LIMIT $HeavyHitterTop"""
+
   val inventory: Map[String, Q] = Map(
     "pii_scrub"            -> (piiScrub _),
     "text_ngram_freq"      -> (ngramFreq _),
     "events_props_extract" -> (propsExtract _),
     "rollup_revenue"       -> (rollupRevenue _),
-    "approx_monthly_transactions" -> (approxMonthlyTransactions _))
+    "approx_monthly_transactions" -> (approxMonthlyTransactions _),
+    "heavy_hitter_ngrams"  -> (heavyHitterNgrams _))
 
   val oracle: Map[String, String] = Map(
     "pii_scrub"            -> piiScrubSql,
     "text_ngram_freq"      -> ngramFreqSql,
     "events_props_extract" -> propsExtractSql,
     "rollup_revenue"       -> rollupRevenueSql,
-    "approx_monthly_transactions" -> approxMonthlyTransactionsSql)
+    "approx_monthly_transactions" -> approxMonthlyTransactionsSql,
+    "heavy_hitter_ngrams"  -> heavyHitterNgramsSql)
 }

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wordShinglesFunction)
     ext.injectFunction(GraftExtensions.textStatsSigFunction)
     ext.injectFunction(GraftExtensions.winnowFpFunction)
+    ext.injectFunction(GraftExtensions.misraGriesFunction)
   }
 }
 
@@ -118,11 +119,20 @@ object GraftExtensions {
         "text_stats_sig(text string) takes 1 argument")
     })
 
+  val misraGriesFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("misra_gries"),
+    new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+    (children: Seq[Expression]) => children match {
+      case Seq(item, k) => MisraGries(item, intLiteral(k, "misra_gries k"))
+      case _ => throw new IllegalArgumentException(
+        "misra_gries(item string, k int) takes 2 arguments")
+    })
+
   /** Register on an already-running session (tests, shells). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(minhashSigFunction, qdotFunction, topkByFunction, simhashSigFunction,
       srpSigFunction, wordShinglesFunction, textStatsSigFunction,
-      winnowFpFunction).foreach {
+      winnowFpFunction, misraGriesFunction).foreach {
       case (id, info, builder) =>
         org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
     }
