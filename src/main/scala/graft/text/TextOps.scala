@@ -559,6 +559,80 @@ FROM tr JOIN bench ON tr.s = bench.s
 GROUP BY tr.doc_id
 HAVING COUNT(DISTINCT tr.s) >= $ContaminationMinShared"""
 
+  /** Bloom-filter decontamination — the same flag set as
+    * [[decontamination]], produced through the membership structure a
+    * 100 TB pipeline actually ships to its map tasks. The exact check
+    * equi-joins every train shingle against the benchmark vocabulary;
+    * that is fine while the vocabulary broadcasts as rows, but the
+    * standing production artifact for "is this shingle in the eval
+    * suites?" is a Bloom filter: ~8 bits per member instead of the
+    * string bytes, probed map-side with zero shuffle on the train side.
+    * Build: one `BloomFilterAggregate` pass over the distinct capped
+    * benchmark shingles (a tree-reduced one-row aggregate; the only
+    * driver materialization is the filter's own bytes). Probe:
+    * `BloomFilterMightContain(literal bloom, xxhash64(s))` — codegen'd,
+    * partition-local.
+    *
+    * Oracle discipline: Bloom hit-counts are hash-layout-specific
+    * (DuckDB cannot replay them), but the structure's defining guarantee
+    * — NO FALSE NEGATIVES, so every exactly-contaminated doc's
+    * `bloom_hits >= shared_shingles >= ContaminationMinShared` — is
+    * provable for any layout. The registered frame is the exact
+    * contaminated set (deterministic) with that contract evaluated
+    * in-plan; the oracle expects literal TRUE. False-POSITIVE behavior
+    * (the rate the sketch trades for its size) is spec-bounded instead
+    * (BloomDecontaminationSpec). */
+  def bloomDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val b = org.apache.spark.sql.GraftColumnBridge
+    val capped = cappedSourceShingles(spark, dir)
+    val benchVocab = capped.filter(col("source") === BenchmarkSource)
+      .select("s").distinct()
+    // right-size the filter to the vocabulary (8 bits/member default)
+    val nVocab = math.max(benchVocab.count(), 64L)
+    val bloomBytes = benchVocab
+      .agg(b.toColumn(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          b.toExpression(xxhash64(col("s"))), nVocab).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = b.toColumn(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        b.toExpression(lit(bloomBytes)), b.toExpression(xxhash64(col("s")))))
+
+    val train = capped.filter(col("source") =!= BenchmarkSource).select("doc_id", "s")
+    val bench = capped.filter(col("source") === BenchmarkSource).select("s").distinct()
+    val exact = train.join(broadcast(bench), "s")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("s")).as("shared_shingles"))
+      .filter(col("shared_shingles") >= ContaminationMinShared)
+    val hits = train
+      .groupBy("doc_id")
+      .agg(sum(when(mightContain, lit(1L)).otherwise(lit(0L))).as("bloom_hits"))
+    exact.join(hits, "doc_id")
+      .select(col("doc_id"), col("shared_shingles"),
+        (col("bloom_hits") >= col("shared_shingles") &&
+          col("bloom_hits") >= lit(ContaminationMinShared.toLong))
+          .as("bloom_no_false_negative"))
+  }
+
+  val bloomDecontaminationSql: String = s"""
+WITH tok AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+sh0 AS (SELECT DISTINCT doc_id, source,
+              unnest(CASE WHEN len(w) >= 3 THEN
+                       list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     ELSE [] END) AS s
+       FROM tok),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > $HotShingleDfCap),
+sh AS (SELECT doc_id, source, s FROM sh0 ANTI JOIN hot USING (s)),
+bench AS (SELECT DISTINCT s FROM sh WHERE source = '$BenchmarkSource'),
+tr AS (SELECT doc_id, s FROM sh WHERE source <> '$BenchmarkSource')
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.s) AS shared_shingles,
+       TRUE AS bloom_no_false_negative
+FROM tr JOIN bench ON tr.s = bench.s
+GROUP BY tr.doc_id
+HAVING COUNT(DISTINCT tr.s) >= $ContaminationMinShared"""
+
   /** Intra-document repetition (the Gopher-style quality signal the
     * per-doc stats lack): 1 - distinct/total trigram ratio. NULL when
     * the document is too short to have a trigram — division semantics
@@ -825,6 +899,7 @@ WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 4"""
     "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
     "dedup_simhash_pairs"  -> (dedupSimhashPairs _),
     "text_decontamination" -> (decontamination _),
+    "bloom_decontamination" -> (bloomDecontamination _),
     "text_repetition"      -> (textRepetition _),
     "doc_fingerprint_winnow" -> (docFingerprintWinnow _),
     "winnow_overlap_pairs" -> (winnowOverlapPairs _),
@@ -839,6 +914,7 @@ WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 4"""
     "dedup_minhash_lsh"    -> dedupMinhashLshSql,
     "dedup_simhash_pairs"  -> dedupSimhashPairsSql,
     "text_decontamination" -> decontaminationSql,
+    "bloom_decontamination" -> bloomDecontaminationSql,
     "text_repetition"      -> textRepetitionSql,
     "doc_fingerprint_winnow" -> docFingerprintWinnowSql,
     "winnow_overlap_pairs" -> winnowOverlapPairsSql,
