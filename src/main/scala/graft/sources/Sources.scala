@@ -115,6 +115,18 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC source — the other columnar interchange format large estates
+    * carry alongside Parquet (Hive-heritage warehouses in particular).
+    * Same columnar pushdown/pruning path as the Parquet scans: Spark's
+    * vectorized ORC reader serves predicate pushdown and column pruning
+    * from the file's min/max stripes. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink (columnar, splittable, compressed). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Single JSON report document (ingestion summaries, quality reports —
     * S8): driver-side write, content from a pre-rendered JSON string. */
   def writeJsonReport(json: String, path: String): Unit = {

@@ -421,6 +421,35 @@ HAVING COUNT(*) >= $WinnowContaminationMinShared"""
 SELECT md5(text) AS content_md5, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_id
 FROM documents GROUP BY md5(text)"""
 
+  /** Canonicalization rule for near-exact dedup: lowercase, strip
+    * non-alphanumerics (keeping whitespace), collapse whitespace runs,
+    * trim. ONE template instantiated for both engines — they differ
+    * only in string-literal escaping (Spark unescapes `\\s` once,
+    * DuckDB takes `\s` literally) and the global-replace flag. */
+  private def canonicalTpl(ws: String, g: String): String =
+    s"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9$ws]', ''$g), '$ws+', ' '$g))"
+
+  /** Near-exact deduplication over CANONICALIZED content: the standard
+    * first rung above byte-identity in a dedup ladder (exact →
+    * canonical → MinHash/SimHash). Case flips, punctuation, and
+    * whitespace reflow — the most common trivial edits in a scraped
+    * corpus — hash to the same cluster here while remaining invisible
+    * to [[dedupExact]]. Same distributed shape: hash-groupBy on the
+    * canonical digest, partial-aggregated, no join. */
+  /** The Spark-side canonical digest (exposed for the spec, which
+    * drives it over synthesized case/punctuation/whitespace variants). */
+  private[graft] val canonicalMd5E: String = s"md5(${canonicalTpl("\\\\s", "")})"
+
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(expr(canonicalMd5E).as("canonical_md5"))
+      .agg(count(lit(1)).as("dup_count"), min("doc_id").as("keeper_doc_id"))
+
+  val dedupCanonicalSql: String = s"""
+SELECT md5(${canonicalTpl("\\s", ", 'g'")}) AS canonical_md5,
+       COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1"""
+
   /** Document-frequency cap for the Jaccard/cluster blocking join: a
     * shingle present in more than this many documents is boilerplate
     * (license headers, navigation chrome) and is dropped from the
@@ -895,6 +924,7 @@ WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 4"""
     "text_lang_id"         -> (langId _),
     "doc_fingerprint"      -> (docFingerprint _),
     "dedup_exact"          -> (dedupExact _),
+    "dedup_canonical"      -> (dedupCanonical _),
     "dedup_jaccard_pairs"  -> (dedupJaccardPairs _),
     "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
     "dedup_simhash_pairs"  -> (dedupSimhashPairs _),
@@ -910,6 +940,7 @@ WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 4"""
     "text_lang_id"         -> langIdSql,
     "doc_fingerprint"      -> docFingerprintSql,
     "dedup_exact"          -> dedupExactSql,
+    "dedup_canonical"      -> dedupCanonicalSql,
     "dedup_jaccard_pairs"  -> dedupJaccardPairsSql,
     "dedup_minhash_lsh"    -> dedupMinhashLshSql,
     "dedup_simhash_pairs"  -> dedupSimhashPairsSql,

@@ -51,6 +51,16 @@ class PipelineSpec extends SparkSpec {
     assert(back.except(df).count() == 0)
   }
 
+  test("orc round-trip preserves rows and schema") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/docs"
+    val df = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    Sources.writeOrc(df, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.schema == df.schema)
+    assert(back.count() == df.count())
+    assert(back.except(df).count() == 0)
+  }
+
   test("incremental append loads only new keys") {
     val dir = Files.createTempDirectory("graft_inc").toString + "/t"
     val all = Tables.region(spark, sf)
