@@ -115,6 +115,24 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Z-order clustered Parquet write: range-partition and sort the
+    * rows by the Morton interleave of two non-negative int columns
+    * ([[graft.functions.ZOrder]]), so each output file covers a small
+    * rectangle of the (a, b) value space and Parquet min/max stats
+    * prune files for predicates on EITHER column — where a plain sort
+    * localizes one axis and spreads the other across every file.
+    * The interleave column is dropped before writing; layout is the
+    * only effect. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    files: Int): Unit = {
+    require(files > 0, s"files must be positive, got $files")
+    df.withColumn("_z", graft.functions.ZOrder.zValue(col(colA), col(colB)))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** ORC source — the other columnar interchange format large estates
     * carry alongside Parquet (Hive-heritage warehouses in particular).
     * Same columnar pushdown/pruning path as the Parquet scans: Spark's
