@@ -20,7 +20,8 @@ object BenchExt {
     "ivf_search",
     "text_stats", "corpus_curation", "quantiles_line_total",
     "asof_click_attribution", "range_join_click_purchase",
-    "doc_fingerprint_winnow", "winnow_overlap_pairs")
+    "doc_fingerprint_winnow", "winnow_overlap_pairs",
+    "dedup_canonical", "heavy_hitter_ngrams", "bloom_decontamination")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

@@ -44,24 +44,24 @@ SELECT c_custkey AS customer_id,
          '[0-9]{6,}', '[ID]', 'g')) AS BIGINT) AS chars_redacted
 FROM customer"""
 
-  /** Word bigrams of the document text — shared by the exact frequency
-    * table and the heavy-hitter sketch (built on the shared whitespace
-    * tokenizer: a tokenization change must reach the bigram table and
-    * the shingle operators together). */
-  val bigramsE: String = {
-    val toks = graft.text.TextOps.toksE
-    s"""CASE WHEN size($toks) >= 2 THEN
-          transform(sequence(1, size($toks) - 1),
-            i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1)))
-        ELSE array() END"""
-  }
+  /** Word bigram OCCURRENCES of the document text — shared by the
+    * exact frequency table and the heavy-hitter sketch, and built on
+    * the shared whitespace tokenizer (a tokenization change must reach
+    * the bigram table and the shingle operators together). The compiled
+    * [[graft.functions.WordShingles]] pass with `dedup = false` — the
+    * HOF `transform(sequence(...), i -> concat(...))` twin the oracle
+    * mirrors is a CodegenFallback that interprets one lambda frame per
+    * bigram and dominated the aggregate cost (measured ~2x the whole
+    * query at sf0.1). */
+  def bigramsCol: org.apache.spark.sql.Column =
+    graft.functions.WordShingles.of(expr(graft.text.TextOps.toksE), 2, dedup = false)
 
   /** Corpus-wide top-50 word bigrams — the n-gram frequency table that
     * feeds tokenizer/contamination analyses. One explode + one groupBy:
     * map-side partial counts keep the shuffle at |distinct bigrams|. */
   def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .select(explode(expr(bigramsE)).as("bigram"))
+      .select(explode(bigramsCol).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("occurrences"))
       .orderBy(desc("occurrences"), asc("bigram"))
@@ -202,7 +202,7 @@ ORDER BY d.year, d.month""")
     * mathematics, not that the corpus changed. */
   def heavyHitterNgrams(spark: SparkSession, dir: String): DataFrame = {
     val bg = Tables.documents(spark, dir)
-      .select(explode(expr(bigramsE)).as("bigram"))
+      .select(explode(bigramsCol).as("bigram"))
     val exact = bg.groupBy("bigram").agg(count(lit(1)).as("n_exact"))
     val total = exact.agg(sum("n_exact").as("n_total"))
     val sketch = bg

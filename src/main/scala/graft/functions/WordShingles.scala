@@ -19,8 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * HOF semantics. The HOF tree interprets one lambda frame and builds
   * one concat expression per shingle; this emits them in a single
   * compiled pass over UTF8String slices with a LinkedHashSet dedup.
+  *
+  * `dedup = false` emits every n-gram occurrence in order instead
+  * (the multiset the frequency/heavy-hitter accounting ops count) —
+  * same compiled pass, minus the set.
   */
-case class WordShingles(child: Expression, n: Int = 3) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int = 3, dedup: Boolean = true)
+  extends UnaryExpression {
 
   require(n >= 1, s"shingle width must be >= 1, got $n")
 
@@ -35,11 +40,11 @@ case class WordShingles(child: Expression, n: Int = 3) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[ArrayData], n)
+    WordShingles.compute(input.asInstanceOf[ArrayData], n, dedup)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordShingles.compute($c, $n);")
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $n, $dedup);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -48,10 +53,13 @@ case class WordShingles(child: Expression, n: Int = 3) extends UnaryExpression {
 object WordShingles {
   private val space = UTF8String.fromString(" ")
 
-  def compute(tokens: ArrayData, n: Int): ArrayData = {
+  def compute(tokens: ArrayData, n: Int, dedup: Boolean): ArrayData = {
     val len = tokens.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val count = len - n + 1
+    val seen: java.util.Collection[UTF8String] =
+      if (dedup) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](count)
     var i = 0
     while (i <= len - n) {
       val parts = new Array[UTF8String](n)
@@ -75,8 +83,8 @@ object WordShingles {
   }
 
   /** Column wrapper. */
-  def of(tokens: Column, n: Int = 3): Column = {
+  def of(tokens: Column, n: Int = 3, dedup: Boolean = true): Column = {
     val b = org.apache.spark.sql.GraftColumnBridge
-    b.toColumn(WordShingles(b.toExpression(tokens), n))
+    b.toColumn(WordShingles(b.toExpression(tokens), n, dedup))
   }
 }

@@ -29,6 +29,30 @@ class WordShinglesSpec extends SparkSpec {
     assert(out(1).getSeq[String](1) == Seq("a b", "b c", "c d"))
   }
 
+  test("non-dedup mode is bit-equal to the HOF occurrence formulation") {
+    val toks = TextOps.toksE
+    val hofBigrams =
+      s"""CASE WHEN size($toks) >= 2 THEN
+            transform(sequence(1, size($toks) - 1),
+              i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1)))
+          ELSE array() END"""
+    val mismatches = Tables.documents(spark, sf)
+      .select(
+        graft.ext.Extensions.bigramsCol.as("native"),
+        expr(hofBigrams).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("non-dedup mode keeps duplicate occurrences in order") {
+    import spark.implicits._
+    val out = Seq("x y x y").toDF("text")
+      .select(WordShingles.of(expr("split(text, ' ')"), 2, dedup = false).as("sh"))
+      .head().getSeq[String](0)
+    assert(out == Seq("x y", "y x", "x y"))
+  }
+
   test("duplicate shingles keep first-occurrence order like array_distinct") {
     import spark.implicits._
     val out = Seq("x y x y x y").toDF("text")
