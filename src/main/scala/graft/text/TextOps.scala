@@ -616,27 +616,35 @@ HAVING COUNT(DISTINCT tr.s) >= $ContaminationMinShared"""
     val capped = cappedSourceShingles(spark, dir)
     val benchVocab = capped.filter(col("source") === BenchmarkSource)
       .select("s").distinct()
-    // right-size the filter to the vocabulary (8 bits/member default)
-    val nVocab = math.max(benchVocab.count(), 64L)
+    // conf-default sizing (1M expected members ≈ 1 MB) — eval-suite
+    // vocabularies are far smaller, so the realized fp rate is ~0 and
+    // the build stays ONE corpus pass (a sizing count() would be a
+    // second); a 100 TB deployment sizes explicitly via the 2-arg
+    // BloomFilterAggregate constructor instead
     val bloomBytes = benchVocab
       .agg(b.toColumn(
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          b.toExpression(xxhash64(col("s"))), nVocab).toAggregateExpression()).as("bf"))
+          b.toExpression(xxhash64(col("s")))).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val mightContain = b.toColumn(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         b.toExpression(lit(bloomBytes)), b.toExpression(xxhash64(col("s")))))
 
+    // ONE aggregation over the train shingles carries both counters:
+    // the bloom probe is a map-side flag, the exact membership a left
+    // join against the (broadcast, distinct) benchmark vocabulary —
+    // per-doc shingles are already distinct, so count(in_bench) is the
+    // distinct shared count
     val train = capped.filter(col("source") =!= BenchmarkSource).select("doc_id", "s")
-    val bench = capped.filter(col("source") === BenchmarkSource).select("s").distinct()
-    val exact = train.join(broadcast(bench), "s")
+    val bench = benchVocab.withColumn("in_bench", lit(true))
+    train
+      .withColumn("bloom_hit", mightContain)
+      .join(broadcast(bench), Seq("s"), "left")
       .groupBy("doc_id")
-      .agg(countDistinct(col("s")).as("shared_shingles"))
+      .agg(
+        count(when(col("in_bench"), 1)).as("shared_shingles"),
+        sum(when(col("bloom_hit"), lit(1L)).otherwise(lit(0L))).as("bloom_hits"))
       .filter(col("shared_shingles") >= ContaminationMinShared)
-    val hits = train
-      .groupBy("doc_id")
-      .agg(sum(when(mightContain, lit(1L)).otherwise(lit(0L))).as("bloom_hits"))
-    exact.join(hits, "doc_id")
       .select(col("doc_id"), col("shared_shingles"),
         (col("bloom_hits") >= col("shared_shingles") &&
           col("bloom_hits") >= lit(ContaminationMinShared.toLong))
