@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.textStatsSigFunction)
     ext.injectFunction(GraftExtensions.winnowFpFunction)
     ext.injectFunction(GraftExtensions.misraGriesFunction)
+    ext.injectFunction(GraftExtensions.nfcNormalizeFunction)
   }
 }
 
@@ -128,11 +129,20 @@ object GraftExtensions {
         "misra_gries(item string, k int) takes 2 arguments")
     })
 
+  val nfcNormalizeFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => children match {
+      case Seq(s) => NfcNormalize(s)
+      case _ => throw new IllegalArgumentException(
+        "nfc_normalize(s string) takes 1 argument")
+    })
+
   /** Register on an already-running session (tests, shells). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(minhashSigFunction, qdotFunction, topkByFunction, simhashSigFunction,
       srpSigFunction, wordShinglesFunction, textStatsSigFunction,
-      winnowFpFunction, misraGriesFunction).foreach {
+      winnowFpFunction, misraGriesFunction, nfcNormalizeFunction).foreach {
       case (id, info, builder) =>
         org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
     }

@@ -421,13 +421,16 @@ HAVING COUNT(*) >= $WinnowContaminationMinShared"""
 SELECT md5(text) AS content_md5, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_id
 FROM documents GROUP BY md5(text)"""
 
-  /** Canonicalization rule for near-exact dedup: lowercase, strip
-    * non-alphanumerics (keeping whitespace), collapse whitespace runs,
-    * trim. ONE template instantiated for both engines — they differ
-    * only in string-literal escaping (Spark unescapes `\\s` once,
-    * DuckDB takes `\s` literally) and the global-replace flag. */
+  /** Canonicalization rule for near-exact dedup: Unicode NFC first
+    * (composed and decomposed accents must agree BEFORE any byte-level
+    * rule — [[graft.functions.NfcNormalize]] on the Spark side, DuckDB's
+    * built-in of the same name on the oracle side), then lowercase,
+    * strip non-alphanumerics (keeping whitespace), collapse whitespace
+    * runs, trim. ONE template instantiated for both engines — they
+    * differ only in string-literal escaping (Spark unescapes `\\s`
+    * once, DuckDB takes `\s` literally) and the global-replace flag. */
   private def canonicalTpl(ws: String, g: String): String =
-    s"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9$ws]', ''$g), '$ws+', ' '$g))"
+    s"trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)), '[^a-z0-9$ws]', ''$g), '$ws+', ' '$g))"
 
   /** Near-exact deduplication over CANONICALIZED content: the standard
     * first rung above byte-identity in a dedup ladder (exact →

@@ -6,6 +6,18 @@ import org.apache.spark.sql.functions._
 class DedupCanonicalSpec extends SparkSpec {
   import spark.implicits._
 
+  // the canonical digest references nfc_normalize by SQL name; the
+  // bare test session has no extensions installed
+  graft.functions.GraftExtensions.register(spark)
+
+  test("composed and decomposed Unicode accents canonicalize identically") {
+    val composed = "Café au lait"          // é as U+00E9
+    val decomposed = "Café au lait"       // e + combining acute
+    val out = Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text")
+      .select(expr(TextOps.canonicalMd5E).as("h")).distinct().count()
+    assert(out == 1, "NFC forms must share one canonical digest")
+  }
+
   test("case / punctuation / whitespace variants collapse; real edits do not") {
     val variants = Seq(
       (1L, "The quick brown fox jumps over the lazy dog"),
