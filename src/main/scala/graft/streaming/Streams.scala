@@ -261,7 +261,10 @@ GROUP BY user_id, session_seq"""
   def streamToIncrementalParquet(spark: SparkSession, dir: String,
                                  outPath: String): org.apache.spark.sql.streaming.StreamingQuery =
     eventsStream(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      // ts travels with the row: the landed mart must support the same
+      // event-time monitoring (freshness, 3σ volume) as the source table
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         // dedupe WITHIN the batch too: the anti-join only sees rows

@@ -83,6 +83,31 @@ class MisraGriesSpec extends SparkSpec {
     assert(rows == Map("p" -> 2L, "q" -> 1L))
   }
 
+  test("composes under groupBy: the guarantee holds per group") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 3000).map { i =>
+      val g = s"g${i % 3}"
+      val item = s"${g}_w${math.min((1.0 / (rnd.nextDouble() + 0.05)).toInt, 19)}"
+      (g, item)
+    }
+    val est = rows.toDF("g", "item").repartition(7)
+      .groupBy("g").agg(MisraGries.of(col("item"), 8).as("hh"))
+      .select(col("g"), explode(col("hh")).as("e"))
+      .select(col("g"), col("e.item"), col("e.est"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    rows.groupBy(_._1).foreach { case (g, members) =>
+      val exact = members.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = members.size.toLong
+      val err = n / 9
+      val e = est.getOrElse(g, Map.empty)
+      exact.foreach { case (item, t) =>
+        assert(e.getOrElse(item, 0L) <= t)
+        assert(t - e.getOrElse(item, 0L) <= err, s"group $g item $item")
+      }
+    }
+  }
+
   test("registered heavy_hitter_ngrams contract is all-true and ordered") {
     val out = graft.ext.Extensions.heavyHitterNgrams(spark, sf).collect()
     assert(out.length == graft.ext.Extensions.HeavyHitterTop)

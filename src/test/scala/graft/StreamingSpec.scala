@@ -94,6 +94,19 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == n)
   }
 
+  test("3-sigma volume anomaly over the stream-maintained mart equals batch") {
+    // the lambda shape: the stream maintains the mart, detection runs
+    // batch over it — verdicts must match detection over the source
+    val mart = java.nio.file.Files.createTempDirectory("graft_mart").toString
+    val q = Streams.streamToIncrementalParquet(spark, sf, s"$mart/events.parquet")
+    q.awaitTermination(120000)
+    val overMart = graft.monitor.Monitor.volumeAnomaly(spark, mart)
+    val overSource = graft.monitor.Monitor.volumeAnomaly(spark, sf)
+    assert(overMart.count() == overSource.count() && overMart.count() > 0)
+    assert(overMart.except(overSource).count() == 0)
+    assert(overSource.except(overMart).count() == 0)
+  }
+
   test("streaming dedup suppresses duplicate event ids") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
