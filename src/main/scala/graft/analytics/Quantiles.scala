@@ -39,27 +39,36 @@ object Quantiles {
     * 5 here, so only 5 tasks can work) shrinks from n rows to distinct
     * values — measured 10× smaller on a fact replica where every value
     * repeats, and never larger than the raw form. */
-  def quantilesLineTotal(spark: SparkSession, dir: String): DataFrame = {
-    val f = Warehouse.fact(spark, dir).select(
-      col("payment_method"),
-      (col("line_total") * lit(1000000)).cast(LongType).as("v"))
-    val counts = f.groupBy("payment_method", "v").agg(count(lit(1)).as("c"))
-    val byPm = Window.partitionBy("payment_method")
+  /** Shared rank-selection core over a (group, v) frame: ranked value
+    * counts (map-side combined), cumulative slabs, and the element at
+    * rank ceil(p·n) per quantile. `suffix` names the output columns
+    * (`p50_<suffix>` …). */
+  private[analytics] def rankSelect(vals: DataFrame, group: String,
+                                    suffix: String, nCol: String): DataFrame = {
+    val counts = vals.groupBy(group, "v").agg(count(lit(1)).as("c"))
+    val byG = Window.partitionBy(group)
     // v is distinct within each group after the aggregation, so the
     // running sum's default RANGE frame has no peers and cum is exact
     val ranked = counts
-      .withColumn("cum", sum("c").over(byPm.orderBy("v")))
-      .withColumn("n", sum("c").over(byPm))
+      .withColumn("cum", sum("c").over(byG.orderBy("v")))
+      .withColumn("n", sum("c").over(byG))
     val cells = ps.map { case (name, p) =>
       // rank ceil(p·n) lands in this value's slab [cum - c + 1, cum]
       max(when(col("cum") - col("c") < ceil(col("n") * lit(p))
             && col("cum") >= ceil(col("n") * lit(p)), col("v")))
-        .as(s"${name}_micros")
+        .as(s"${name}_$suffix")
     }
-    ranked.groupBy("payment_method")
-      .agg(max("n").as("n_rows"), cells: _*)
-      .orderBy("payment_method")
+    ranked.groupBy(group)
+      .agg(max("n").as(nCol), cells: _*)
+      .orderBy(group)
   }
+
+  def quantilesLineTotal(spark: SparkSession, dir: String): DataFrame =
+    rankSelect(
+      Warehouse.fact(spark, dir).select(
+        col("payment_method"),
+        (col("line_total") * lit(1000000)).cast(LongType).as("v")),
+      "payment_method", "micros", "n_rows")
 
   val quantilesLineTotalSql: String = {
     val cells = ps.map { case (name, p) =>
@@ -75,6 +84,37 @@ FROM (
   FROM (SELECT payment_method, CAST(line_total * 1000000 AS BIGINT) AS v FROM fact))
 GROUP BY payment_method
 ORDER BY payment_method""")
+  }
+
+  /** Per-language token-count quantiles over the document corpus — the
+    * distribution a training pipeline sizes its packing and mixture
+    * decisions from (p99 token length per language decides sequence
+    * budget; p50 decides expected packing density). Same exact
+    * rank-selection core as [[quantilesLineTotal]]: token counts are
+    * small integers that repeat heavily, so the value-counts
+    * aggregation collapses the corpus to a few thousand (lang, count)
+    * cells before any per-group sort — the shape that holds at corpus
+    * scale. */
+  def quantilesTokensByLang(spark: SparkSession, dir: String): DataFrame =
+    rankSelect(
+      graft.Tables.documents(spark, dir).select(
+        col("lang"), graft.text.TextOps.estBpeTokens.as("v")),
+      "lang", "tokens", "n_docs")
+
+  val quantilesTokensByLangSql: String = {
+    val cells = ps.map { case (name, p) =>
+      s"MAX(CASE WHEN rn = CAST(ceil(n * $p) AS BIGINT) THEN v END) AS ${name}_tokens"
+    }.mkString(",\n       ")
+    s"""
+SELECT lang, MAX(n) AS n_docs,
+       $cells
+FROM (
+  SELECT lang, v,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM (SELECT lang, ${graft.text.TextOps.estBpeTokensSqlE} AS v FROM documents))
+GROUP BY lang
+ORDER BY lang"""
   }
 
   /** The raw sketch surface: approx_percentile is a mergeable KLL-style
@@ -161,9 +201,11 @@ FROM fact GROUP BY payment_method ORDER BY payment_method""")
 
   val inventory: Map[String, Q] = Map(
     "quantiles_line_total"        -> (quantilesLineTotal _),
+    "quantiles_tokens_by_lang"    -> (quantilesTokensByLang _),
     "approx_quantiles_line_total" -> (approxQuantilesLineTotal _))
 
   val oracle: Map[String, String] = Map(
     "quantiles_line_total"        -> quantilesLineTotalSql,
+    "quantiles_tokens_by_lang"    -> quantilesTokensByLangSql,
     "approx_quantiles_line_total" -> approxQuantilesLineTotalSql)
 }

@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions._
 
 class QuantilesSpec extends SparkSpec {
 
+  test("per-lang token quantiles equal a driver-side type-1 computation") {
+    val out = Quantiles.quantilesTokensByLang(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val local = Tables.documents(spark, sf)
+      .select(col("lang"), graft.text.TextOps.estBpeTokens.as("v"))
+      .as[(String, Long)](org.apache.spark.sql.Encoders.product[(String, Long)])
+      .collect().groupBy(_._1)
+    assert(out.keySet == local.keySet && out.nonEmpty)
+    local.foreach { case (lang, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length
+      def q(p: Double) = sorted(math.ceil(p * n).toInt - 1)
+      assert(out(lang) == ((n.toLong, q(0.5), q(0.9), q(0.99))), s"lang $lang")
+    }
+  }
+
   test("approx quantiles stay within 2% of the exact rank-selection values") {
     val exact = Quantiles.quantilesLineTotal(spark, sf)
       .select("payment_method", "p50_micros", "p90_micros", "p99_micros")
