@@ -226,13 +226,55 @@ FROM documents
 WHERE (lang = 'en' AND CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 100 < 20)
    OR (lang <> 'en' AND CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 100 < 60)"""
 
+  /** The dedup FUNNEL in one frame — the executive rollup every corpus
+    * report opens with: total documents, surviving group counts per
+    * exactness rung (byte-exact, canonicalized), candidate-pair volumes
+    * per sketch family (Jaccard, MinHash-LSH, SimHash), connected
+    * components, and elected keepers. Composes the verified operators
+    * directly (each stage IS the registered op, re-aggregated to one
+    * count), so the funnel can never drift from the queries it
+    * summarizes; the oracle nests the same per-stage SQL. Stage keys
+    * carry an ordering prefix so the frame reads top-to-bottom as the
+    * funnel. */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    stage("a_documents", Tables.documents(spark, dir))
+      .unionByName(stage("b_exact_groups", TextOps.dedupExact(spark, dir)))
+      .unionByName(stage("c_canonical_groups", TextOps.dedupCanonical(spark, dir)))
+      .unionByName(stage("d_jaccard_pairs", TextOps.dedupJaccardPairs(spark, dir)))
+      .unionByName(stage("e_minhash_pairs", TextOps.dedupMinhashLsh(spark, dir)))
+      .unionByName(stage("f_simhash_pairs", TextOps.dedupSimhashPairs(spark, dir)))
+      .unionByName(stage("g_clusters",
+        dedupClusters(spark, dir).select("cluster_id").distinct()))
+      .unionByName(stage("h_keepers", dedupKeepBest(spark, dir)))
+      .orderBy("stage")
+  }
+
+  lazy val dedupFunnelSql: String = {
+    def sub(name: String, sql: String): String =
+      s"SELECT '$name' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM ($sql)"
+    Seq(
+      "SELECT 'a_documents' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM documents",
+      sub("b_exact_groups", TextOps.dedupExactSql),
+      sub("c_canonical_groups", TextOps.dedupCanonicalSql),
+      sub("d_jaccard_pairs", TextOps.dedupJaccardPairsSql),
+      sub("e_minhash_pairs", TextOps.dedupMinhashLshSql),
+      sub("f_simhash_pairs", TextOps.dedupSimhashPairsSql),
+      s"SELECT 'g_clusters' AS stage, CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n FROM ($dedupClustersSql)",
+      sub("h_keepers", dedupKeepBestSql)
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY stage")
+  }
+
   val inventory: Map[String, TextOps.Q] = Map(
     "dedup_clusters"    -> (dedupClusters _),
     "dedup_keep_best"   -> (dedupKeepBest _),
+    "dedup_funnel"      -> (dedupFunnel _),
     "stratified_sample" -> (stratifiedSample _))
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters"    -> dedupClustersSql,
     "dedup_keep_best"   -> dedupKeepBestSql,
+    "dedup_funnel"      -> dedupFunnelSql,
     "stratified_sample" -> stratifiedSampleSql)
 }

@@ -31,6 +31,13 @@ class NfcNormalizeSpec extends SparkSpec {
     assert(out(5)._2 == "한글", "jamo must compose to syllables")
   }
 
+  test("idempotent: a second application is the identity") {
+    Seq(composed, decomposed, "Ångström", "한글", "mixed Café x").foreach { s =>
+      val once = NfcNormalize.compute(UTF8String.fromString(s))
+      assert(NfcNormalize.compute(once) == once)
+    }
+  }
+
   test("ASCII fast path returns the input buffer unchanged") {
     val s = UTF8String.fromString("ascii only")
     assert(NfcNormalize.compute(s).eq(s))
