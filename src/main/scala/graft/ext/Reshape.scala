@@ -123,13 +123,51 @@ FROM (SELECT year(CAST(o_orderdate AS DATE)) AS yr,
 GROUP BY GROUPING SETS ((yr), (priority))
 ORDER BY yr, priority"""
 
+  /** UNPIVOT (wide → long) — the inverse reshape completing the family
+    * (pivot, rollup, cube, grouping sets): the five measure columns of
+    * the daily-sales aggregate melt into (date_key, measure, value)
+    * rows, the shape metric stores and chart layers ingest. Spark's
+    * native `unpivot` plans an Expand (one pass, no join); measures are
+    * cast to a common DOUBLE first — longs here are exact day-level
+    * counts, far inside the 2^53 integer-exact range. The oracle melts
+    * via UNION ALL, which is the same relational statement. */
+  def unpivotDailyMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val measures = Seq("total_transactions", "total_revenue", "total_profit",
+      "unique_customers", "units_sold")
+    graft.warehouse.Warehouse.aggDailySales(spark, dir)
+      .select(col("date_key") +: measures.map(m => col(m).cast(DoubleType).as(m)): _*)
+      .unpivot(Array(col("date_key")), measures.map(col).toArray,
+        "measure", "value")
+      .orderBy("date_key", "measure")
+  }
+
+  val unpivotDailyMeasuresSql: String = {
+    val agg = s"""
+SELECT date_key,
+       COUNT(DISTINCT l_orderkey) AS total_transactions,
+       ${graft.Sql.msum("line_total")} AS total_revenue,
+       ${graft.Sql.msum("profit")} AS total_profit,
+       COUNT(DISTINCT customer_key) AS unique_customers,
+       CAST(SUM(quantity) AS BIGINT) AS units_sold
+FROM fact GROUP BY date_key"""
+    val measures = Seq("total_transactions", "total_revenue", "total_profit",
+      "unique_customers", "units_sold")
+    val melts = measures.map(m =>
+      s"SELECT date_key, '$m' AS measure, CAST($m AS DOUBLE) AS value FROM agg_ds")
+    graft.warehouse.OracleSql.q(
+      s""", agg_ds AS ($agg)
+${melts.mkString("", "\nUNION ALL\n", "\nORDER BY date_key, measure")}""")
+  }
+
   val inventory: Map[String, Q] = Map(
     "pivot_nation_priority"  -> (pivotNationPriority _),
     "cube_region_segment"    -> (cubeRegionSegment _),
-    "grouping_sets_revenue"  -> (groupingSetsRevenue _))
+    "grouping_sets_revenue"  -> (groupingSetsRevenue _),
+    "unpivot_daily_measures" -> (unpivotDailyMeasures _))
 
   val oracle: Map[String, String] = Map(
     "pivot_nation_priority"  -> pivotNationPrioritySql,
     "cube_region_segment"    -> cubeRegionSegmentSql,
-    "grouping_sets_revenue"  -> groupingSetsRevenueSql)
+    "grouping_sets_revenue"  -> groupingSetsRevenueSql,
+    "unpivot_daily_measures" -> unpivotDailyMeasuresSql)
 }
