@@ -94,6 +94,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == n)
   }
 
+  test("declarative session_window agrees with the lag/cumsum sessionization") {
+    // Spark's built-in session_window (usable batch AND streaming) must
+    // produce the same session set as the hand-rolled gaps-and-islands
+    // twin the oracle verifies — same gap, same grain
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val sw = Tables.events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), date_format(col("w.start"), fmt).as("session_start"),
+        col("n_events"))
+    val twin = Streams.eventsSessions(spark, sf)
+      .select("user_id", "session_start", "n_events")
+    assert(sw.count() == twin.count() && sw.count() > 0)
+    assert(sw.except(twin).count() == 0)
+    assert(twin.except(sw).count() == 0)
+  }
+
   test("3-sigma volume anomaly over the stream-maintained mart equals batch") {
     // the lambda shape: the stream maintains the mart, detection runs
     // batch over it — verdicts must match detection over the source
