@@ -61,9 +61,66 @@ SELECT doc_id, est_bpe_tokens, start_token,
        start_token % $SeqLen AS seq_offset
 FROM c"""
 
+  /** Chunk width / stride (in whitespace tokens) for [[chunkDocuments]]:
+    * 200-token windows advancing 150 — a 50-token overlap so no passage
+    * is ever split without context, the standard retrieval/pre-training
+    * chunking shape. */
+  val ChunkTokens = 200
+  val ChunkStride = 150
+
+  /** Document chunking — the other batch-preparation shape next to
+    * token-level packing: each document is cut into overlapping
+    * fixed-width token windows ([[ChunkTokens]] wide, [[ChunkStride]]
+    * apart), one output row per chunk with its token count and content
+    * digest. Purely row-local (tokenize → per-doc window arithmetic →
+    * explode): no shuffle at all, the plan is scan → generate — the
+    * shape that holds at any corpus size. The digest stands in for the
+    * chunk text in the verified output (hash-stable, row-size bounded);
+    * production would carry the text column too. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkDocumentsOver(Tables.documents(spark, dir))
+
+  /** Parameterized core over any (doc_id, text) frame — the spec drives
+    * it with synthetic docs at the window/stride boundary sizes. */
+  private[graft] def chunkDocumentsOver(d: DataFrame): DataFrame = {
+    val toks = TextOps.toksE
+    val k = s"""CASE WHEN size($toks) <= $ChunkTokens THEN 1
+                ELSE 1 + CAST(ceil(CAST(size($toks) - $ChunkTokens AS DOUBLE)
+                                   / $ChunkStride) AS INT) END"""
+    d.select(col("doc_id"),
+        expr(s"explode(sequence(0, $k - 1))").as("chunk_seq"),
+        expr(toks).as("w"))
+      .select(col("doc_id"), col("chunk_seq").cast("bigint").as("chunk_seq"),
+        expr(s"slice(w, CAST(chunk_seq * $ChunkStride + 1 AS INT), $ChunkTokens)").as("cw"))
+      .select(col("doc_id"), col("chunk_seq"),
+        size(col("cw")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("cw"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_seq")
+  }
+
+  val chunkDocumentsSql: String = s"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+k AS (SELECT doc_id, w,
+             CASE WHEN len(w) <= $ChunkTokens THEN 1
+                  ELSE 1 + CAST(ceil(CAST(len(w) - $ChunkTokens AS DOUBLE)
+                                     / $ChunkStride) AS BIGINT) END AS n_chunks
+      FROM t),
+c AS (SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS chunk_seq FROM k),
+s AS (SELECT doc_id, CAST(chunk_seq AS BIGINT) AS chunk_seq,
+             list_slice(w, chunk_seq * $ChunkStride + 1,
+                        least(chunk_seq * $ChunkStride + $ChunkTokens, len(w))) AS cw
+      FROM c)
+SELECT doc_id, chunk_seq,
+       CAST(len(cw) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(cw, ' ')) AS chunk_md5
+FROM s
+ORDER BY doc_id, chunk_seq"""
+
   val inventory: Map[String, Q] = Map(
-    "pack_sequences" -> (packSequences _))
+    "pack_sequences"  -> (packSequences _),
+    "chunk_documents" -> (chunkDocuments _))
 
   val oracle: Map[String, String] = Map(
-    "pack_sequences" -> packSequencesSql)
+    "pack_sequences"  -> packSequencesSql,
+    "chunk_documents" -> chunkDocumentsSql)
 }

@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 
 class PackingSpec extends SparkSpec {
 
+  test("chunking covers every token with the declared stride overlap") {
+    import spark.implicits._
+    // synthetic docs around the interesting sizes: under one chunk, at
+    // the boundary, one past it, several strides, and a stride-exact end
+    val sizes = Seq(1, 199, 200, 201, 350, 500, 650, 1000)
+    val docs = sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(t => s"t$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunks = Packing.chunkDocumentsOver(docs)
+      .select("doc_id", "chunk_seq", "chunk_tokens")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val cs = chunks(i.toLong)
+      val expectedK = if (n <= 200) 1 else 1 + math.ceil((n - 200).toDouble / 150).toInt
+      assert(cs.length == expectedK, s"doc of $n tokens: ${cs.length} chunks")
+      // all but the last are full windows; coverage reaches exactly n
+      cs.init.foreach(c => assert(c == Packing.ChunkTokens))
+      assert((cs.length - 1) * Packing.ChunkStride + cs.last == n,
+        s"doc of $n tokens not fully covered")
+    }
+  }
+
   test("packing is a gapless concatenation in doc_id order") {
     val rows = Packing.packSequences(spark, sf)
       .orderBy("doc_id").collect()
