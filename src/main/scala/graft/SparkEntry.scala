@@ -39,7 +39,8 @@ object SparkEntry {
       text.Curation.inventory ++
       text.Packing.inventory ++
       text.Incremental.inventory ++
-      text.Relevance.inventory
+      text.Relevance.inventory ++
+      analytics.Funnels.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -66,5 +67,6 @@ object SparkEntry {
       text.Curation.oracle ++
       text.Packing.oracle ++
       text.Incremental.oracle ++
-      text.Relevance.oracle
+      text.Relevance.oracle ++
+      analytics.Funnels.oracle
 }

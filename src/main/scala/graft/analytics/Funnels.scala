@@ -1,0 +1,128 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Behavioral analytics over the event stream — the funnel and cohort
+  * queries every product-analytics layer ships (and the reference's
+  * dashboard layer implies but never computes): ordered conversion
+  * funnels with first-touch semantics, and signup-cohort weekly
+  * retention.
+  *
+  * Scale posture: both shapes are ONE `groupBy(user_id)` pass over the
+  * event stream (conditional mins / distinct activity weeks) followed
+  * by aggregation over the tiny per-user frame — no self-joins over
+  * events, no window over the raw stream. That is the form that
+  * survives a 100 TB event table: the heavy aggregation partial-combines
+  * per partition, and everything after it is proportional to users, not
+  * events.
+  */
+object Funnels {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Ordered view → click → purchase funnel, first-touch semantics: a
+    * user reaches step k when their FIRST step-k event is strictly
+    * later than their first step-(k-1) event. One conditional-min pass
+    * per user, then three counts melted into (step, users_reached)
+    * rows. */
+  def eventsUserFunnel(spark: SparkSession, dir: String): DataFrame =
+    eventsUserFunnelOver(Tables.events(spark, dir))
+
+  /** Parameterized core over any (user_id, event_type, ts) frame — the
+    * spec drives it with hand-ordered journeys. */
+  private[graft] def eventsUserFunnelOver(ev: DataFrame): DataFrame = {
+    val per = ev
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    val reachedClick = col("t_view").isNotNull &&
+      col("t_click").isNotNull && col("t_click") > col("t_view")
+    val reachedPurchase = reachedClick &&
+      col("t_purchase").isNotNull && col("t_purchase") > col("t_click")
+    per.agg(
+        count(col("t_view")).as("u1"),
+        count(when(reachedClick, lit(1))).as("u2"),
+        count(when(reachedPurchase, lit(1))).as("u3"))
+      .select(explode(array(
+        struct(lit("1_view").as("step"), col("u1").as("users_reached")),
+        struct(lit("2_click_after_view").as("step"), col("u2").as("users_reached")),
+        struct(lit("3_purchase_after_click").as("step"), col("u3").as("users_reached"))))
+        .as("r"))
+      .select(col("r.step").as("step"), col("r.users_reached").as("users_reached"))
+      .orderBy("step")
+  }
+
+  val eventsUserFunnelSql: String = """
+WITH per AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT COUNT(t_view) AS u1,
+         COUNT(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                     AND t_click > t_view THEN 1 END) AS u2,
+         COUNT(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                     AND t_click > t_view AND t_purchase IS NOT NULL
+                     AND t_purchase > t_click THEN 1 END) AS u3
+  FROM per)
+SELECT step, users_reached FROM (
+  SELECT '1_view' AS step, CAST(u1 AS BIGINT) AS users_reached FROM agg
+  UNION ALL
+  SELECT '2_click_after_view', CAST(u2 AS BIGINT) FROM agg
+  UNION ALL
+  SELECT '3_purchase_after_click', CAST(u3 AS BIGINT) FROM agg)
+ORDER BY step"""
+
+  /** Weekly signup-cohort retention: users are cohorted by the Monday
+    * week of their FIRST signup event; a cohort member is retained in
+    * week offset k when they have ANY event in cohort_week + k. The
+    * per-user frame is (first signup week × distinct activity weeks) —
+    * both one aggregation over events. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast(DateType).as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).cast(DateType).as("week"))
+      .distinct()
+    cohort.join(active, "user_id")
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast(IntegerType).as("week_offset"))
+      .agg(countDistinct("user_id").as("active_users"))
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionSql: String = """
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST((a.week - c.cohort_week) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT c.user_id) AS active_users
+FROM cohort c JOIN active a USING (user_id)
+WHERE a.week >= c.cohort_week
+GROUP BY c.cohort_week, (a.week - c.cohort_week) / 7
+ORDER BY cohort_week, week_offset"""
+
+  val inventory: Map[String, Q] = Map(
+    "events_user_funnel"     -> (eventsUserFunnel _),
+    "events_cohort_retention" -> (cohortRetention _))
+
+  val oracle: Map[String, String] = Map(
+    "events_user_funnel"     -> eventsUserFunnelSql,
+    "events_cohort_retention" -> cohortRetentionSql)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.analytics.Funnels
+import org.apache.spark.sql.functions._
+
+class FunnelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $m:00")
+
+  test("funnel counts only users whose steps occur in order") {
+    val ev = Seq(
+      // u1: full ordered journey
+      (1L, "view", ts("09:00")), (1L, "click", ts("09:05")), (1L, "purchase", ts("09:30")),
+      // u2: purchase BEFORE click — reaches step 2, not step 3
+      (2L, "view", ts("10:00")), (2L, "purchase", ts("10:01")), (2L, "click", ts("10:02")),
+      // u3: click before any view — reaches step 1 only
+      (3L, "click", ts("11:00")), (3L, "view", ts("11:05")),
+      // u4: view only
+      (4L, "view", ts("12:00")),
+      // u5: no view at all — outside the funnel entirely
+      (5L, "click", ts("13:00")), (5L, "purchase", ts("13:05")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnels.eventsUserFunnelOver(ev)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map(
+      "1_view" -> 4L,
+      "2_click_after_view" -> 2L,
+      "3_purchase_after_click" -> 1L))
+  }
+
+  test("registered funnel and retention frames are sane on the corpus") {
+    val funnel = Funnels.eventsUserFunnel(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(funnel.size == 3)
+    assert(funnel("1_view") >= funnel("2_click_after_view"))
+    assert(funnel("2_click_after_view") >= funnel("3_purchase_after_click"))
+
+    val ret = Funnels.cohortRetention(spark, sf).collect()
+    assert(ret.nonEmpty)
+    // offset-0 retention includes every cohort member active in their
+    // own signup week — the signup itself qualifies, so cohort size ==
+    // offset-0 actives
+    val byCohort = ret.groupBy(_.getString(0))
+    byCohort.foreach { case (_, rows) =>
+      val offsets = rows.map(_.getInt(1)).sorted
+      assert(offsets.head == 0, "every cohort has its own signup week")
+      val week0 = rows.find(_.getInt(1) == 0).get.getLong(2)
+      rows.foreach(r => assert(r.getLong(2) <= week0,
+        "no offset can retain more users than the cohort has"))
+    }
+  }
+}
