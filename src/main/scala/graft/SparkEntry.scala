@@ -40,7 +40,9 @@ object SparkEntry {
       text.Packing.inventory ++
       text.Incremental.inventory ++
       text.Relevance.inventory ++
-      analytics.Funnels.inventory
+      analytics.Funnels.inventory ++
+      quality.Profile.inventory ++
+      monitor.Drift.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -68,5 +70,7 @@ object SparkEntry {
       text.Packing.oracle ++
       text.Incremental.oracle ++
       text.Relevance.oracle ++
-      analytics.Funnels.oracle
+      analytics.Funnels.oracle ++
+      quality.Profile.oracle ++
+      monitor.Drift.oracle
 }

@@ -118,11 +118,61 @@ WHERE a.week >= c.cohort_week
 GROUP BY c.cohort_week, (a.week - c.cohort_week) / 7
 ORDER BY cohort_week, week_offset"""
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for each consecutive (eventᵢ → eventᵢ₊₁) pair within a user's
+    * timeline, the transition count and the row-normalized probability
+    * P(to | from) — the clickstream model behind next-action prediction
+    * and funnel-leak diagnosis. Ordering is total (ts, then event_id as
+    * the unique tiebreak), so the lead() sequence — and therefore every
+    * count — is reproducible across engines and partitionings.
+    *
+    * Scale posture: the lead() window partitions by user_id — per-user
+    * state, millions of independent partitions, the same shape as
+    * sessionization — then everything after the pair groupBy is
+    * proportional to |event_type|² (≤ dozens of rows), with the
+    * from-totals broadcast back. */
+  def typeTransitions(spark: SparkSession, dir: String): DataFrame =
+    typeTransitionsOver(Tables.events(spark, dir))
+
+  private[graft] def typeTransitionsOver(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val cnt = pairs
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+    val fromTot = cnt.groupBy("from_type").agg(sum("transitions").as("from_total"))
+    cnt.join(broadcast(fromTot), "from_type")
+      .select(col("from_type"), col("to_type"), col("transitions"),
+        (col("transitions").cast(DoubleType) / col("from_total").cast(DoubleType))
+          .as("transition_prob"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val typeTransitionsSql: String = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events),
+cnt AS (
+  SELECT from_type, to_type, COUNT(*) AS transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+tot AS (SELECT from_type, SUM(transitions) AS from_total FROM cnt GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.transitions,
+       CAST(c.transitions AS DOUBLE) / CAST(t.from_total AS DOUBLE) AS transition_prob
+FROM cnt c JOIN tot t USING (from_type)
+ORDER BY from_type, to_type"""
+
   val inventory: Map[String, Q] = Map(
-    "events_user_funnel"     -> (eventsUserFunnel _),
-    "events_cohort_retention" -> (cohortRetention _))
+    "events_user_funnel"       -> (eventsUserFunnel _),
+    "events_cohort_retention"  -> (cohortRetention _),
+    "events_type_transitions"  -> (typeTransitions _))
 
   val oracle: Map[String, String] = Map(
-    "events_user_funnel"     -> eventsUserFunnelSql,
-    "events_cohort_retention" -> cohortRetentionSql)
+    "events_user_funnel"       -> eventsUserFunnelSql,
+    "events_cohort_retention"  -> cohortRetentionSql,
+    "events_type_transitions"  -> typeTransitionsSql)
 }

@@ -23,9 +23,12 @@ object Monitor {
 
   /** Daily event counts in the 30-day window before as-of, flagged when
     * outside mean ± 3σ (pipeline_monitor.py:171-183). */
-  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame =
+    volumeAnomalyOver(Tables.events(spark, dir))
+
+  private[graft] def volumeAnomalyOver(ev: DataFrame): DataFrame = {
     val asOf = to_date(lit(Det.AsOfEventDate))
-    val daily = Tables.events(spark, dir)
+    val daily = ev
       .filter(to_date(col("ts")) >= date_sub(asOf, 30) && to_date(col("ts")) < asOf)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("event_count"))
@@ -69,6 +72,91 @@ SELECT strftime(d.day, '%Y-%m-%d') AS day, d.event_count,
                     sqrt((CAST(s.sq AS DOUBLE) - CAST(s.n AS DOUBLE) * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)) * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)))
                          / (CAST(s.n AS DOUBLE) - 1.0)) END, false) AS is_anomaly
 FROM daily d CROSS JOIN stats s"""
+
+  /** Robust (median/MAD) twin of [[volumeAnomaly]] — the 3σ rule's known
+    * failure is that the anomaly itself inflates the mean and stddev it
+    * is judged against (one 10× day can mask itself); the median and the
+    * median-absolute-deviation have a 50% breakdown point, so a
+    * contaminated window still flags. Convention: robust z-score
+    * (x − med) / (1.4826·MAD) (1.4826 = 1/Φ⁻¹(3/4), the consistency
+    * constant making MAD estimate σ under normality), flag |z| > 3.
+    *
+    * Medians are exact type-1 rank selections (rank ⌈n/2⌉ of the sorted
+    * multiset, the [[graft.analytics.Quantiles]] convention) computed by
+    * the value-counts slab trick. The windows involved run over the
+    * POST-AGGREGATION daily frame — ≤ 30 rows by construction (the
+    * monitoring window length), so the single-partition window sort is
+    * bounded by the calendar, not the data, at any corpus size.
+    *
+    * Determinism: med and MAD are exact longs; z and the flag are fixed
+    * per-row double expression trees over them (single divides/products),
+    * identical across engines. MAD = 0 (≥ half the days identical) has
+    * no finite z: z is NULL and the flag degrades to x ≠ med.
+    */
+  def madAnomaly(spark: SparkSession, dir: String): DataFrame =
+    madAnomalyOver(Tables.events(spark, dir))
+
+  /** Parameterized core over any (ts) event frame — the spec drives it
+    * with synthetic daily shapes the classical 3σ rule mis-scores. */
+  private[graft] def madAnomalyOver(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asOf = to_date(lit(Det.AsOfEventDate))
+    val daily = ev
+      .filter(to_date(col("ts")) >= date_sub(asOf, 30) && to_date(col("ts")) < asOf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("event_count"))
+
+    // exact type-1 median of `v` in a tiny frame via value-count slabs
+    def medianOf(vals: DataFrame, out: String): DataFrame = {
+      val counts = vals.groupBy("v").agg(count(lit(1)).as("c"))
+      val ranked = counts
+        .withColumn("cum", sum("c").over(Window.orderBy("v")))
+        .withColumn("n", sum("c").over(Window.partitionBy()))
+      ranked.agg(
+        max(when(col("cum") - col("c") < ceil(col("n") * 0.5)
+              && col("cum") >= ceil(col("n") * 0.5), col("v"))).as(out))
+    }
+
+    val med = medianOf(daily.select(col("event_count").as("v")), "med")
+    val withMed = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("event_count") - col("med")))
+    val mad = medianOf(withMed.select(col("dev").as("v")), "mad")
+    val scale = lit(3.0) * lit(1.4826) * col("mad").cast(DoubleType)
+    withMed.crossJoin(broadcast(mad)).select(
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("event_count"),
+      col("med").as("median_count"),
+      col("mad").as("mad_count"),
+      when(col("mad") > 0,
+        (col("event_count").cast(DoubleType) - col("med").cast(DoubleType))
+          / (lit(1.4826) * col("mad").cast(DoubleType))).as("robust_z"),
+      when(col("mad") > 0, col("dev").cast(DoubleType) > scale)
+        .otherwise(col("event_count") =!= col("med")).as("is_anomaly"))
+  }
+
+  val madAnomalySql: String = s"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS event_count
+  FROM events
+  WHERE CAST(ts AS DATE) >= DATE '${Det.AsOfEventDate}' - INTERVAL 30 DAY
+    AND CAST(ts AS DATE) < DATE '${Det.AsOfEventDate}'
+  GROUP BY CAST(ts AS DATE)),
+vc1 AS (SELECT event_count AS v, COUNT(*) AS c FROM daily GROUP BY event_count),
+r1 AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM vc1),
+med AS (SELECT MAX(CASE WHEN cum - c < ceil(n * 0.5) AND cum >= ceil(n * 0.5) THEN v END) AS med FROM r1),
+devs AS (SELECT d.day, d.event_count, m.med, ABS(d.event_count - m.med) AS dev
+         FROM daily d CROSS JOIN med m),
+vc2 AS (SELECT dev AS v, COUNT(*) AS c FROM devs GROUP BY dev),
+r2 AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM vc2),
+mad AS (SELECT MAX(CASE WHEN cum - c < ceil(n * 0.5) AND cum >= ceil(n * 0.5) THEN v END) AS mad FROM r2)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.event_count,
+       d.med AS median_count, m.mad AS mad_count,
+       CASE WHEN m.mad > 0 THEN
+         (CAST(d.event_count AS DOUBLE) - CAST(d.med AS DOUBLE))
+           / (1.4826 * CAST(m.mad AS DOUBLE)) END AS robust_z,
+       CASE WHEN m.mad > 0 THEN CAST(d.dev AS DOUBLE) > 3.0 * 1.4826 * CAST(m.mad AS DOUBLE)
+            ELSE d.event_count <> d.med END AS is_anomaly
+FROM devs d CROSS JOIN mad m"""
 
   /** Per-source freshness: hours since last event vs as-of, with the
     * reference's threshold statuses (staging>24h critical, >1h delayed —
@@ -235,11 +323,13 @@ FROM c"""
 
   val inventory: Map[String, Q] = Map(
     "monitor_volume_anomaly" -> (volumeAnomaly _),
+    "monitor_mad_anomaly"    -> (madAnomaly _),
     "monitor_freshness_lag"  -> (freshnessLag _),
     "monitor_health"         -> (healthRollup _))
 
   val oracle: Map[String, String] = Map(
     "monitor_volume_anomaly" -> volumeAnomalySql,
+    "monitor_mad_anomaly"    -> madAnomalySql,
     "monitor_freshness_lag"  -> freshnessLagSql,
     "monitor_health"         -> healthRollupSql)
 }

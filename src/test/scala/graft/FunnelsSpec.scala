@@ -50,4 +50,32 @@ class FunnelsSpec extends SparkSpec {
         "no offset can retain more users than the cohort has"))
     }
   }
+
+  test("transition matrix counts consecutive pairs in timeline order") {
+    val ev = Seq(
+      // u1: view -> click -> purchase (two transitions)
+      (1L, 10L, "view", ts("09:00")), (1L, 11L, "click", ts("09:05")),
+      (1L, 12L, "purchase", ts("09:30")),
+      // u2: view -> view (self-transition)
+      (2L, 20L, "view", ts("10:00")), (2L, 21L, "view", ts("10:05")),
+      // u3: tie on ts broken by event_id: click (id 30) before view (id 31)
+      (3L, 30L, "click", ts("11:00")), (3L, 31L, "view", ts("11:00")),
+      // u4: single event, no transition
+      (4L, 40L, "purchase", ts("12:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Funnels.typeTransitionsOver(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("view", "click") -> 1L, ("click", "purchase") -> 1L,
+      ("view", "view") -> 1L, ("click", "view") -> 1L))
+  }
+
+  test("transition probabilities row-normalize to 1 per from_type") {
+    val rows = Funnels.typeTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val s = rs.map(_.getAs[Double]("transition_prob")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$from row sums to $s")
+    }
+  }
 }
