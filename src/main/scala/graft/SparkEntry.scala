@@ -42,7 +42,8 @@ object SparkEntry {
       text.Relevance.inventory ++
       analytics.Funnels.inventory ++
       quality.Profile.inventory ++
-      monitor.Drift.inventory
+      monitor.Drift.inventory ++
+      etl.Cdc.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -72,5 +73,6 @@ object SparkEntry {
       text.Relevance.oracle ++
       analytics.Funnels.oracle ++
       quality.Profile.oracle ++
-      monitor.Drift.oracle
+      monitor.Drift.oracle ++
+      etl.Cdc.oracle
 }

@@ -166,13 +166,67 @@ SELECT c.from_type, c.to_type, c.transitions,
 FROM cnt c JOIN tot t USING (from_type)
 ORDER BY from_type, to_type"""
 
+  /** Time-to-convert distribution: for every user who completes the
+    * ordered funnel, the first-view → first-purchase latency, reduced to
+    * exact p50/p90/p99 via the shared rank-selection core
+    * ([[Quantiles.rankSelect]] — type-1 quantiles over value counts, in
+    * integer micros end-to-end). The number product teams pair with the
+    * funnel: how MANY convert is [[eventsUserFunnel]]; how LONG the
+    * conversion takes is this. One groupBy(user) pass — the same
+    * per-user conditional-min frame as the funnel — then the quantile
+    * reduction over converting users only. */
+  def funnelTimeToConvert(spark: SparkSession, dir: String): DataFrame =
+    funnelTimeToConvertOver(Tables.events(spark, dir))
+
+  private[graft] def funnelTimeToConvertOver(ev: DataFrame): DataFrame = {
+    val per = ev
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    val reachedPurchase = col("t_view").isNotNull &&
+      col("t_click").isNotNull && col("t_click") > col("t_view") &&
+      col("t_purchase").isNotNull && col("t_purchase") > col("t_click")
+    val converted = per.filter(reachedPurchase)
+      .select(lit("all").as("cohort"),
+        (unix_micros(col("t_purchase")) - unix_micros(col("t_view"))).as("v"))
+    Quantiles.rankSelect(converted, "cohort", "micros", "n_users")
+  }
+
+  val funnelTimeToConvertSql: String = """
+WITH per AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id),
+conv AS (
+  SELECT 'all' AS cohort,
+         epoch_us(t_purchase) - epoch_us(t_view) AS v
+  FROM per
+  WHERE t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+    AND t_purchase IS NOT NULL AND t_purchase > t_click)
+SELECT cohort, MAX(n) AS n_users,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v END) AS p50_micros,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN v END) AS p90_micros,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN v END) AS p99_micros
+FROM (
+  SELECT cohort, v,
+         ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY cohort) AS n
+  FROM conv)
+GROUP BY cohort ORDER BY cohort"""
+
   val inventory: Map[String, Q] = Map(
     "events_user_funnel"       -> (eventsUserFunnel _),
     "events_cohort_retention"  -> (cohortRetention _),
-    "events_type_transitions"  -> (typeTransitions _))
+    "events_type_transitions"  -> (typeTransitions _),
+    "funnel_time_to_convert"   -> (funnelTimeToConvert _))
 
   val oracle: Map[String, String] = Map(
     "events_user_funnel"       -> eventsUserFunnelSql,
     "events_cohort_retention"  -> cohortRetentionSql,
-    "events_type_transitions"  -> typeTransitionsSql)
+    "events_type_transitions"  -> typeTransitionsSql,
+    "funnel_time_to_convert"   -> funnelTimeToConvertSql)
 }

@@ -70,6 +70,25 @@ class FunnelsSpec extends SparkSpec {
       ("view", "view") -> 1L, ("click", "view") -> 1L))
   }
 
+  test("time-to-convert quantiles select the exact per-user latencies") {
+    val ev = Seq(
+      // three converting users with view->purchase latencies 30, 60, 90 min
+      (1L, "view", ts("09:00")), (1L, "click", ts("09:10")), (1L, "purchase", ts("09:30")),
+      (2L, "view", ts("10:00")), (2L, "click", ts("10:30")), (2L, "purchase", ts("11:00")),
+      (3L, "view", ts("08:00")), (3L, "click", ts("08:45")), (3L, "purchase", ts("09:30")),
+      // a non-converter (purchase before click) must not contribute
+      (4L, "view", ts("12:00")), (4L, "purchase", ts("12:01")), (4L, "click", ts("12:02")))
+      .toDF("user_id", "event_type", "ts")
+    val r = Funnels.funnelTimeToConvertOver(ev).head()
+    assert(r.getAs[Long]("n_users") == 3L)
+    def mins(n: Long) = n * 60L * 1000000L
+    // type-1 quantiles over {30, 60, 90} min: rank ceil(.5*3)=2 -> 60,
+    // rank ceil(.9*3)=3 -> 90, rank ceil(.99*3)=3 -> 90
+    assert(r.getAs[Long]("p50_micros") == mins(60))
+    assert(r.getAs[Long]("p90_micros") == mins(90))
+    assert(r.getAs[Long]("p99_micros") == mins(90))
+  }
+
   test("transition probabilities row-normalize to 1 per from_type") {
     val rows = Funnels.typeTransitions(spark, sf).collect()
     assert(rows.nonEmpty)
