@@ -145,6 +145,48 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Small-file compaction — the lakehouse maintenance job every
+    * streaming or incremental sink eventually needs: micro-batch appends
+    * leave thousands of KB-sized files, and at 100 TB the resulting
+    * per-file open/footer cost dominates scan time (a 128 MB-target
+    * layout reads the same bytes with ~1000× fewer file operations).
+    * Bin-packs the directory to ceil(bytes / targetBytes) files via a
+    * round-robin repartition (pure size balancing — no key semantics to
+    * preserve; use [[writeZOrdered]]/[[writeBucketed]] when layout IS
+    * semantic), writing to a staging path first and swapping in via
+    * rename so a crashed compaction never leaves the table half-written.
+    * Returns (filesBefore, filesAfter). */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val staging = new org.apache.hadoop.fs.Path(path + "._compacting")
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val backup = new org.apache.hadoop.fs.Path(path + "._pre_compact")
+    fs.rename(hPath, backup)
+    fs.rename(staging, hPath)
+    fs.delete(backup, true)
+    val after = fs.listStatus(hPath)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
+
+  /** Schema-evolution read: union a directory whose parquet files were
+    * written under EVOLVING schemas (columns added over time) into one
+    * frame — `mergeSchema` unions field sets by name across file
+    * footers; rows from files predating a column read NULL for it.
+    * This is the additive-evolution contract (rename/retype still needs
+    * a migration); the option is per-read because footer-merging scales
+    * with file count and the default fast path trusts the first footer. */
+  def readParquetMergeSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Single JSON report document (ingestion summaries, quality reports —
     * S8): driver-side write, content from a pre-rendered JSON string. */
   def writeJsonReport(json: String, path: String): Unit = {

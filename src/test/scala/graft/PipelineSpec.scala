@@ -222,4 +222,42 @@ class PipelineSpec extends SparkSpec {
     val one = spark.read.parquet(dir).filter(col("shard") === 3)
     assert(one.count() == back.filter(pmod(hash(col("doc_id")), lit(8)) === 3).count())
   }
+
+  test("compaction bin-packs a fragmented table and preserves every row") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/docs"
+    // simulate a micro-batch-fragmented table: 64 tiny files
+    docs.repartition(64).write.parquet(dir)
+    val charSum = docs.agg(sum("n_chars")).head().getLong(0)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val target = bytes / 4 + 1 // aim for ~4 output files
+    val (before, after) = graft.sources.Sources.compactParquet(spark, dir, target)
+    assert(before == 64)
+    assert(after <= 5 && after >= 1, s"expected ~4 files, got $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.agg(sum("n_chars")).head().getLong(0) == charSum)
+    assert(!new java.io.File(dir + "._compacting").exists())
+    assert(!new java.io.File(dir + "._pre_compact").exists())
+  }
+
+  test("mergeSchema read unions evolving schemas with NULL backfill") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    // vintage 1: (id, v); vintage 2 adds `lang`
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").write.parquet(dir)
+    Seq((3L, 30.0, "en"), (4L, 40.0, "de")).toDF("id", "v", "lang")
+      .write.mode("append").parquet(dir)
+    val merged = graft.sources.Sources.readParquetMergeSchema(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v", "lang"))
+    assert(merged.count() == 4)
+    // pre-evolution rows read NULL for the added column
+    assert(merged.filter(col("lang").isNull).select("id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(merged.filter(col("lang") === "en").select("id")
+      .as[Long].collect().toSeq == Seq(3L))
+  }
 }
