@@ -21,7 +21,8 @@ object BenchExt {
     "text_stats", "corpus_curation", "quantiles_line_total",
     "asof_click_attribution", "range_join_click_purchase",
     "doc_fingerprint_winnow", "winnow_overlap_pairs",
-    "dedup_canonical", "heavy_hitter_ngrams", "bloom_decontamination")
+    "dedup_canonical", "heavy_hitter_ngrams", "bloom_decontamination",
+    "chunk_documents", "events_type_transitions", "cdc_orders_diff")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

@@ -43,7 +43,8 @@ object SparkEntry {
       analytics.Funnels.inventory ++
       quality.Profile.inventory ++
       monitor.Drift.inventory ++
-      etl.Cdc.inventory
+      etl.Cdc.inventory ++
+      sim.EmbeddingDrift.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -74,5 +75,6 @@ object SparkEntry {
       analytics.Funnels.oracle ++
       quality.Profile.oracle ++
       monitor.Drift.oracle ++
-      etl.Cdc.oracle
+      etl.Cdc.oracle ++
+      sim.EmbeddingDrift.oracle
 }
