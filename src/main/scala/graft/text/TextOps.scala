@@ -204,6 +204,38 @@ FROM t"""
       .withColumn("agrees", col("predicted_lang") === col("labeled_lang"))
   }
 
+  /** Language confusion matrix — the rollup a corpus team reads before
+    * trusting either label source: declared `lang` (crawler metadata)
+    * vs [[langId]]'s detected language, with counts and row-normalized
+    * shares P(predicted | labeled). The off-diagonal mass is exactly
+    * the mislabeled-document volume a mixture-budget calculation would
+    * silently mis-allocate. One aggregation over the lang-id frame
+    * (everything after is proportional to |langs|², with row totals
+    * broadcast back — the [[graft.analytics.Funnels.typeTransitions]]
+    * shape). */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = langId(spark, dir)
+      .groupBy("labeled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val rowTot = cnt.groupBy("labeled_lang").agg(sum("n_docs").as("row_total"))
+    cnt.join(broadcast(rowTot), "labeled_lang")
+      .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("row_total").cast("double"))
+          .as("row_share"))
+      .orderBy("labeled_lang", "predicted_lang")
+  }
+
+  lazy val langConfusionSql: String = s"""
+WITH lid AS ($langIdSql),
+cnt AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+  FROM lid GROUP BY labeled_lang, predicted_lang),
+tot AS (SELECT labeled_lang, SUM(n_docs) AS row_total FROM cnt GROUP BY labeled_lang)
+SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+       CAST(c.n_docs AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS row_share
+FROM cnt c JOIN tot t USING (labeled_lang)
+ORDER BY labeled_lang, predicted_lang"""
+
   val langIdSql: String = """
 WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
 m AS (SELECT doc_id, lang AS labeled_lang,
@@ -933,6 +965,7 @@ WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 4"""
   val inventory: Map[String, Q] = Map(
     "text_stats"           -> (textStats _),
     "text_lang_id"         -> (langId _),
+    "lang_confusion"       -> (langConfusion _),
     "doc_fingerprint"      -> (docFingerprint _),
     "dedup_exact"          -> (dedupExact _),
     "dedup_canonical"      -> (dedupCanonical _),
@@ -949,6 +982,7 @@ WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 4"""
   val oracle: Map[String, String] = Map(
     "text_stats"           -> textStatsSql,
     "text_lang_id"         -> langIdSql,
+    "lang_confusion"       -> langConfusionSql,
     "doc_fingerprint"      -> docFingerprintSql,
     "dedup_exact"          -> dedupExactSql,
     "dedup_canonical"      -> dedupCanonicalSql,

@@ -122,6 +122,16 @@ class StreamingSpec extends SparkSpec {
     assert(overMart.count() == overSource.count() && overMart.count() > 0)
     assert(overMart.except(overSource).count() == 0)
     assert(overSource.except(overMart).count() == 0)
+    // the mart lands event_type too, so the PSI drift monitor and the
+    // robust MAD anomaly run unchanged over it — same verdicts
+    val driftMart = graft.monitor.Drift.driftPsi(spark, mart)
+    val driftSource = graft.monitor.Drift.driftPsi(spark, sf)
+    assert(driftMart.count() == driftSource.count() && driftMart.count() > 0)
+    assert(driftMart.except(driftSource).count() == 0)
+    val madMart = graft.monitor.Monitor.madAnomaly(spark, mart)
+    val madSource = graft.monitor.Monitor.madAnomaly(spark, sf)
+    assert(madMart.except(madSource).count() == 0)
+    assert(madSource.except(madMart).count() == 0)
   }
 
   test("streaming dedup suppresses duplicate event ids") {
