@@ -138,6 +138,45 @@ class PlanSpec extends SparkSpec {
     assert(joins == 1, s"expected exactly 1 join (probe-side x dedup reps), got $joins")
   }
 
+  test("cdc diff is one co-partitioned full-outer sort-merge join") {
+    // the CDC contract: both snapshots shuffle on the SAME key and meet
+    // in a single FullOuter SMJ — a nested-loop or cartesian fallback
+    // here would be quadratic at scale
+    val plan = physicalPlan(SparkEntry.queries("cdc_orders_diff")(spark, sf))
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      plan.take(2000))
+    assert("SortMergeJoin".r.findAllIn(plan).length == 1,
+      "expected exactly one snapshot-compare join")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("new monitors cross-join only against broadcast one-row stats frames") {
+    // drift PSI and the MAD anomaly use the volumeAnomaly pattern: any
+    // BroadcastNestedLoopJoin must build a broadcast (IdentityBroadcastMode)
+    // side — i.e. the tiny stats frame — never two data-sized inputs
+    Seq("monitor_drift_psi", "monitor_mad_anomaly").foreach { q =>
+      val plan = physicalPlan(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$q has a cartesian product")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      val idBroadcasts = "IdentityBroadcastMode".r.findAllIn(plan).length
+      assert(bnlj <= idBroadcasts,
+        s"$q has a nested-loop join without a broadcast stats side:\n${plan.take(2000)}")
+    }
+  }
+
+  test("event transition window partitions by user, totals arrive broadcast") {
+    val exec = SparkEntry.queries("events_type_transitions")(spark, sf)
+      .queryExecution.executedPlan
+    val global = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "lead() must partition by user_id, not run globally")
+    assert(exec.toString.contains("BroadcastHashJoin"),
+      "from-type totals must join via broadcast")
+  }
+
   test("ivf assignment's cell column is non-nullable (no inferred argmin re-eval)") {
     // a nullable cell makes every downstream equi-join infer
     // IsNotNull(cell) — whose condition IS the whole k-candidate argmin
