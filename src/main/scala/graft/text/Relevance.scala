@@ -136,11 +136,109 @@ GROUP BY doc_id
 ORDER BY doc_id"""
   }
 
+  /** The BM25 retrieval queries — a fixed multi-term query set (the
+    * non-deterministic "user input" replaced per SURVEY §7.4), shared
+    * verbatim by the Spark plan and the DuckDB oracle. */
+  private[graft] val Bm25Queries = Seq(
+    "q_hash_join" -> "hash", "q_hash_join" -> "join",
+    "q_window_agg" -> "window", "q_window_agg" -> "agg",
+    "q_stream_batch" -> "stream", "q_stream_batch" -> "batch")
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** BM25 ranked retrieval (Robertson/Sparck Jones, the full-text-search
+    * staple TF-IDF feeds into): top-10 documents per query scored by
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + ½)/(df + ½) + 1) (the always-positive
+    * Lucene form), k1 = 1.2, b = 0.75.
+    *
+    * Scale posture: the broadcast join of the tiny query-term list onto
+    * the occurrence stream FILTERS the corpus before anything shuffles —
+    * only occurrences of query terms reach the tf aggregation, so cost
+    * is proportional to the postings of the query vocabulary, not the
+    * corpus (the per-document length/avgdl statistics are one count
+    * aggregation each, materialized once per corpus snapshot in a real
+    * deployment). Ranking is the WindowGroupLimit top-k per query.
+    *
+    * Determinism: each term score is a fixed double expression tree on
+    * integer-derived ratios; the per-(query, doc) sum goes through the
+    * DECIMAL(18,6) snap so distributed summation order cannot matter;
+    * ranking orders by the exact decimal sum with doc_id tiebreak. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25SearchOver(docs(spark, dir))
+
+  private[graft] def bm25SearchOver(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val q = Bm25Queries.toDF("query_id", "term")
+    val occ = occurrencesOver(d)
+    val lens = occ.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("total"))
+    val qocc = occ.join(broadcast(q), "term")
+    val tf = qocc.groupBy("query_id", "term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfq = qocc.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    def D(c: String) = col(c).cast("double")
+    val avgdl = D("total") / D("n_docs")
+    val idf = log((D("n_docs") - D("df") + lit(0.5)) / (D("df") + lit(0.5)) + lit(1.0))
+    val termScore = idf * (D("tf") * lit(K1 + 1.0)) /
+      (D("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * D("dl") / avgdl))
+    val scored = tf.join(dfq, "term").join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(Det.dec6(termScore)).as("s"))
+    scored
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("s").desc, col("doc_id").asc))
+          .cast(LongType))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        Det.d2d(round(col("s"), 4).cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("bm25"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val bm25SearchSql: String = {
+    val values = Bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    s"""
+WITH q(query_id, term) AS (VALUES $values),
+occ AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0),
+lens AS (SELECT doc_id, COUNT(*) AS dl FROM occ GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total FROM lens),
+qocc AS (SELECT o.doc_id, o.term, q.query_id FROM occ o JOIN q USING (term)),
+tf AS (SELECT query_id, term, doc_id, COUNT(*) AS tf FROM qocc GROUP BY 1, 2, 3),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qocc GROUP BY term),
+scored AS (
+  SELECT query_id, doc_id,
+         SUM(CAST(
+           ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf AS DOUBLE) * ${K1 + 1.0})
+           / (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE)
+                / (CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           AS DECIMAL(18,6))) AS s
+  FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+  GROUP BY query_id, doc_id),
+rk AS (
+  SELECT query_id, doc_id, s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id,
+       CAST(CAST(ROUND(s, 4) AS DECIMAL(18,4)) AS DOUBLE) AS bm25
+FROM rk WHERE rank <= 10
+ORDER BY query_id, rank"""
+  }
+
   val inventory: Map[String, Q] = Map(
     "tfidf_top_terms"  -> (tfidfTopTerms _),
-    "lm_quality_score" -> (lmQualityScore _))
+    "lm_quality_score" -> (lmQualityScore _),
+    "bm25_search"      -> (bm25Search _))
 
   val oracle: Map[String, String] = Map(
     "tfidf_top_terms"  -> tfidfTopTermsSql,
-    "lm_quality_score" -> lmQualityScoreSql)
+    "lm_quality_score" -> lmQualityScoreSql,
+    "bm25_search"      -> bm25SearchSql)
 }

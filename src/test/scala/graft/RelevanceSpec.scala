@@ -59,4 +59,42 @@ class RelevanceSpec extends SparkSpec {
     assert(scores(1L) > scores(99L),
       s"boilerplate ${scores(1L)} should outscore gibberish ${scores(99L)}")
   }
+
+  test("bm25: both-terms doc outranks single-term docs; length normalization kicks in") {
+    import org.apache.spark.sql.functions._
+    // corpus tuned to the fixed q_hash_join = {hash, join} query:
+    //  d1 has both terms; d2/d3 have only one; d4 has one term but is
+    //  much longer than d5 with the same tf -> d5 outranks d4
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, "hash join plan"),
+      (2L, "hash table scan"),
+      (3L, "join order scan"),
+      (4L, s"hash $filler"),
+      (5L, "hash probe"))
+      .toDF("doc_id", "text")
+    val out = Relevance.bm25SearchOver(d)
+      .filter(col("query_id") === "q_hash_join").collect()
+    val rankOf = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    assert(rankOf(1L) == 1L, s"both-terms doc must rank first: $rankOf")
+    assert(rankOf(5L) < rankOf(4L),
+      s"shorter doc with equal tf must outrank the long one: $rankOf")
+    // scores are positive and weakly decreasing in rank
+    val byRank = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("bm25"))
+    assert(byRank.forall(_ > 0.0))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25: rarer term contributes more than a common one at equal tf") {
+    import org.apache.spark.sql.functions._
+    // 'stream' appears in 9 docs, 'batch' in 1: for q_stream_batch the
+    // batch-only doc must outrank any stream-only doc
+    val d = ((1 to 9).map(i => (i.toLong, "stream pipeline node")) :+
+      (50L, "batch pipeline node")).toDF("doc_id", "text")
+    val out = Relevance.bm25SearchOver(d)
+      .filter(col("query_id") === "q_stream_batch").collect()
+    val top = out.find(_.getAs[Long]("rank") == 1L).get
+    assert(top.getAs[Long]("doc_id") == 50L,
+      s"rare-term doc must rank first, got ${top}")
+  }
 }
