@@ -44,7 +44,8 @@ object SparkEntry {
       quality.Profile.inventory ++
       monitor.Drift.inventory ++
       etl.Cdc.inventory ++
-      sim.EmbeddingDrift.inventory
+      sim.EmbeddingDrift.inventory ++
+      analytics.Stats.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -76,5 +77,6 @@ object SparkEntry {
       quality.Profile.oracle ++
       monitor.Drift.oracle ++
       etl.Cdc.oracle ++
-      sim.EmbeddingDrift.oracle
+      sim.EmbeddingDrift.oracle ++
+      analytics.Stats.oracle
 }

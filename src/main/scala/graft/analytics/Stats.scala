@@ -1,0 +1,136 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column/key statistics operators — the ANALYZE-style infrastructure a
+  * cost-based planner and a shuffle-health dashboard read, exposed as
+  * first-class queries:
+  *
+  *   - [[skewDiagnosis]]: per-key frequency skew of a join column — the
+  *     pre-flight check that predicts whether a shuffle join will
+  *     straggle. At 100 TB the expensive mistake is discovering a hot
+  *     key from a dead executor; this reads it from one aggregation.
+  *   - [[equiDepthHistogram]]: per-group equi-depth bucket bounds (the
+  *     CBO histogram primitive) via the same exact value-counts
+  *     rank-selection core as [[Quantiles]].
+  *
+  * Both collapse to (group, value)-count cells before any ranked step,
+  * so the single-threaded part is bounded by distinct values, never
+  * rows.
+  */
+object Stats {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Key-skew diagnosis for the events.user_id shuffle key: the top-5
+    * heaviest keys with their share of all rows and their multiple of
+    * the mean key load, alongside the corpus-level scalars (distinct
+    * keys, total rows, max/avg skew ratio). A `skew_x_avg` in the
+    * hundreds says "salt this key or let AQE split it" before the job
+    * runs. ONE count aggregation on the key; the heavy-key ranking and
+    * the scalar stats both derive from that tiny (key, cnt) frame. */
+  def skewDiagnosis(spark: SparkSession, dir: String): DataFrame =
+    skewDiagnosisOver(Tables.events(spark, dir).select(col("user_id").as("key")))
+
+  private[graft] def skewDiagnosisOver(keyed: DataFrame): DataFrame = {
+    val counts = keyed.groupBy("key").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum("cnt").as("total_rows"),
+      max("cnt").as("max_cnt"))
+    // distributed top-k first (TakeOrderedAndProject — never a global
+    // sort over all keys); the rank window then runs over 5 rows
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(5)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("key").asc))
+          .cast(LongType))
+    val avg = col("total_rows").cast(DoubleType) / col("n_keys").cast(DoubleType)
+    top.crossJoin(broadcast(stats)).select(
+        col("rank"), col("key"), col("cnt"),
+        (col("cnt").cast(DoubleType) / col("total_rows").cast(DoubleType))
+          .as("share_of_rows"),
+        (col("cnt").cast(DoubleType) / avg).as("skew_x_avg"),
+        col("n_keys"), col("total_rows"),
+        (col("max_cnt").cast(DoubleType) / avg).as("max_skew_x_avg"))
+      .orderBy("rank")
+  }
+
+  val skewDiagnosisSql: String = """
+WITH counts AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id),
+stats AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS total_rows, MAX(cnt) AS max_cnt FROM counts),
+top AS (
+  SELECT key, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS BIGINT) AS rank
+  FROM counts)
+SELECT rank, key, cnt,
+       CAST(cnt AS DOUBLE) / CAST(total_rows AS DOUBLE) AS share_of_rows,
+       CAST(cnt AS DOUBLE) / (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_x_avg,
+       n_keys, CAST(total_rows AS BIGINT) AS total_rows,
+       CAST(max_cnt AS DOUBLE) / (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS max_skew_x_avg
+FROM top CROSS JOIN stats
+WHERE rank <= 5
+ORDER BY rank"""
+
+  /** Equi-depth histogram (8 buckets) of line_total per payment method:
+    * bucket i's upper bound is the element at rank ⌈i·n/8⌉ of the
+    * sorted multiset — the exact type-1 convention shared with
+    * [[Quantiles.rankSelect]], in integer micros. The planner-statistics
+    * shape: B bounds per group summarize the distribution for range
+    * selectivity estimates, computed over DISTINCT-value counts so the
+    * per-group sort never sees raw rows. */
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val vals = graft.warehouse.Warehouse.fact(spark, dir).select(
+      col("payment_method"),
+      (col("line_total") * lit(1000000)).cast(LongType).as("v"))
+    val counts = vals.groupBy("payment_method", "v").agg(count(lit(1)).as("c"))
+    val byG = Window.partitionBy("payment_method")
+    val ranked = counts
+      .withColumn("cum", sum("c").over(byG.orderBy("v")))
+      .withColumn("n", sum("c").over(byG))
+    val buckets = (1 to 8).map { i =>
+      max(when(col("cum") - col("c") < ceil(col("n") * lit(i) / lit(8))
+            && col("cum") >= ceil(col("n") * lit(i) / lit(8)), col("v")))
+        .as(s"b$i")
+    }
+    val wide = ranked.groupBy("payment_method")
+      .agg(max("n").as("n_rows"), buckets: _*)
+    wide.select(col("payment_method"), col("n_rows"),
+        explode(array((1 to 8).map(i =>
+          struct(lit(i.toLong).as("bucket"), col(s"b$i").as("upper_micros"))): _*))
+          .as("h"))
+      .select(col("payment_method"), col("n_rows"),
+        col("h.bucket").as("bucket"), col("h.upper_micros").as("upper_micros"))
+      .orderBy("payment_method", "bucket")
+  }
+
+  val equiDepthHistogramSql: String = {
+    val cells = (1 to 8).map { i =>
+      s"MAX(CASE WHEN rn = CAST(ceil(n * $i / 8) AS BIGINT) THEN v END) AS b$i"
+    }.mkString(",\n       ")
+    val melt = (1 to 8).map { i =>
+      s"SELECT payment_method, n_rows, CAST($i AS BIGINT) AS bucket, b$i AS upper_micros FROM wide"
+    }.mkString("\n  UNION ALL ")
+    graft.warehouse.OracleSql.q(s""", ranked AS (
+  SELECT payment_method, v,
+         ROW_NUMBER() OVER (PARTITION BY payment_method ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY payment_method) AS n
+  FROM (SELECT payment_method, CAST(line_total * 1000000 AS BIGINT) AS v FROM fact)),
+wide AS (
+  SELECT payment_method, MAX(n) AS n_rows,
+       $cells
+  FROM ranked GROUP BY payment_method)
+SELECT * FROM (
+  $melt)
+ORDER BY payment_method, bucket""")
+  }
+
+  val inventory: Map[String, Q] = Map(
+    "skew_diagnosis"      -> (skewDiagnosis _),
+    "equi_depth_histogram" -> (equiDepthHistogram _))
+
+  val oracle: Map[String, String] = Map(
+    "skew_diagnosis"      -> skewDiagnosisSql,
+    "equi_depth_histogram" -> equiDepthHistogramSql)
+}
