@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.Tables
+import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -243,7 +243,65 @@ FROM sel GROUP BY lang, stratum_tokens, target_tokens
 ORDER BY lang"""
   }
 
+  /** Temperature exponent for the multilingual sampling weights — the
+    * α in pᵢ ∝ nᵢ^α from the multilingual-pretraining literature
+    * (α = 1 is proportional sampling, α → 0 uniform; 0.7 is the
+    * conventional compromise that up-samples low-resource languages
+    * without flattening the mix entirely). */
+  val MixAlpha = 0.7
+
+  /** Temperature-based language mixture: per language, the natural
+    * token share and the α = 0.7 temperature-sampled share
+    * (pᵢ = nᵢ^α / Σ nⱼ^α), plus the resulting boost factor — the
+    * standard recipe for deciding how hard to up-sample low-resource
+    * languages in a multilingual training mix (vs the fixed hand-set
+    * percentages of [[corpusMixBudget]]).
+    *
+    * Determinism: n^α is a single pow on an exact integer — measured
+    * bit-identical across the JVM, DuckDB and libm — then snapped to
+    * DECIMAL(18,6) before the cross-language sum so the Σ nⱼ^α
+    * denominator is partition-order independent. Shares and boosts are
+    * single divides. One groupBy(lang) over the corpus; everything
+    * after is proportional to |langs|. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixOver(Tables.documents(spark, dir))
+
+  private[graft] def temperatureMixOver(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("lang"), TextOps.estBpeTokens.as("toks"))
+    val strata = d.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .withColumn("w", Det.dec6(pow(col("n_tokens").cast("double"), lit(MixAlpha))))
+    val tot = strata.agg(
+      sum("n_tokens").as("tok_tot"), sum("w").as("w_tot"))
+    strata.crossJoin(broadcast(tot)).select(
+        col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tok_tot").cast("double"))
+          .as("natural_share"),
+        (col("w").cast("double") / col("w_tot").cast("double"))
+          .as("temp_share"))
+      .withColumn("boost", col("temp_share") / col("natural_share"))
+      .orderBy("lang")
+  }
+
+  lazy val temperatureMixSql: String = s"""
+WITH d AS (SELECT lang, ${TextOps.estBpeTokensSqlE} AS toks FROM documents),
+strata AS (
+  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
+  FROM d GROUP BY lang),
+w AS (
+  SELECT *, CAST(pow(CAST(n_tokens AS DOUBLE), $MixAlpha) AS DECIMAL(18,6)) AS w
+  FROM strata),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_tot, SUM(w) AS w_tot FROM w)
+SELECT lang, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(tok_tot AS DOUBLE) AS natural_share,
+       CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE) AS temp_share,
+       (CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE))
+         / (CAST(n_tokens AS DOUBLE) / CAST(tok_tot AS DOUBLE)) AS boost
+FROM w CROSS JOIN tot
+ORDER BY lang"""
+
   val inventory: Map[String, Q] = Map(
+    "temperature_mix"         -> (temperatureMix _),
     "corpus_curation"         -> (corpusCuration _),
     "corpus_curated_docs"     -> (curatedDocs _),
     "corpus_published"        -> (publishedCorpus _),
@@ -251,6 +309,7 @@ ORDER BY lang"""
     "corpus_token_accounting" -> (corpusTokenAccounting _))
 
   val oracle: Map[String, String] = Map(
+    "temperature_mix"         -> temperatureMixSql,
     "corpus_curation"         -> corpusCurationSql,
     "corpus_curated_docs"     -> curatedDocsSql,
     "corpus_published"        -> publishedCorpusSql,

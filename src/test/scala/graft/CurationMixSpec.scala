@@ -63,4 +63,27 @@ class CurationMixSpec extends SparkSpec {
       .filter(col("rep_quality") =!= col("max_q")).count()
     assert(mismatches == 0)
   }
+
+  test("temperature mix up-samples the low-resource language") {
+    import spark.implicits._
+    // lang 'hi' has ~1% of 'en' token mass: at alpha=0.7 its sampled
+    // share must exceed its natural share (boost > 1) while 'en'
+    // down-samples (boost < 1); shares still sum to 1
+    val text100 = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val docs = ((1 to 50).map(i => (i.toLong, "en", text100)) :+
+      (999L, "hi", "only five tokens right here")).toDF("doc_id", "lang", "text")
+    val rows = graft.text.Curation.temperatureMixOver(docs).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(rows("hi").getAs[Double]("boost") > 1.0)
+    assert(rows("en").getAs[Double]("boost") < 1.0)
+    Seq("natural_share", "temp_share").foreach { c =>
+      val s = rows.values.map(_.getAs[Double](c)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$c sums to $s")
+    }
+    // the registered frame on the corpus behaves the same way
+    val corpus = graft.text.Curation.temperatureMix(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    val ts = corpus.map(_.getAs[Double]("temp_share")).sum
+    assert(math.abs(ts - 1.0) < 1e-9)
+  }
 }
