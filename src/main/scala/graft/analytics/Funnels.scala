@@ -218,13 +218,79 @@ FROM (
   FROM conv)
 GROUP BY cohort ORDER BY cohort"""
 
+  /** DAU / WAU / MAU and the DAU/MAU stickiness ratio per day — the
+    * canonical engagement rollup. Exact trailing distinct counts cannot
+    * be summed from daily distincts (users repeat), so the shape is:
+    * collapse events to DISTINCT (user, day) pairs first — the only
+    * pass over raw events — then fan each user-day out to the ≤7 / ≤28
+    * trailing report days it supports and countDistinct per report day.
+    * The fanout multiplies user-DAYS (already distinct-collapsed), not
+    * events; at 100 TB the bounded-error alternative is an HLL sketch
+    * per day merged over the window (`approx_count_distinct`), the same
+    * exact/approx pairing as SURVEY §7.4. Report days outside the
+    * 30-day monitoring window are clipped, and the first 27 days carry
+    * partial-window MAU by construction (standard dashboard
+    * convention). */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame =
+    activeUsersOver(Tables.events(spark, dir))
+
+  private[graft] def activeUsersOver(ev: DataFrame): DataFrame = {
+    val asOf = to_date(lit(graft.Det.AsOfEventDate))
+    val userDays = ev
+      .filter(to_date(col("ts")) >= date_sub(asOf, 30) && to_date(col("ts")) < asOf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val hi = userDays.agg(max("day").as("hi"))
+    val fanned = userDays
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(27))).as("k"))
+      .select(col("user_id"), col("day"),
+        date_add(col("day"), col("k")).as("report_day"), col("k"))
+      .crossJoin(broadcast(hi))
+      .filter(col("report_day") <= col("hi"))
+    fanned.groupBy("report_day").agg(
+        countDistinct(when(col("k") === 0, col("user_id"))).as("dau"),
+        countDistinct(when(col("k") <= 6, col("user_id"))).as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .select(
+        date_format(col("report_day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"), col("mau"),
+        (col("dau").cast(DoubleType) / col("mau").cast(DoubleType))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  val activeUsersSql: String = s"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+  WHERE CAST(ts AS DATE) >= DATE '${graft.Det.AsOfEventDate}' - INTERVAL 30 DAY
+    AND CAST(ts AS DATE) < DATE '${graft.Det.AsOfEventDate}'),
+hi AS (SELECT MAX(day) AS hi FROM ud),
+fanned AS (
+  SELECT u.user_id, u.day, u.day + CAST(k.k AS INTEGER) AS report_day, k.k
+  FROM ud u
+  CROSS JOIN (SELECT unnest(generate_series(0, 27)) AS k) k
+  CROSS JOIN hi
+  WHERE u.day + CAST(k.k AS INTEGER) <= hi.hi)
+SELECT strftime(report_day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT CASE WHEN k = 0 THEN user_id END) AS dau,
+       COUNT(DISTINCT CASE WHEN k <= 6 THEN user_id END) AS wau,
+       COUNT(DISTINCT user_id) AS mau,
+       CAST(COUNT(DISTINCT CASE WHEN k = 0 THEN user_id END) AS DOUBLE)
+         / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS stickiness
+FROM fanned
+GROUP BY report_day
+ORDER BY day"""
+
   val inventory: Map[String, Q] = Map(
+    "events_active_users"      -> (activeUsers _),
     "events_user_funnel"       -> (eventsUserFunnel _),
     "events_cohort_retention"  -> (cohortRetention _),
     "events_type_transitions"  -> (typeTransitions _),
     "funnel_time_to_convert"   -> (funnelTimeToConvert _))
 
   val oracle: Map[String, String] = Map(
+    "events_active_users"      -> activeUsersSql,
     "events_user_funnel"       -> eventsUserFunnelSql,
     "events_cohort_retention"  -> cohortRetentionSql,
     "events_type_transitions"  -> typeTransitionsSql,

@@ -89,6 +89,26 @@ class FunnelsSpec extends SparkSpec {
     assert(r.getAs[Long]("p99_micros") == mins(90))
   }
 
+  test("active users: trailing distinct windows, hand-computed") {
+    def d(day: String) = java.sql.Timestamp.valueOf(s"2024-01-$day 10:00:00")
+    // A active Jan 2 only; B active Jan 2 and Jan 9
+    val ev = Seq((1L, d("02")), (2L, d("02")), (2L, d("02")), (2L, d("09")))
+      .toDF("user_id", "ts")
+    val rows = Funnels.activeUsersOver(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == (2 to 9).map(i => f"2024-01-$i%02d").toSet)
+    val jan2 = rows("2024-01-02")
+    assert(jan2.getAs[Long]("dau") == 2 && jan2.getAs[Long]("wau") == 2
+      && jan2.getAs[Long]("mau") == 2)
+    val jan8 = rows("2024-01-08") // trailing week Jan 2-8 still holds both
+    assert(jan8.getAs[Long]("dau") == 0 && jan8.getAs[Long]("wau") == 2
+      && jan8.getAs[Long]("mau") == 2)
+    val jan9 = rows("2024-01-09") // week Jan 3-9: only B; month: both
+    assert(jan9.getAs[Long]("dau") == 1 && jan9.getAs[Long]("wau") == 1
+      && jan9.getAs[Long]("mau") == 2)
+    assert(jan9.getAs[Double]("stickiness") == 0.5)
+  }
+
   test("transition probabilities row-normalize to 1 per from_type") {
     val rows = Funnels.typeTransitions(spark, sf).collect()
     assert(rows.nonEmpty)
