@@ -45,7 +45,9 @@ object SparkEntry {
       monitor.Drift.inventory ++
       etl.Cdc.inventory ++
       sim.EmbeddingDrift.inventory ++
-      analytics.Stats.inventory
+      analytics.Stats.inventory ++
+      analytics.Basket.inventory ++
+      analytics.Rfm.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -78,5 +80,7 @@ object SparkEntry {
       monitor.Drift.oracle ++
       etl.Cdc.oracle ++
       sim.EmbeddingDrift.oracle ++
-      analytics.Stats.oracle
+      analytics.Stats.oracle ++
+      analytics.Basket.oracle ++
+      analytics.Rfm.oracle
 }

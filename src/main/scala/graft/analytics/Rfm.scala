@@ -1,0 +1,143 @@
+package graft.analytics
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** RFM (recency / frequency / monetary) customer segmentation — the
+  * marketing-standard scoring the reference's spending-bucket
+  * segmentation (q03) approximates with fixed thresholds. Each customer
+  * gets a 1–5 score per dimension against the CORPUS's own quintile
+  * bounds, then a named segment from the usual score-grid rules.
+  *
+  * Instead of a global ntile() — a single-partition window sort over
+  * every customer — the quintile bounds come from the exact
+  * rank-selection-over-value-counts core ([[Quantiles]]): four type-1
+  * bounds per dimension from a tiny distinct-value frame, broadcast
+  * back, and each customer scores with three comparisons. Ties share a
+  * score (boundary values score identically — the deterministic
+  * convention both engines mirror; ntile would split ties by row
+  * position instead).
+  *
+  * Determinism: recency/frequency are exact integers; monetary is the
+  * Det decimal-sum convention snapped to cents (an exact long) before
+  * any ranking.
+  */
+object Rfm {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val qs = Seq(0.2, 0.4, 0.6, 0.8)
+
+  /** Four type-1 quintile bounds of `v` over a (v) frame, as one row
+    * q1..q4 — the [[Quantiles.rankSelect]] slab trick, global group. */
+  private def boundsOf(vals: DataFrame): DataFrame = {
+    val counts = vals.groupBy("v").agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("cum", sum("c").over(Window.orderBy("v")))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+    val cells = qs.zipWithIndex.map { case (p, i) =>
+      max(when(col("cum") - col("c") < ceil(col("n") * lit(p))
+            && col("cum") >= ceil(col("n") * lit(p)), col("v"))).as(s"q${i + 1}")
+    }
+    ranked.agg(cells.head, cells.tail: _*)
+  }
+
+  /** score 1–5: 1 + number of quintile bounds strictly below v. */
+  private def scoreUp(v: Column, q: String): Column =
+    lit(1) + (v > col(s"${q}_q1")).cast(IntegerType) +
+      (v > col(s"${q}_q2")).cast(IntegerType) +
+      (v > col(s"${q}_q3")).cast(IntegerType) +
+      (v > col(s"${q}_q4")).cast(IntegerType)
+
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = to_date(lit(Det.AsOfDate))
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(asOf, max(to_date(col("o_orderdate")))).cast(LongType).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        // cents as an exact long — the rankable monetary measure
+        (Det.msumDec(col("o_totalprice")) * 100).cast(LongType).as("monetary_cents"))
+    def named(d: DataFrame, c: String, pfx: String) = {
+      val b = boundsOf(d.select(col(c).as("v")))
+      (1 to 4).foldLeft(b) { (df, i) => df.withColumnRenamed(s"q$i", s"${pfx}_q$i") }
+    }
+    val rB = named(per, "recency_days", "r")
+    val fB = named(per, "frequency", "f")
+    val mB = named(per, "monetary_cents", "m")
+    val scored = per
+      .crossJoin(broadcast(rB)).crossJoin(broadcast(fB)).crossJoin(broadcast(mB))
+      .select(col("o_custkey"),
+        // recency: LOW days = GOOD → invert the up-count
+        (lit(6) - scoreUp(col("recency_days"), "r")).as("r_score"),
+        scoreUp(col("frequency"), "f").as("f_score"),
+        scoreUp(col("monetary_cents"), "m").as("m_score"))
+    val label =
+      when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champions")
+        .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk_loyal")
+        .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+        .when(col("f_score") >= 4, "loyal")
+        .when(col("m_score") >= 4, "big_spenders")
+        .otherwise("regular")
+    scored.withColumn("segment", label)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        min("r_score").as("min_r"), max("r_score").as("max_r"),
+        min("f_score").as("min_f"), max("f_score").as("max_f"),
+        min("m_score").as("min_m"), max("m_score").as("max_m"))
+      .orderBy("segment")
+  }
+
+  val rfmSegmentsSql: String = {
+    def bounds(src: String, c: String, pfx: String): String = {
+      val cells = qs.zipWithIndex.map { case (p, i) =>
+        s"MAX(CASE WHEN cum - c < ceil(n * $p) AND cum >= ceil(n * $p) THEN v END) AS ${pfx}_q${i + 1}"
+      }.mkString(", ")
+      s"""${pfx}b AS (
+  SELECT $cells FROM (
+    SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+    FROM (SELECT $c AS v, COUNT(*) AS c FROM $src GROUP BY $c)))"""
+    }
+    def up(v: String, pfx: String): String =
+      s"1 + CASE WHEN $v > ${pfx}_q1 THEN 1 ELSE 0 END + CASE WHEN $v > ${pfx}_q2 THEN 1 ELSE 0 END" +
+        s" + CASE WHEN $v > ${pfx}_q3 THEN 1 ELSE 0 END + CASE WHEN $v > ${pfx}_q4 THEN 1 ELSE 0 END"
+    s"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(DATE '${Det.AsOfDate}' - MAX(CAST(o_orderdate AS DATE)) AS BIGINT) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))),2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey),
+${bounds("per", "recency_days", "r")},
+${bounds("per", "frequency", "f")},
+${bounds("per", "monetary_cents", "m")},
+scored AS (
+  SELECT o_custkey,
+         6 - (${up("recency_days", "r")}) AS r_score,
+         ${up("frequency", "f")} AS f_score,
+         ${up("monetary_cents", "m")} AS m_score
+  FROM per CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb),
+lab AS (
+  SELECT *,
+         CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'
+              WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+              WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+              WHEN f_score >= 4 THEN 'loyal'
+              WHEN m_score >= 4 THEN 'big_spenders'
+              ELSE 'regular' END AS segment
+  FROM scored)
+SELECT segment, COUNT(*) AS n_customers,
+       MIN(r_score) AS min_r, MAX(r_score) AS max_r,
+       MIN(f_score) AS min_f, MAX(f_score) AS max_f,
+       MIN(m_score) AS min_m, MAX(m_score) AS max_m
+FROM lab GROUP BY segment ORDER BY segment"""
+  }
+
+  val inventory: Map[String, Q] = Map(
+    "rfm_segments" -> (rfmSegments _))
+
+  val oracle: Map[String, String] = Map(
+    "rfm_segments" -> rfmSegmentsSql)
+}
