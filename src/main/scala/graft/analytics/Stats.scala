@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -126,11 +126,68 @@ SELECT * FROM (
 ORDER BY payment_method, bucket""")
   }
 
+  /** Revenue concentration — the Gini coefficient of per-product
+    * revenue plus the Pareto top-20% share, the "how 80/20 is this
+    * catalog" reading a merchandiser (and a skew-aware engineer) takes
+    * before partitioning anything by product. Gini over the SORTED
+    * per-product revenue xᵢ (rank i ascending):
+    *   G = 2·Σ i·xᵢ / (n·Σxᵢ) − (n+1)/n.
+    * The rank window runs over the POST-AGGREGATION product frame —
+    * bounded by catalog size, not sales volume (same argument as
+    * [[graft.monitor.Monitor.madAnomaly]]'s daily frame); Σ i·xᵢ is an
+    * exact DECIMAL sum of long products, doubles only in the final
+    * divides. Revenue is the Det cents convention (exact long). */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val per = graft.warehouse.Warehouse.fact(spark, dir)
+      .groupBy("product_key")
+      .agg((graft.Det.msumDec(col("line_total")) * 100).cast(LongType).as("cents"))
+    val ranked = per.withColumn("i",
+      row_number().over(Window.orderBy(col("cents").asc, col("product_key").asc))
+        .cast(LongType))
+    val dec = DecimalType(38, 0)
+    val withN = ranked.withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val g = withN.agg(
+      count(lit(1)).as("n_products"),
+      sum("cents").as("total_cents"),
+      sum((col("i") * col("cents")).cast(dec)).as("sixi"),
+      sum(when(col("i") > col("n") - ceil(col("n") * 0.2), col("cents")))
+        .as("topk_cents"))
+    def D(c: Column) = c.cast(DoubleType)
+    g.select(
+      col("n_products"), col("total_cents"),
+      (D(lit(2) * col("sixi")) / (D(col("n_products")) * D(col("total_cents")))
+        - (D(col("n_products")) + lit(1.0)) / D(col("n_products"))).as("gini"),
+      (D(col("topk_cents")) / D(col("total_cents"))).as("top20pct_share"))
+  }
+
+  val revenueConcentrationSql: String = graft.warehouse.OracleSql.q(""", per AS (
+  SELECT product_key,
+         CAST(CAST(ROUND(SUM(CAST(line_total AS DECIMAL(18,6))),2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM fact GROUP BY product_key),
+ranked AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents ASC, product_key ASC) AS BIGINT) AS i,
+         COUNT(*) OVER () AS n
+  FROM per),
+g AS (
+  SELECT COUNT(*) AS n_products,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         SUM(CAST(i * cents AS HUGEINT)) AS sixi,
+         CAST(SUM(CASE WHEN i > n - ceil(n * 0.2) THEN cents END) AS BIGINT) AS topk_cents
+  FROM ranked)
+SELECT n_products, total_cents,
+       CAST(2 * sixi AS DOUBLE) / (CAST(n_products AS DOUBLE) * CAST(total_cents AS DOUBLE))
+         - (CAST(n_products AS DOUBLE) + 1.0) / CAST(n_products AS DOUBLE) AS gini,
+       CAST(topk_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS top20pct_share
+FROM g""")
+
   val inventory: Map[String, Q] = Map(
-    "skew_diagnosis"      -> (skewDiagnosis _),
-    "equi_depth_histogram" -> (equiDepthHistogram _))
+    "skew_diagnosis"        -> (skewDiagnosis _),
+    "equi_depth_histogram"  -> (equiDepthHistogram _),
+    "revenue_concentration" -> (revenueConcentration _))
 
   val oracle: Map[String, String] = Map(
-    "skew_diagnosis"      -> skewDiagnosisSql,
-    "equi_depth_histogram" -> equiDepthHistogramSql)
+    "skew_diagnosis"        -> skewDiagnosisSql,
+    "equi_depth_histogram"  -> equiDepthHistogramSql,
+    "revenue_concentration" -> revenueConcentrationSql)
 }

@@ -29,6 +29,16 @@ class StatsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("revenue concentration: gini in [0,1), top quintile holds >= its share") {
+    val r = Stats.revenueConcentration(spark, sf).head()
+    val gini = r.getAs[Double]("gini")
+    assert(gini >= 0.0 && gini < 1.0, s"gini $gini")
+    val share = r.getAs[Double]("top20pct_share")
+    // the top 20% of products can never hold LESS than 20% of revenue
+    assert(share >= 0.2 - 1e-12 && share <= 1.0, s"share $share")
+    assert(r.getAs[Long]("n_products") > 0 && r.getAs[Long]("total_cents") > 0)
+  }
+
   test("equi-depth bounds are non-decreasing and end at the group max") {
     val rows = Stats.equiDepthHistogram(spark, sf).collect()
     val fact = graft.warehouse.Warehouse.fact(spark, sf)
