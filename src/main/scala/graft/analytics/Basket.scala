@@ -41,11 +41,14 @@ object Basket {
     val top = cnt
       .orderBy(col("pair_orders").desc, col("part_a").asc, col("part_b").asc)
       .limit(20)
-    top
-      .join(broadcast(itemN.withColumnRenamed("l_partkey", "part_a")
-        .withColumnRenamed("item_orders", "orders_a")), "part_a")
-      .join(broadcast(itemN.withColumnRenamed("l_partkey", "part_b")
-        .withColumnRenamed("item_orders", "orders_b")), "part_b")
+    // broadcast the 20-ROW side, never the catalog-sized item counts:
+    // at 100 TB `itemN` is every part in the catalog
+    val withA = broadcast(top)
+      .join(itemN.withColumnRenamed("l_partkey", "part_a")
+        .withColumnRenamed("item_orders", "orders_a"), "part_a")
+    broadcast(withA)
+      .join(itemN.withColumnRenamed("l_partkey", "part_b")
+        .withColumnRenamed("item_orders", "orders_b"), "part_b")
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("pair_orders"),
         col("orders_a"), col("orders_b"),
