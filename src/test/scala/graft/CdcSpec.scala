@@ -38,6 +38,35 @@ class CdcSpec extends SparkSpec {
     assert(diff(s, s).isEmpty)
   }
 
+  test("ivm delta-merge equals a full recompute of the perturbed snapshot") {
+    import org.apache.spark.sql.functions._
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // keys chosen to hit every CDC class: 97 deletes, 100 updates
+    // (+1.00), 101 re-inserts under key+1e10, others unchanged
+    val orders = Seq(
+      (97L, d("2024-03-01"), 50.0),
+      (100L, d("2024-03-01"), 10.0),
+      (101L, d("2024-03-02"), 20.0),
+      (1L, d("2024-03-02"), 5.0),
+      (2L, d("2024-03-03"), 7.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = Cdc.ivmDailySalesOver(orders).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // Mar 1: key 97 deleted, key 100 updated to 11.00 → 1 order, 11.00
+    assert(out("2024-03-01") == (1L, 11.0))
+    // Mar 2: 101 (20) + its re-insert (20) + key 1 (5) → 3 orders, 45.00
+    assert(out("2024-03-02") == (3L, 45.0))
+    assert(out("2024-03-03") == (1L, 7.0))
+    // and the delta path must equal a Spark-side full recompute too
+    val full = Cdc.perturbedOrders(orders)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(graft.Det.dec6(col("o_totalprice"))), 2)
+          .cast("decimal(18,2)").cast("double").as("rev"))
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == full)
+  }
+
   test("registered orders diff matches the perturbation arithmetic") {
     val orders = Tables.orders(spark, sf)
     import org.apache.spark.sql.functions._
