@@ -22,7 +22,9 @@ object BenchExt {
     "asof_click_attribution", "range_join_click_purchase",
     "doc_fingerprint_winnow", "winnow_overlap_pairs",
     "dedup_canonical", "heavy_hitter_ngrams", "bloom_decontamination",
-    "chunk_documents", "events_type_transitions", "cdc_orders_diff")
+    "chunk_documents", "events_type_transitions", "cdc_orders_diff",
+    "ivm_daily_sales", "bm25_search", "rfm_segments", "basket_pairs",
+    "events_active_users", "embedding_drift")
 
   private val WarmPasses = 2
   private val TimedRuns = 5
