@@ -181,13 +181,73 @@ SELECT n_products, total_cents,
        CAST(topk_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS top20pct_share
 FROM g""")
 
+  /** Exact OLS fit + Pearson correlation of line quantity against
+    * discount — the continuous-statistics reading behind q10's bucketed
+    * "discount impact" (does a deeper discount actually move volume,
+    * and how strongly?). Closed-form OLS needs only the five moment
+    * sums; both inputs are exact integers after scaling (discount has
+    * two decimals → ×100; quantity is integral), so Σx, Σy, Σxy, Σx²,
+    * Σy² are exact BIGINT/DECIMAL sums — ONE partial-combined
+    * aggregation over the scan, no iteration, order-independent — and
+    * slope/intercept/r are fixed double expression trees over them.
+    * The same moment-sum shape fits any 100 TB column pair. */
+  def olsDiscountQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // explicit round() before the integer cast: ×100 of a two-decimal
+    // double lands within 1e-13 of an integer, and Spark's double→long
+    // cast TRUNCATES while DuckDB's ROUNDS — 28.999999999999996 would
+    // split the engines without this
+    val pts = Tables.lineitem(spark, dir).select(
+      round(col("l_discount") * 100).cast(LongType).as("x"),
+      round(col("l_quantity")).cast(LongType).as("y"))
+    val m = pts.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    def D(c: Column) = c.cast(DoubleType)
+    val covN = D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))
+    val varX = D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))
+    val varY = D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy"))
+    m.select(
+      col("n").as("n_rows"),
+      (covN / varX).as("slope_per_pct"),
+      ((D(col("sy")) - covN / varX * D(col("sx"))) / D(col("n"))).as("intercept"),
+      (covN / (sqrt(varX) * sqrt(varY))).as("pearson_r"))
+  }
+
+  val olsDiscountQuantitySql: String = """
+WITH pts AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l_quantity) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * y AS HUGEINT)) AS sxy,
+         SUM(CAST(x * x AS HUGEINT)) AS sxx,
+         SUM(CAST(y * y AS HUGEINT)) AS syy
+  FROM pts)
+SELECT n AS n_rows,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_per_pct,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+FROM m"""
+
   val inventory: Map[String, Q] = Map(
     "skew_diagnosis"        -> (skewDiagnosis _),
     "equi_depth_histogram"  -> (equiDepthHistogram _),
-    "revenue_concentration" -> (revenueConcentration _))
+    "revenue_concentration" -> (revenueConcentration _),
+    "ols_discount_quantity" -> (olsDiscountQuantity _))
 
   val oracle: Map[String, String] = Map(
     "skew_diagnosis"        -> skewDiagnosisSql,
     "equi_depth_histogram"  -> equiDepthHistogramSql,
-    "revenue_concentration" -> revenueConcentrationSql)
+    "revenue_concentration" -> revenueConcentrationSql,
+    "ols_discount_quantity" -> olsDiscountQuantitySql)
 }

@@ -39,6 +39,19 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_products") > 0 && r.getAs[Long]("total_cents") > 0)
   }
 
+  test("OLS moments: r bounded, slope/intercept reproduce the means") {
+    val r = Stats.olsDiscountQuantity(spark, sf).head()
+    assert(r.getAs[Long]("n_rows") == Tables.lineitem(spark, sf).count())
+    val pr = r.getAs[Double]("pearson_r")
+    assert(pr >= -1.0 && pr <= 1.0)
+    // the fitted line passes through (x̄, ȳ): intercept = ȳ − slope·x̄
+    val m = Tables.lineitem(spark, sf).agg(
+      avg(round(col("l_discount") * 100)), avg(round(col("l_quantity")))).head()
+    val (mx, my) = (m.getDouble(0), m.getDouble(1))
+    val fitted = r.getAs[Double]("intercept") + r.getAs[Double]("slope_per_pct") * mx
+    assert(math.abs(fitted - my) < 1e-6, s"line misses the centroid: $fitted vs $my")
+  }
+
   test("equi-depth bounds are non-decreasing and end at the group max") {
     val rows = Stats.equiDepthHistogram(spark, sf).collect()
     val fact = graft.warehouse.Warehouse.fact(spark, sf)
