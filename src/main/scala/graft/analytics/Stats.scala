@@ -239,15 +239,83 @@ SELECT n AS n_rows,
             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
 FROM m"""
 
+  /** Exact Spearman rank correlation of the same (discount, quantity)
+    * pair — the monotonic-association reading that survives outliers
+    * and nonlinearity where Pearson does not. Computed WITHOUT sorting
+    * rows: both variables have small distinct domains once integer
+    * scaled, so the tie-averaged rank of every VALUE comes from its
+    * value-count cumulative slab (avg rank = cum − (c−1)/2; doubled to
+    * 2·cum − c + 1 so it stays an exact integer), the tiny value→rank
+    * maps broadcast back onto the scan, and Spearman is Pearson over
+    * the integer rank pairs via the same exact moment sums as
+    * [[olsDiscountQuantity]] (the ×2 scaling cancels in r). One scan +
+    * two value-count aggregations — no global sort at any scale. */
+  def spearmanDiscountQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val pts = Tables.lineitem(spark, dir).select(
+      round(col("l_discount") * 100).cast(LongType).as("x"),
+      round(col("l_quantity")).cast(LongType).as("y"))
+    def rankMap(c: String): DataFrame = {
+      val counts = pts.groupBy(c).agg(count(lit(1)).as("c"))
+      counts
+        .withColumn("cum", sum("c").over(Window.orderBy(c)))
+        .select(col(c), (lit(2) * col("cum") - col("c") + lit(1)).as(s"r$c"))
+    }
+    val ranked = pts
+      .join(broadcast(rankMap("x")), "x")
+      .join(broadcast(rankMap("y")), "y")
+    // even the linear sums go through decimal: Σrank ~ 2n² wraps a
+    // long near 10^9.5 rows where DuckDB's HUGEINT would not
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx").cast(dec)).as("sx"), sum(col("ry").cast(dec)).as("sy"),
+      sum((col("rx") * col("ry")).cast(dec)).as("sxy"),
+      sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
+      sum((col("ry") * col("ry")).cast(dec)).as("syy"))
+    def D(c: Column) = c.cast(DoubleType)
+    val covN = D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))
+    val varX = D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))
+    val varY = D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy"))
+    m.select(col("n").as("n_rows"),
+      (covN / (sqrt(varX) * sqrt(varY))).as("spearman_rho"))
+  }
+
+  val spearmanDiscountQuantitySql: String = """
+WITH pts AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l_quantity) AS BIGINT) AS y
+  FROM lineitem),
+rx AS (
+  SELECT x, 2 * SUM(c) OVER (ORDER BY x) - c + 1 AS rx
+  FROM (SELECT x, COUNT(*) AS c FROM pts GROUP BY x)),
+ry AS (
+  SELECT y, 2 * SUM(c) OVER (ORDER BY y) - c + 1 AS ry
+  FROM (SELECT y, COUNT(*) AS c FROM pts GROUP BY y)),
+ranked AS (SELECT rx.rx, ry.ry FROM pts JOIN rx USING (x) JOIN ry USING (y)),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+         SUM(CAST(rx * ry AS HUGEINT)) AS sxy,
+         SUM(CAST(rx * rx AS HUGEINT)) AS sxx,
+         SUM(CAST(ry * ry AS HUGEINT)) AS syy
+  FROM ranked)
+SELECT n AS n_rows,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS spearman_rho
+FROM m"""
+
   val inventory: Map[String, Q] = Map(
     "skew_diagnosis"        -> (skewDiagnosis _),
     "equi_depth_histogram"  -> (equiDepthHistogram _),
     "revenue_concentration" -> (revenueConcentration _),
-    "ols_discount_quantity" -> (olsDiscountQuantity _))
+    "ols_discount_quantity" -> (olsDiscountQuantity _),
+    "spearman_discount_quantity" -> (spearmanDiscountQuantity _))
 
   val oracle: Map[String, String] = Map(
     "skew_diagnosis"        -> skewDiagnosisSql,
     "equi_depth_histogram"  -> equiDepthHistogramSql,
     "revenue_concentration" -> revenueConcentrationSql,
-    "ols_discount_quantity" -> olsDiscountQuantitySql)
+    "ols_discount_quantity" -> olsDiscountQuantitySql,
+    "spearman_discount_quantity" -> spearmanDiscountQuantitySql)
 }

@@ -52,6 +52,14 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(fitted - my) < 1e-6, s"line misses the centroid: $fitted vs $my")
   }
 
+  test("spearman rho is bounded and rank maps cover every row") {
+    val r = Stats.spearmanDiscountQuantity(spark, sf).head()
+    assert(r.getAs[Long]("n_rows") == Tables.lineitem(spark, sf).count(),
+      "every row must survive the value->rank joins")
+    val rho = r.getAs[Double]("spearman_rho")
+    assert(rho >= -1.0 && rho <= 1.0)
+  }
+
   test("equi-depth bounds are non-decreasing and end at the group max") {
     val rows = Stats.equiDepthHistogram(spark, sf).collect()
     val fact = graft.warehouse.Warehouse.fact(spark, sf)
