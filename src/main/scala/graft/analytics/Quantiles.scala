@@ -199,13 +199,54 @@ SELECT payment_method, COUNT(*) AS n_rows,
        TRUE AS p50_in_bounds, TRUE AS p90_in_bounds, TRUE AS p99_in_bounds
 FROM fact GROUP BY payment_method ORDER BY payment_method""")
 
+  /** Fulfillment-lag distribution: ship date minus order date in days,
+    * reduced to exact p50/p90/p99 per order priority — the supply-chain
+    * latency reading (is the expedited queue actually faster?). The
+    * lineitem⋈orders join is the fact build's co-partitioned order-key
+    * shuffle; lag days are small integers that repeat massively, so the
+    * value-counts collapse leaves a few hundred (priority, days) cells
+    * before any ranked step. */
+  def fulfillmentLag(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("ordered"))
+    rankSelect(
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("ship"), col("ordered")).cast(LongType).as("v")),
+      "o_orderpriority", "days", "n_lines")
+  }
+
+  val fulfillmentLagSql: String = {
+    val cells = ps.map { case (name, p) =>
+      s"MAX(CASE WHEN rn = CAST(ceil(n * $p) AS BIGINT) THEN v END) AS ${name}_days"
+    }.mkString(",\n       ")
+    s"""
+SELECT o_orderpriority, MAX(n) AS n_lines,
+       $cells
+FROM (
+  SELECT o_orderpriority, v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM (
+    SELECT o.o_orderpriority,
+           CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS BIGINT) AS v
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey))
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+  }
+
   val inventory: Map[String, Q] = Map(
     "quantiles_line_total"        -> (quantilesLineTotal _),
     "quantiles_tokens_by_lang"    -> (quantilesTokensByLang _),
+    "fulfillment_lag"             -> (fulfillmentLag _),
     "approx_quantiles_line_total" -> (approxQuantilesLineTotal _))
 
   val oracle: Map[String, String] = Map(
     "quantiles_line_total"        -> quantilesLineTotalSql,
     "quantiles_tokens_by_lang"    -> quantilesTokensByLangSql,
+    "fulfillment_lag"             -> fulfillmentLagSql,
     "approx_quantiles_line_total" -> approxQuantilesLineTotalSql)
 }

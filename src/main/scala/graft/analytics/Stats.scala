@@ -305,7 +305,52 @@ SELECT n AS n_rows,
             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS spearman_rho
 FROM m"""
 
+  /** The same exact moment-sum OLS, GROUPED — per-brand discount
+    * elasticity. One aggregation keyed by brand (the part dim arrives
+    * by broadcast); everything downstream is proportional to |brands|.
+    * Demonstrates the moment-sum core composing under groupBy, which
+    * is the form a 100 TB "elasticity per category" report runs. */
+  def olsByBrand(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val pts = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        round(col("l_discount") * 100).cast(LongType).as("x"),
+        round(col("l_quantity")).cast(LongType).as("y"))
+    val m = pts.groupBy("p_brand").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    def D(c: Column) = c.cast(DoubleType)
+    val covN = D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))
+    val varX = D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))
+    m.select(col("p_brand"), col("n").as("n_rows"),
+        when(varX > 0, covN / varX).as("slope_per_pct"))
+      .orderBy("p_brand")
+  }
+
+  val olsByBrandSql: String = """
+WITH pts AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l.l_quantity) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+m AS (
+  SELECT p_brand, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x * y AS HUGEINT)) AS sxy,
+         SUM(CAST(x * x AS HUGEINT)) AS sxx
+  FROM pts GROUP BY p_brand)
+SELECT p_brand, n AS n_rows,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope_per_pct
+FROM m ORDER BY p_brand"""
+
   val inventory: Map[String, Q] = Map(
+    "ols_by_brand"          -> (olsByBrand _),
     "skew_diagnosis"        -> (skewDiagnosis _),
     "equi_depth_histogram"  -> (equiDepthHistogram _),
     "revenue_concentration" -> (revenueConcentration _),
@@ -313,6 +358,7 @@ FROM m"""
     "spearman_discount_quantity" -> (spearmanDiscountQuantity _))
 
   val oracle: Map[String, String] = Map(
+    "ols_by_brand"          -> olsByBrandSql,
     "skew_diagnosis"        -> skewDiagnosisSql,
     "equi_depth_histogram"  -> equiDepthHistogramSql,
     "revenue_concentration" -> revenueConcentrationSql,

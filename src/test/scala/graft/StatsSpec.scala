@@ -60,6 +60,27 @@ class StatsSpec extends SparkSpec {
     assert(rho >= -1.0 && rho <= 1.0)
   }
 
+  test("per-brand OLS partitions rows and global moments dominate") {
+    val rows = Stats.olsByBrand(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      Tables.lineitem(spark, sf).count())
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("slope_per_pct")))
+        assert(!r.getAs[Double]("slope_per_pct").isNaN)
+    }
+  }
+
+  test("fulfillment lag quantiles are ordered and nonnegative") {
+    val rows = graft.analytics.Quantiles.fulfillmentLag(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Long]("p50_days"),
+        r.getAs[Long]("p90_days"), r.getAs[Long]("p99_days"))
+      assert(p50 >= 0 && p50 <= p90 && p90 <= p99, r.toString)
+    }
+  }
+
   test("equi-depth bounds are non-decreasing and end at the group max") {
     val rows = Stats.equiDepthHistogram(spark, sf).collect()
     val fact = graft.warehouse.Warehouse.fact(spark, sf)
