@@ -282,7 +282,38 @@ FROM fanned
 GROUP BY report_day
 ORDER BY day"""
 
+  /** Hour-of-day × day-of-week activity heatmap — the seasonality grid
+    * behind capacity planning and anomaly baselines (the events-side
+    * complement of q09's order day-of-week pattern). One aggregation to
+    * ≤ 168 cells; the share denominator broadcasts back. dayofweek is
+    * Spark's 1=Sunday convention, matched in the oracle via DuckDB's
+    * ISO dayofweek arithmetic. */
+  def hourlyHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+    val cells = ev.groupBy("dow", "hod").agg(count(lit(1)).as("n_events"))
+    val tot = cells.agg(sum("n_events").as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hod"), col("n_events"),
+        (col("n_events").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("share"))
+      .orderBy("dow", "hod")
+  }
+
+  val hourlyHeatmapSql: String = """
+WITH cells AS (
+  SELECT CAST(isodow(ts) % 7 + 1 AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hod,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT SUM(n_events) AS total FROM cells)
+SELECT dow, hod, n_events,
+       CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM cells CROSS JOIN tot
+ORDER BY dow, hod"""
+
   val inventory: Map[String, Q] = Map(
+    "events_hourly_heatmap"    -> (hourlyHeatmap _),
     "events_active_users"      -> (activeUsers _),
     "events_user_funnel"       -> (eventsUserFunnel _),
     "events_cohort_retention"  -> (cohortRetention _),
@@ -290,6 +321,7 @@ ORDER BY day"""
     "funnel_time_to_convert"   -> (funnelTimeToConvert _))
 
   val oracle: Map[String, String] = Map(
+    "events_hourly_heatmap"    -> hourlyHeatmapSql,
     "events_active_users"      -> activeUsersSql,
     "events_user_funnel"       -> eventsUserFunnelSql,
     "events_cohort_retention"  -> cohortRetentionSql,

@@ -119,13 +119,49 @@ SELECT 'warehouse', strftime(d, '%Y-%m-%d'),
        CAST(date_diff('day', d, DATE '${Det.AsOfDate}') AS BIGINT)
 FROM (SELECT MAX(order_date) AS d FROM fact)""")
 
+  /** Open-order aging report — unfinished orders ('O' open / 'P'
+    * partially shipped) bucketed by age against the fixed as-of date,
+    * with order counts and tied-up value per bucket: the
+    * working-capital view an operations team reads daily (the
+    * reference never ages its backlog). One filtered scan, CASE-bucket
+    * aggregation with map-side combine, Det money convention. */
+  def backlogAging(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = to_date(lit(Det.AsOfDate))
+    val age = datediff(asOf, to_date(col("o_orderdate")))
+    val bucket = when(age <= 90, "1_under_90d")
+      .when(age <= 365, "2_under_1y")
+      .when(age <= 730, "3_under_2y")
+      .otherwise("4_over_2y")
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isin("O", "P"))
+      .groupBy(col("o_orderstatus").as("status"), bucket.as("age_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.msum(col("o_totalprice")).as("open_value"))
+      .orderBy("status", "age_bucket")
+  }
+
+  val backlogAgingSql: String = s"""
+WITH aged AS (
+  SELECT o_orderstatus AS status, o_totalprice,
+         CASE WHEN DATE '${Det.AsOfDate}' - CAST(o_orderdate AS DATE) <= 90 THEN '1_under_90d'
+              WHEN DATE '${Det.AsOfDate}' - CAST(o_orderdate AS DATE) <= 365 THEN '2_under_1y'
+              WHEN DATE '${Det.AsOfDate}' - CAST(o_orderdate AS DATE) <= 730 THEN '3_under_2y'
+              ELSE '4_over_2y' END AS age_bucket
+  FROM orders WHERE o_orderstatus IN ('O', 'P'))
+SELECT status, age_bucket, COUNT(*) AS n_orders,
+       ${graft.Sql.msum("o_totalprice")} AS open_value
+FROM aged GROUP BY status, age_bucket
+ORDER BY status, age_bucket"""
+
   val inventory: Map[String, Q] = Map(
     "incremental_new_orders" -> (incrementalNewOrders _),
     "reconcile_counts"       -> (reconcileCounts _),
+    "backlog_aging"          -> (backlogAging _),
     "freshness_union"        -> (freshnessUnion _))
 
   val oracle: Map[String, String] = Map(
     "incremental_new_orders" -> incrementalNewOrdersSql,
     "reconcile_counts"       -> reconcileCountsSql,
+    "backlog_aging"          -> backlogAgingSql,
     "freshness_union"        -> freshnessUnionSql)
 }

@@ -61,4 +61,29 @@ class EtlQualitySpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(r => !r.getAs[Double]("stddev_count").isNaN))
   }
+
+  test("backlog aging partitions exactly the unfinished orders") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.etl.Load.backlogAging(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val open = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus").isin("O", "P")).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == open)
+    val buckets = Set("1_under_90d", "2_under_1y", "3_under_2y", "4_over_2y")
+    rows.foreach { r =>
+      assert(buckets(r.getAs[String]("age_bucket")))
+      assert(r.getAs[Double]("open_value") > 0.0)
+    }
+  }
+
+  test("hourly heatmap covers the week grid with shares summing to 1") {
+    val rows = graft.analytics.Funnels.hourlyHeatmap(spark, sf).collect()
+    assert(rows.length <= 168 && rows.nonEmpty)
+    rows.foreach { r =>
+      val (dow, hod) = (r.getAs[Int]("dow"), r.getAs[Int]("hod"))
+      assert(dow >= 1 && dow <= 7 && hod >= 0 && hod <= 23)
+    }
+    val s = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(s - 1.0) < 1e-9)
+  }
 }
