@@ -300,7 +300,47 @@ SELECT lang, n_docs, n_tokens,
 FROM w CROSS JOIN tot
 ORDER BY lang"""
 
+  /** Per-source provenance accounting — the "which feed is dirty"
+    * report a corpus team reads before weighting sources: per `source`,
+    * document and exact-duplicate counts (md5 content identity, the
+    * [[TextOps]] dedup convention), the duplicate rate, token mass and
+    * token share. ONE aggregation pass (countDistinct over md5 plans as
+    * the standard two-level distinct aggregate), totals broadcast
+    * back. */
+  def sourceAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("source"), md5(col("text")).as("h"), TextOps.estBpeTokens.as("toks"))
+    val per = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("h").as("n_unique"),
+      sum("toks").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("tok_tot"))
+    per.crossJoin(broadcast(tot)).select(
+        col("source"), col("n_docs"), col("n_unique"),
+        ((col("n_docs") - col("n_unique")).cast("double")
+          / col("n_docs").cast("double")).as("dup_rate"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tok_tot").cast("double"))
+          .as("token_share"))
+      .orderBy("source")
+  }
+
+  lazy val sourceAccountingSql: String = s"""
+WITH d AS (SELECT source, md5(text) AS h, ${TextOps.estBpeTokensSqlE} AS toks FROM documents),
+per AS (
+  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_unique,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens
+  FROM d GROUP BY source),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_tot FROM per)
+SELECT source, n_docs, n_unique,
+       CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+       n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(tok_tot AS DOUBLE) AS token_share
+FROM per CROSS JOIN tot
+ORDER BY source"""
+
   val inventory: Map[String, Q] = Map(
+    "source_accounting"       -> (sourceAccounting _),
     "temperature_mix"         -> (temperatureMix _),
     "corpus_curation"         -> (corpusCuration _),
     "corpus_curated_docs"     -> (curatedDocs _),
@@ -309,6 +349,7 @@ ORDER BY lang"""
     "corpus_token_accounting" -> (corpusTokenAccounting _))
 
   val oracle: Map[String, String] = Map(
+    "source_accounting"       -> sourceAccountingSql,
     "temperature_mix"         -> temperatureMixSql,
     "corpus_curation"         -> corpusCurationSql,
     "corpus_curated_docs"     -> curatedDocsSql,

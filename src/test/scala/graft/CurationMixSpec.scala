@@ -64,6 +64,26 @@ class CurationMixSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("source accounting: dup rates bounded, token shares sum to 1") {
+    val rows = graft.text.Curation.sourceAccounting(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_docs"))
+      val dr = r.getAs[Double]("dup_rate")
+      assert(dr >= 0.0 && dr < 1.0)
+    }
+    val s = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(s - 1.0) < 1e-9)
+    // cross-check against the corpus-wide exact dedup count
+    val uniqueTotal = rows.map(_.getAs[Long]("n_unique")).sum
+    val perSourceUnique = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")).as("h"))
+      .distinct().count()
+    assert(uniqueTotal == perSourceUnique)
+  }
+
   test("temperature mix up-samples the low-resource language") {
     import spark.implicits._
     // lang 'hi' has ~1% of 'en' token mass: at alpha=0.7 its sampled
