@@ -47,7 +47,8 @@ object SparkEntry {
       sim.EmbeddingDrift.inventory ++
       analytics.Stats.inventory ++
       analytics.Basket.inventory ++
-      analytics.Rfm.inventory
+      analytics.Rfm.inventory ++
+      analytics.Graph.inventory
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -82,5 +83,6 @@ object SparkEntry {
       sim.EmbeddingDrift.oracle ++
       analytics.Stats.oracle ++
       analytics.Basket.oracle ++
-      analytics.Rfm.oracle
+      analytics.Rfm.oracle ++
+      analytics.Graph.oracle
 }

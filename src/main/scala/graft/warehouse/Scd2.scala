@@ -1,8 +1,10 @@
 package graft.warehouse
 
+import graft.{Det, Sql, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Proper Slowly-Changing-Dimension Type 2 — the semantics the
   * reference's schema declares (effective_date / end_date / is_current,
@@ -102,4 +104,77 @@ object Scd2 {
     closed.unionByName(opened, allowMissingColumns = true)
       .unionByName(inserted, allowMissingColumns = true)
   }
+
+  // ------------------------------------------------- point-in-time join
+
+  /** Effective date of the synthetic second segment version — mid-way
+    * through the orders' 1995–2001 span, so the PIT join exercises both
+    * sides of a version boundary. */
+  val PitV2Date = "1998-07-01"
+
+  /** Point-in-time (as-of-date) join of the fact against an SCD2
+    * dimension — THE query shape SCD2 exists for: each order joins the
+    * dimension version that was current on its order date
+    * (`effective_date <= d < end_date`), so revenue lands under the
+    * segment the customer was in AT ORDER TIME, not today's.
+    *
+    * The version history here is a deterministic synthetic change feed
+    * (every customer starts in their `c_mktsegment` at 1995-01-01;
+    * every third customer moves to `segment+` at [[PitV2Date]]) —
+    * mirrored 1:1 in the oracle, so hash-equality verifies
+    * [[fromHistory]]'s version-interval algebra AND the PIT range
+    * predicate end-to-end.
+    *
+    * Scale posture: the join is an EQUI-join on the customer key with
+    * the interval predicate applied post-match — a hash/sort-merge
+    * join at any scale, never a nested-loop range join — and the dim
+    * side (customer-grain, ~2 versions/key) broadcasts while small;
+    * on a 1000-executor cluster the same plan degrades gracefully to
+    * shuffle-hash on the key. One window over the dim (dim-sized
+    * shuffle) builds the intervals; the fact is touched once. */
+  def pitOrders(spark: SparkSession, dir: String): DataFrame = {
+    val hist = pitHistory(spark, dir)
+    val dim = fromHistory(hist, "c_custkey", "changed_on")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+        col("o_totalprice"))
+    o.join(broadcast(dim),
+        o("o_custkey") === dim("c_custkey")
+          && dim("effective_date") <= col("d") && col("d") < dim("end_date"))
+      .groupBy(col("segment"), year(col("d")).cast(LongType).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"), Det.msum(col("o_totalprice")).as("revenue"))
+      .orderBy("segment", "order_year")
+  }
+
+  /** The synthetic change feed behind [[pitOrders]] (spec-shared). */
+  private[graft] def pitHistory(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    c.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        to_date(lit("1995-01-01")).as("changed_on"))
+      .unionByName(
+        c.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), concat(col("c_mktsegment"), lit("+")).as("segment"),
+            to_date(lit(PitV2Date)).as("changed_on")))
+  }
+
+  val pitOrdersSql: String = s"""
+WITH hist AS (
+  SELECT c_custkey, c_mktsegment AS segment, DATE '1995-01-01' AS changed_on FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '+', DATE '$PitV2Date' FROM customer WHERE c_custkey % 3 = 0),
+dim AS (
+  SELECT c_custkey, segment, CAST(changed_on AS DATE) AS effective_date,
+         COALESCE(LEAD(CAST(changed_on AS DATE))
+                    OVER (PARTITION BY c_custkey ORDER BY changed_on, segment),
+                  DATE '9999-12-31') AS end_date
+  FROM hist)
+SELECT d.segment, CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders, ${Sql.msum("o.o_totalprice")} AS revenue
+FROM orders o
+JOIN dim d ON o.o_custkey = d.c_custkey
+          AND d.effective_date <= CAST(o.o_orderdate AS DATE)
+          AND CAST(o.o_orderdate AS DATE) < d.end_date
+GROUP BY d.segment, order_year
+ORDER BY segment, order_year"""
 }

@@ -42,7 +42,8 @@ object WarehouseQueries {
     "fact_sales"   -> ((s: SparkSession, d: String) => publish(Warehouse.fact(s, d))),
     "agg_daily_sales" -> ((s: SparkSession, d: String) => Warehouse.aggDailySales(s, d)),
     "agg_product_performance" -> ((s: SparkSession, d: String) => Warehouse.aggProductPerformance(s, d)),
-    "agg_customer_metrics" -> ((s: SparkSession, d: String) => Warehouse.aggCustomerMetrics(s, d)))
+    "agg_customer_metrics" -> ((s: SparkSession, d: String) => Warehouse.aggCustomerMetrics(s, d)),
+    "scd2_pit_orders" -> ((s: SparkSession, d: String) => Scd2.pitOrders(s, d)))
 
   val oracle: Map[String, String] = Map(
     "dim_part"     -> OracleSql.q("""
@@ -93,5 +94,6 @@ SELECT customer_key, o_custkey,
        ${Sql.mavg("line_total")} AS avg_order_value,
        strftime(MIN(order_date), '%Y-%m-%d') AS first_purchase_date,
        strftime(MAX(order_date), '%Y-%m-%d') AS last_purchase_date
-FROM fact GROUP BY customer_key, o_custkey"""))
+FROM fact GROUP BY customer_key, o_custkey"""),
+    "scd2_pit_orders" -> Scd2.pitOrdersSql)
 }
