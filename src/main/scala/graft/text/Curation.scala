@@ -339,7 +339,105 @@ SELECT source, n_docs, n_unique,
 FROM per CROSS JOIN tot
 ORDER BY source"""
 
+  // ------------------------------------------------ exact-cut budget
+
+  /** Per-source budget as a percent of that source's token mass. */
+  val TokenBudgetPct = 40L
+
+  /** Exact-cut per-source token-budget downsampling — the precise
+    * counterpart of [[corpusMixBudget]]'s in-expectation hash
+    * threshold: docs are (conceptually) laid out per source in
+    * md5-hash order and taken while the running token sum is inside
+    * the budget, so the selected mass lands within ONE document of the
+    * target instead of ±1/√n noise.
+    *
+    * The naive formulation needs a per-source TOTAL ORDER over the
+    * corpus (the exact reason [[corpusMixBudget]] avoided exactness).
+    * This one doesn't: the 48-bit doc hash is split into 4096 coarse
+    * buckets, a BOUNDED per-(source,bucket) token histogram is
+    * cumsum'd (≤4096 rows per source — window over a tiny frame), and
+    * bucket arithmetic classifies every bucket as fully-inside
+    * (selected with NO sort), fully-outside (dropped), or the single
+    * straddling bucket per source — only its ~1/4096 of the stratum
+    * gets a within-bucket total order. Same rank-selection trick as
+    * the exact quantiles, applied to a weighted prefix-sum cut.
+    * Selection is identical to the naive rule because the bucket id is
+    * a prefix of the hash: coarse bucket order IS coarse hash order.
+    *
+    * Output is the per-source rollup with an id-checksum over the
+    * selected docs, so the oracle (which runs the naive window form —
+    * DuckDB is single-node, it can afford the total order) verifies
+    * the selected SET, not just its size. */
+  def tokenBudgetExact(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetExactOver(Tables.documents(spark, dir))
+
+  /** Parameterized core over any (doc_id, source, text) frame. */
+  private[graft] def tokenBudgetExactOver(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("source"),
+        TextOps.estBpeTokens.as("toks"))
+      .withColumn("h", expr(
+        "cast(conv(substr(md5(concat('tb:', cast(doc_id as string))), 1, 12), 16, 10) as bigint)"))
+      .withColumn("bucket", expr("h div 68719476736")) // h >> 36 → 4096 cells
+    val budgets = d.groupBy("source")
+      .agg(sum("toks").cast(LongType).as("stratum_tokens"))
+      .withColumn("budget", expr(s"(stratum_tokens * $TokenBudgetPct) div 100"))
+    val hist = d.groupBy("source", "bucket")
+      .agg(sum("toks").cast(LongType).as("bucket_toks"))
+    val wb = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cum_before_bucket", coalesce(sum("bucket_toks").over(wb), lit(0L)))
+      .join(broadcast(budgets.select("source", "budget")), "source")
+    val fullIn = d.join(broadcast(
+        cum.filter(col("cum_before_bucket") + col("bucket_toks") <= col("budget"))
+          .select("source", "bucket")),
+        Seq("source", "bucket"))
+      .select("doc_id", "source", "toks")
+    val straddle = cum.filter(col("cum_before_bucket") < col("budget")
+        && col("cum_before_bucket") + col("bucket_toks") > col("budget"))
+      .select("source", "bucket", "cum_before_bucket", "budget")
+    val wd = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = d.join(broadcast(straddle), Seq("source", "bucket"))
+      .withColumn("cum_before",
+        col("cum_before_bucket") + coalesce(sum("toks").over(wd), lit(0L)))
+      .filter(col("cum_before") < col("budget"))
+      .select("doc_id", "source", "toks")
+    fullIn.unionByName(boundary)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum("toks").cast(LongType).as("selected_tokens"),
+        sum("doc_id").cast(LongType).as("id_checksum"))
+      .join(broadcast(budgets), "source")
+      .select(col("source"), col("stratum_tokens"), col("budget"),
+        col("n_selected"), col("selected_tokens"), col("id_checksum"))
+      .orderBy("source")
+  }
+
+  lazy val tokenBudgetExactSql: String = s"""
+WITH d AS (
+  SELECT doc_id, source, ${TextOps.estBpeTokensSqlE} AS toks,
+         CAST(('0x' || substr(md5('tb:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) AS h
+  FROM documents),
+b AS (
+  SELECT source, CAST(SUM(toks) AS BIGINT) AS stratum_tokens,
+         (CAST(SUM(toks) AS BIGINT) * $TokenBudgetPct) // 100 AS budget
+  FROM d GROUP BY source),
+c AS (
+  SELECT d.doc_id, d.source, d.toks, b.stratum_tokens, b.budget,
+         COALESCE(SUM(d.toks) OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d JOIN b USING (source))
+SELECT source, stratum_tokens, budget,
+       COUNT(*) AS n_selected, CAST(SUM(toks) AS BIGINT) AS selected_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM c WHERE cum_before < budget
+GROUP BY source, stratum_tokens, budget
+ORDER BY source"""
+
   val inventory: Map[String, Q] = Map(
+    "token_budget_exact"      -> (tokenBudgetExact _),
     "source_accounting"       -> (sourceAccounting _),
     "temperature_mix"         -> (temperatureMix _),
     "corpus_curation"         -> (corpusCuration _),
@@ -349,6 +447,7 @@ ORDER BY source"""
     "corpus_token_accounting" -> (corpusTokenAccounting _))
 
   val oracle: Map[String, String] = Map(
+    "token_budget_exact"      -> tokenBudgetExactSql,
     "source_accounting"       -> sourceAccountingSql,
     "temperature_mix"         -> temperatureMixSql,
     "corpus_curation"         -> corpusCurationSql,

@@ -106,4 +106,46 @@ class CurationMixSpec extends SparkSpec {
     val ts = corpus.map(_.getAs[Double]("temp_share")).sum
     assert(math.abs(ts - 1.0) < 1e-9)
   }
+
+  test("exact-cut token budget equals the naive total-order form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // naive: one window over the whole source in (h, doc_id) order —
+    // the formulation the bucketed rank-selection must reproduce exactly
+    val docs = Tables.documents(spark, sf)
+    val d = docs.select(col("doc_id"), col("source"),
+        graft.text.TextOps.estBpeTokens.as("toks"))
+      .withColumn("h", expr(
+        "cast(conv(substr(md5(concat('tb:', cast(doc_id as string))), 1, 12), 16, 10) as bigint)"))
+    val b = d.groupBy("source").agg(sum("toks").as("stratum_tokens"))
+      .withColumn("budget",
+        expr(s"(stratum_tokens * ${graft.text.Curation.TokenBudgetPct}) div 100"))
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = d.join(b, "source")
+      .withColumn("cum_before", coalesce(sum("toks").over(w), lit(0L)))
+      .filter(col("cum_before") < col("budget"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"), sum("toks").as("selected_tokens"),
+        sum("doc_id").as("id_checksum"))
+      .orderBy("source").collect().toSeq
+    val got = graft.text.Curation.tokenBudgetExact(spark, sf)
+      .select("source", "n_selected", "selected_tokens", "id_checksum")
+      .collect().toSeq
+    assert(got == naive, s"bucketed cut diverged from the total-order cut:\n$got\nvs\n$naive")
+  }
+
+  test("exact-cut budget lands within one document of the target") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.Curation.tokenBudgetExact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val maxDoc = Tables.documents(spark, sf)
+      .agg(max(graft.text.TextOps.estBpeTokens)).head.getLong(0)
+    rows.foreach { r =>
+      val sel = r.getAs[Long]("selected_tokens")
+      val budget = r.getAs[Long]("budget")
+      assert(sel < budget + maxDoc, s"${r.getAs[String]("source")}: overshoot $sel vs $budget")
+      assert(sel + maxDoc >= budget, s"${r.getAs[String]("source")}: undershoot $sel vs $budget")
+    }
+  }
 }
