@@ -321,15 +321,67 @@ FROM c"""
       s""""overall_health_score":${d("overall_health_score")}}"""
   }
 
+  /** Seasonality-adjusted volume anomaly over the event stream: each
+    * (date, hour) observation is compared against the MEAN of its own
+    * hour-of-week cell (the `events_hourly_heatmap` baseline), so a
+    * quiet Sunday 3am is not flagged just for being quieter than
+    * Friday noon — the failing of the global-mean 3σ monitor
+    * ([[volumeAnomaly]]) on any diurnal workload.
+    *
+    * Determinism: the high/low gates are pure integer cross-products
+    * (`cnt · n_dates > 2 · cell_total`) — no mean, no division until
+    * the single reported double ratio — so both engines agree bit-for-
+    * bit. Scale posture: ONE shuffle over raw events down to (date,
+    * hour) grain; the baseline frames are ≤168 and ≤7 rows, broadcast. */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(spark, dir)
+      .select(col("ts").cast(DateType).as("d"),
+        dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .groupBy("d", "dow", "hod").agg(count(lit(1)).as("cnt"))
+    val nDates = obs.groupBy("dow")
+      .agg(countDistinct("d").as("n_dates"))
+    val cell = obs.groupBy("dow", "hod")
+      .agg(sum("cnt").cast(LongType).as("cell_total"))
+    obs.join(broadcast(cell), Seq("dow", "hod"))
+      .join(broadcast(nDates), Seq("dow"))
+      .filter(col("cnt") * col("n_dates") > lit(2) * col("cell_total")
+        || lit(2) * col("cnt") * col("n_dates") < col("cell_total"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("event_date"),
+        col("hod"), col("cnt"), col("cell_total"), col("n_dates"),
+        (col("cnt").cast(DoubleType) * col("n_dates").cast(DoubleType)
+          / col("cell_total").cast(DoubleType)).as("ratio"),
+        when(col("cnt") * col("n_dates") > lit(2) * col("cell_total"), lit("high"))
+          .otherwise(lit("low")).as("flag"))
+      .orderBy("event_date", "hod")
+  }
+
+  val seasonalAnomalySql: String = """
+WITH obs AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(isodow(ts) % 7 + 1 AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hod, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2, 3),
+nd AS (SELECT dow, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_dates FROM obs GROUP BY dow),
+cell AS (SELECT dow, hod, CAST(SUM(cnt) AS BIGINT) AS cell_total FROM obs GROUP BY dow, hod)
+SELECT strftime(o.d, '%Y-%m-%d') AS event_date, o.hod, o.cnt, c.cell_total, n.n_dates,
+       CAST(o.cnt AS DOUBLE) * CAST(n.n_dates AS DOUBLE) / CAST(c.cell_total AS DOUBLE) AS ratio,
+       CASE WHEN o.cnt * n.n_dates > 2 * c.cell_total THEN 'high' ELSE 'low' END AS flag
+FROM obs o
+JOIN cell c ON o.dow = c.dow AND o.hod = c.hod
+JOIN nd n ON o.dow = n.dow
+WHERE o.cnt * n.n_dates > 2 * c.cell_total OR 2 * o.cnt * n.n_dates < c.cell_total
+ORDER BY event_date, o.hod"""
+
   val inventory: Map[String, Q] = Map(
-    "monitor_volume_anomaly" -> (volumeAnomaly _),
-    "monitor_mad_anomaly"    -> (madAnomaly _),
-    "monitor_freshness_lag"  -> (freshnessLag _),
-    "monitor_health"         -> (healthRollup _))
+    "monitor_volume_anomaly"   -> (volumeAnomaly _),
+    "monitor_mad_anomaly"      -> (madAnomaly _),
+    "monitor_seasonal_anomaly" -> (seasonalAnomaly _),
+    "monitor_freshness_lag"    -> (freshnessLag _),
+    "monitor_health"           -> (healthRollup _))
 
   val oracle: Map[String, String] = Map(
-    "monitor_volume_anomaly" -> volumeAnomalySql,
-    "monitor_mad_anomaly"    -> madAnomalySql,
-    "monitor_freshness_lag"  -> freshnessLagSql,
-    "monitor_health"         -> healthRollupSql)
+    "monitor_volume_anomaly"   -> volumeAnomalySql,
+    "monitor_mad_anomaly"      -> madAnomalySql,
+    "monitor_seasonal_anomaly" -> seasonalAnomalySql,
+    "monitor_freshness_lag"    -> freshnessLagSql,
+    "monitor_health"           -> healthRollupSql)
 }

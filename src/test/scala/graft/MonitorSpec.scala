@@ -57,4 +57,22 @@ class MonitorSpec extends SparkSpec {
     val ok = Monitor.monitoringReportJson(spark, sf)
     assert(!ok.contains(""""severity":"critical""""))
   }
+
+  test("seasonal anomaly flags agree with the cell-mean gates") {
+    import org.apache.spark.sql.functions._
+    val rows = Monitor.seasonalAnomaly(spark, sf).collect()
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("ratio")
+      val flag = r.getAs[String]("flag")
+      // the integer gate and the reported ratio must tell one story
+      assert(if (flag == "high") ratio > 2.0 else ratio < 0.5,
+        s"flag $flag but ratio $ratio")
+      val cnt = r.getAs[Long]("cnt")
+      val expect = cnt * r.getAs[Long]("n_dates") > 2 * r.getAs[Long]("cell_total")
+      assert((flag == "high") == expect)
+    }
+    // (date, hour) keys are unique in the report
+    val keys = rows.map(r => (r.getAs[String]("event_date"), r.getAs[Int]("hod")))
+    assert(keys.distinct.length == keys.length)
+  }
 }
