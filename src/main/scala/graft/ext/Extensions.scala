@@ -232,7 +232,61 @@ FROM bg GROUP BY bigram
 ORDER BY n_exact DESC, bigram
 LIMIT $HeavyHitterTop"""
 
+  // ---------------------------------------------------- fuzzy join
+
+  /** Edit-distance-1 fuzzy self-join over the distinct part-name
+    * vocabulary — the spell-variant/typo matcher of record-linkage
+    * pipelines — via FastSS deletion-neighborhood blocking, never
+    * all-pairs: each name emits itself plus its |name| single-deletion
+    * variants as block keys, and any two names within edit distance 1
+    * provably share a key (substitution at i → both deletion-i
+    * variants are equal; insertion/deletion → the shorter name IS a
+    * deletion variant of the longer). Candidates sharing a key are
+    * then verified with `levenshtein` — false candidates filter out,
+    * so blocking affects COST only, recall is exactly 1.
+    *
+    * THE ORACLE IS THE ALL-PAIRS FORM: DuckDB (single-node, can afford
+    * the quadratic) joins every name against every name — so
+    * hash-equality is a machine-checked proof that the O(n·L)
+    * candidate generation misses nothing, not just that both engines
+    * agree on the same shortcut.
+    *
+    * Scale posture: candidates = one equi-join on the block key
+    * (shuffle bounded by n·(L+1) short keys); the quadratic blowup of
+    * all-pairs never materializes. Vocabulary grain (distinct names),
+    * not row grain. */
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame =
+    fuzzyNamePairsOver(
+      Tables.part(spark, dir).select(col("p_name").as("name")).distinct())
+
+  /** Parameterized core over any single-column `name` frame. */
+  private[graft] def fuzzyNamePairsOver(nm: DataFrame): DataFrame = {
+    val keys = nm.select(col("name"), explode(concat(
+      array(col("name")),
+      expr("""transform(sequence(1, length(name)),
+             |  i -> concat(substring(name, 1, i - 1),
+             |              substring(name, i + 1, length(name))))""".stripMargin)
+    )).as("k"))
+    val a = keys.withColumnRenamed("name", "name_a")
+    val b = keys.withColumnRenamed("name", "name_b")
+    a.join(b, a("k") === b("k") && col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast(LongType).as("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val fuzzyNamePairsSql: String = """
+WITH nm AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM nm a JOIN nm b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 1
+ORDER BY name_a, name_b"""
+
   val inventory: Map[String, Q] = Map(
+    "fuzzy_name_pairs"     -> (fuzzyNamePairs _),
     "pii_scrub"            -> (piiScrub _),
     "text_ngram_freq"      -> (ngramFreq _),
     "events_props_extract" -> (propsExtract _),
@@ -241,6 +295,7 @@ LIMIT $HeavyHitterTop"""
     "heavy_hitter_ngrams"  -> (heavyHitterNgrams _))
 
   val oracle: Map[String, String] = Map(
+    "fuzzy_name_pairs"     -> fuzzyNamePairsSql,
     "pii_scrub"            -> piiScrubSql,
     "text_ngram_freq"      -> ngramFreqSql,
     "events_props_extract" -> propsExtractSql,

@@ -56,4 +56,30 @@ class ExtensionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Boolean]("approx_within_10pct"),
       s"(${r.get(0)}, ${r.get(1)}): HLL estimate outside 10% of ${r.get(2)}"))
   }
+
+  test("fuzzy join blocking finds every edit-1 shape, nothing else") {
+    import spark.implicits._
+    // substitution (cat~cot), deletion/insertion (cat~cats, at~cat),
+    // transposition is dist 2 (act~cat: NOT matched), unrelated (dog)
+    val nm = Seq("cat", "cot", "cats", "at", "act", "dog").toDF("name")
+    val got = Extensions.fuzzyNamePairsOver(nm).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val want = Set(("at", "cat"), ("cat", "cats"), ("cat", "cot"), ("act", "at"))
+    assert(got == want, s"got $got")
+    assert(!got.contains(("act", "cat")), "transposition is edit distance 2")
+  }
+
+  test("fuzzy join on parts matches the brute-force answer") {
+    import spark.implicits._
+    val nm = Tables.part(spark, sf).select(col("p_name").as("name")).distinct()
+    val brute = nm.as("a").crossJoin(nm.as("b"))
+      .filter(col("a.name") < col("b.name")
+        && levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.name"), col("b.name")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val blocked = Extensions.fuzzyNamePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(blocked == brute, "blocking lost or invented a pair")
+    assert(blocked.nonEmpty)
+  }
 }
