@@ -26,6 +26,7 @@ object SparkEntry {
       text.TextOps.inventory ++
       sim.Similarity.inventory ++
       sim.Ivf.inventory ++
+      sim.Pq.inventory ++
       streaming.Streams.inventory ++
       multimodal.Multimodal.inventory ++
       ext.Extensions.inventory ++
@@ -62,6 +63,7 @@ object SparkEntry {
       text.TextOps.oracle ++
       sim.Similarity.oracle ++
       sim.Ivf.oracle ++
+      sim.Pq.oracle ++
       streaming.Streams.oracle ++
       multimodal.Multimodal.oracle ++
       ext.Extensions.oracle ++

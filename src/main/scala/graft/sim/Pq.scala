@@ -1,0 +1,345 @@
+package graft.sim
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (PQ + asymmetric distance computation) —
+  * the memory-side counterpart of the IVF coarse quantizer in
+  * [[Ivf]]: the 64-dim embedding splits into [[M]] = 8 subspaces of
+  * [[SubDim]] = 8 components, each subspace trains its own
+  * [[KCodes]] = 16-codeword codebook (fixed-iteration Lloyd, exactly
+  * the [[Ivf]] recipe per subspace), and every vector compresses to 8
+  * one-byte codes — 64 floats → 8 bytes, the standard 32× memory cut
+  * that lets a 100 TB embedding corpus fit an in-RAM serving tier.
+  *
+  * Search is ADC: a query computes one 8×16 table of partial squared
+  * distances to every codeword (M·K tiny integer ops), then every
+  * candidate's approximate distance is just 8 table lookups summed —
+  * the scan never touches raw vectors. In the DataFrame formulation
+  * the lookup is an equi-join of the code column against the
+  * broadcast distance table and a partial-combined SUM — no window
+  * over candidates, no all-pairs float math.
+  *
+  * Deterministic by the same construction that made IVF oracle-able:
+  * all components live on the 1e-7 integer grid, every argmin
+  * tie-breaks (d2, code) via a `min(struct(...))` aggregate (partial-
+  * combinable — deliberately NOT a row_number window over the
+  * n·M·K assignment frame), codeword means are floor(Σ/n) off exact
+  * integer sums, and ADC distances are exact BIGINT sums — so DuckDB
+  * replays codebook training, encoding and search bit-for-bit.
+  *
+  * Scale posture: training state is M·K·SubDim = 1024 integers
+  * (driver-bounded, like IVF's k×dim); each Lloyd pass is one
+  * broadcast join + one partial-combined aggregate over n·M rows;
+  * encoding is the same join shape once; ADC search cost is
+  * n·M lookup-rows per query batch with the table broadcast. Nothing
+  * is ever quadratic in the collection.
+  */
+object Pq {
+  type Q = (SparkSession, String) => DataFrame
+
+  val M = 8
+  val SubDim = 8
+  val KCodes = 16
+  val Iterations = 2
+  val TopK = 10
+  val NQueries = 5
+
+  private def qz(x: String): String =
+    s"cast(floor(cast($x as double) * 1e7) as bigint)"
+
+  /** One row per (vec_id, sub) with the grid-quantized subvector. */
+  private[graft] def subvecs(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+        explode(expr(s"sequence(0, ${M - 1})")).as("sub"), col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"transform(slice(embedding, sub * $SubDim + 1, $SubDim), x -> ${qz("x")})")
+          .as("qsub"))
+
+  private val subD2 = expr(
+    """aggregate(zip_with(qsub, codeword, (x, y) -> (x - y) * (x - y)),
+      |          cast(0 as bigint), (a, v) -> a + v)""".stripMargin)
+
+  /** Nearest codeword per (vec_id, sub): broadcast codebook join +
+    * min(struct(d2, code, ...)) — tie-break (d2, lowest code), no
+    * window, partial-combinable at any scale. */
+  private def assignCodes(sv: DataFrame, cent: DataFrame): DataFrame =
+    sv.join(broadcast(cent), "sub")
+      .withColumn("d2", subD2)
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("code"), col("qsub"))).as("m"))
+      .select(col("vec_id"), col("sub"),
+        col("m.code").as("code"), col("m.qsub").as("qsub"))
+
+  /** Joint per-subspace Lloyd: codebooks initialize from the first
+    * [[KCodes]] vec_ids' subvectors, then [[Iterations]] fixed
+    * assignment/mean rounds; empty codes keep their codeword. */
+  private[graft] def codebook(sv: DataFrame): DataFrame = {
+    val init = sv
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("sub").orderBy("vec_id")))
+      .filter(col("rn") <= KCodes)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
+        col("qsub").as("codeword"))
+    (1 to Iterations).foldLeft(init) { (cent, _) =>
+      val means = assignCodes(sv, cent)
+        .select(col("sub"), col("code"), posexplode(col("qsub")).as(Seq("dim", "v")))
+        .groupBy("sub", "code", "dim")
+        .agg(expr("cast(floor(cast(sum(v) as double) / count(*)) as bigint)").as("comp"))
+        .groupBy("sub", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, comp))), s -> s.comp)")
+          .as("codeword"))
+      cent.alias("p")
+        .join(means.alias("mm"), Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("mm.codeword"), col("p.codeword")).as("codeword"))
+    }
+  }
+
+  /** ADC top-k search over the PQ-encoded collection: per-query 8×16
+    * integer distance table (broadcast) → code-column equi-join →
+    * partial-combined SUM → top-k by exact integer distance. */
+  def search(spark: SparkSession, dir: String): DataFrame = {
+    val sv = subvecs(Tables.embeddings(spark, dir))
+      .persist() // Lloyd makes Iterations+1 passes + the encode pass
+    val cent = codebook(sv)
+    val codes = assignCodes(sv, cent).select("vec_id", "sub", "code")
+    val dtab = sv.filter(col("vec_id") < NQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cent), "sub")
+      .withColumn("pd2", subD2)
+      .select("query_id", "sub", "code", "pd2")
+    codes.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("pd2").cast("bigint").as("approx_d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("approx_d2"), asc("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("approx_d2"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** ADC shortlist size for the re-rank stage. */
+  val Shortlist = 50
+
+  /** PQ search the way a serving tier actually runs it: the compressed
+    * ADC scan produces a [[Shortlist]]-deep candidate list (cheap, 8
+    * lookups per candidate), then ONLY those candidates' raw vectors
+    * are fetched and exactly re-ranked — the standard two-stage recipe
+    * that buys back the recall the 8-byte codes give up. The exact
+    * stage touches Shortlist·queries rows, never the collection. */
+  def searchRerank(spark: SparkSession, dir: String): DataFrame = {
+    val sv = subvecs(Tables.embeddings(spark, dir)).persist()
+    val cent = codebook(sv)
+    val codes = assignCodes(sv, cent).select("vec_id", "sub", "code")
+    val dtab = sv.filter(col("vec_id") < NQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cent), "sub")
+      .withColumn("pd2", subD2)
+      .select("query_id", "sub", "code", "pd2")
+    val shortlist = codes.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("pd2").cast("bigint").as("approx_d2"))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("approx_d2"), asc("vec_id"))))
+      .filter(col("arank") <= Shortlist)
+      .select("query_id", "vec_id")
+    val qe = expr(s"transform(embedding, x -> ${qz("x")})")
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), qe.as("qq"))
+    val cand = Tables.embeddings(spark, dir).select(col("vec_id"), qe.as("qv"))
+    shortlist
+      .join(cand, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("d2", expr(
+        """aggregate(zip_with(qq, qv, (x, y) -> (x - y) * (x - y)),
+          |          cast(0 as bigint), (a, v) -> a + v)""".stripMargin))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("d2"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Recall@k of the two-stage (ADC shortlist → exact re-rank) search
+    * vs the exact top-k — the operating point a serving tier ships. */
+  def rerankRecall(spark: SparkSession, dir: String): DataFrame = {
+    val approx = searchRerank(spark, dir)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
+    exactTopK(spark, dir).join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(TopK.toDouble)).as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
+  /** Exact integer-grid L2 top-k over the query sample (shared by both
+    * recall probes). */
+  private def exactTopK(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+    val qe = expr(s"transform(embedding, x -> ${qz("x")})")
+    val queries = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), qe.as("qq"))
+    vecs.select(col("vec_id"), qe.as("qv"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(qq, qv, (x, y) -> (x - y) * (x - y)),
+          |          cast(0 as bigint), (a, v) -> a + v)""".stripMargin))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "vec_id")
+  }
+
+  /** Recall@k of ADC search against the EXACT integer-grid L2 top-k
+    * (brute force over the query sample — the recurring post-rebuild
+    * quality probe, as with [[Ivf.recallVsExact]]). */
+  def recallVsExact(spark: SparkSession, dir: String): DataFrame = {
+    val approx = search(spark, dir)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
+    exactTopK(spark, dir).join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(TopK.toDouble)).as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
+  // ------------------------------------------------------------- oracle
+
+  private def d2sql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
+
+  private def pqIter(i: Int): String = s"""
+a$i AS (
+  SELECT vec_id, sub, qsub, code FROM (
+    SELECT s.vec_id, s.sub, s.qsub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY ${d2sql("s.qsub", "c.codeword")}, c.code) AS rn
+    FROM sv s JOIN c${i - 1} c ON s.sub = c.sub) WHERE rn = 1),
+m$i AS (
+  SELECT sub, code, dim, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+  FROM (SELECT sub, code, generate_subscripts(qsub, 1) AS dim, unnest(qsub) AS v FROM a$i)
+  GROUP BY sub, code, dim),
+c$i AS (
+  SELECT p.sub, p.code, COALESCE(mm.codeword, p.codeword) AS codeword
+  FROM c${i - 1} p LEFT JOIN
+    (SELECT sub, code, list(comp ORDER BY dim) AS codeword FROM m$i GROUP BY sub, code) mm
+  ON p.sub = mm.sub AND p.code = mm.code)"""
+
+  /** Shared replay prefix: quantize → subvectors → init codebooks →
+    * fixed Lloyd rounds → final encoding. */
+  private val pqCommonCtes: String = s"""q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS qe
+  FROM embeddings),
+sv AS (
+  SELECT vec_id, sub,
+         list_transform(generate_series(1, $SubDim), j -> qe[sub * $SubDim + j]) AS qsub
+  FROM q, generate_series(0, ${M - 1}) t(sub)),
+c0 AS (
+  SELECT sub, CAST(rn - 1 AS INT) AS code, qsub AS codeword FROM (
+    SELECT sub, qsub, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+    FROM sv) WHERE rn <= $KCodes),
+${(1 to Iterations).map(pqIter).mkString(",")},
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY ${d2sql("s.qsub", "c.codeword")}, c.code) AS rn
+    FROM sv s JOIN c$Iterations c ON s.sub = c.sub) WHERE rn = 1),
+dtab AS (
+  SELECT f.vec_id AS query_id, c.sub, c.code,
+         ${d2sql("f.qsub", "c.codeword")} AS pd2
+  FROM (SELECT * FROM sv WHERE vec_id < $NQueries) f
+  JOIN c$Iterations c ON f.sub = c.sub),
+approx AS (
+  SELECT d.query_id, k.vec_id, CAST(SUM(d.pd2) AS BIGINT) AS approx_d2
+  FROM codes k JOIN dtab d ON k.sub = d.sub AND k.code = d.code
+  WHERE k.vec_id <> d.query_id
+  GROUP BY d.query_id, k.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, approx_d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY approx_d2, vec_id) AS INT) AS rank
+  FROM approx)"""
+
+  val pqSearchSql: String = s"""
+WITH $pqCommonCtes
+SELECT query_id, vec_id, approx_d2, rank FROM ranked WHERE rank <= $TopK
+"""
+
+  val pqRecallSql: String = s"""
+WITH $pqCommonCtes,
+pq_top AS (SELECT query_id, vec_id FROM ranked WHERE rank <= $TopK),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT f.vec_id AS query_id, a.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             ORDER BY ${d2sql("f.qe", "a.qe")}, a.vec_id) AS rn
+    FROM (SELECT * FROM q WHERE vec_id < $NQueries) f
+    CROSS JOIN q a WHERE a.vec_id <> f.vec_id) WHERE rn <= $TopK)
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / ${TopK.toDouble} AS recall_at_k
+FROM exact e LEFT JOIN pq_top p ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
+
+  val pqSearchRerankSql: String = s"""
+WITH $pqCommonCtes,
+shortlist AS (SELECT query_id, vec_id FROM ranked WHERE rank <= $Shortlist)
+SELECT query_id, vec_id, d2, rank FROM (
+  SELECT s.query_id, s.vec_id,
+         CAST(${d2sql("f.qe", "a.qe")} AS BIGINT) AS d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+           ORDER BY ${d2sql("f.qe", "a.qe")}, s.vec_id) AS INT) AS rank
+  FROM shortlist s
+  JOIN q a ON s.vec_id = a.vec_id
+  JOIN q f ON s.query_id = f.vec_id)
+WHERE rank <= $TopK"""
+
+  val pqRerankRecallSql: String = s"""
+WITH $pqCommonCtes,
+shortlist AS (SELECT query_id, vec_id FROM ranked WHERE rank <= $Shortlist),
+rr AS (
+  SELECT query_id, vec_id FROM (
+    SELECT s.query_id, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id
+             ORDER BY ${d2sql("f.qe", "a.qe")}, s.vec_id) AS rank
+    FROM shortlist s
+    JOIN q a ON s.vec_id = a.vec_id
+    JOIN q f ON s.query_id = f.vec_id)
+  WHERE rank <= $TopK),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT f.vec_id AS query_id, a.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             ORDER BY ${d2sql("f.qe", "a.qe")}, a.vec_id) AS rn
+    FROM (SELECT * FROM q WHERE vec_id < $NQueries) f
+    CROSS JOIN q a WHERE a.vec_id <> f.vec_id) WHERE rn <= $TopK)
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / ${TopK.toDouble} AS recall_at_k
+FROM exact e LEFT JOIN rr p ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
+
+  val inventory: Map[String, Q] = Map(
+    "pq_search"        -> (search _),
+    "pq_search_rerank" -> (searchRerank _),
+    "pq_recall"        -> (recallVsExact _),
+    "pq_rerank_recall" -> (rerankRecall _))
+
+  val oracle: Map[String, String] = Map(
+    "pq_search"        -> pqSearchSql,
+    "pq_search_rerank" -> pqSearchRerankSql,
+    "pq_recall"        -> pqRecallSql,
+    "pq_rerank_recall" -> pqRerankRecallSql)
+}
