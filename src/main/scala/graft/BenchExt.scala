@@ -24,7 +24,10 @@ object BenchExt {
     "dedup_canonical", "heavy_hitter_ngrams", "bloom_decontamination",
     "chunk_documents", "events_type_transitions", "cdc_orders_diff",
     "ivm_daily_sales", "bm25_search", "rfm_segments", "basket_pairs",
-    "events_active_users", "embedding_drift")
+    "events_active_users", "embedding_drift",
+    "pq_search", "pq_search_rerank", "fuzzy_name_pairs",
+    "token_budget_exact", "pagerank_nation_trade", "scd2_pit_orders",
+    "monitor_seasonal_anomaly")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

@@ -101,6 +101,64 @@ ORDER BY payment_method""")
         col("lang"), graft.text.TextOps.estBpeTokens.as("v")),
       "lang", "tokens", "n_docs")
 
+  /** WEIGHTED rank selection: same slab construction as [[rankSelect]]
+    * but ranks run over cumulative WEIGHT mass (the p-quantile is the
+    * value whose weight slab covers ceil(p·W)) — `vals` carries
+    * (group, v, w). Identical scale shape: duplicate values collapse
+    * in the map-side combine, the per-group sort sees only distinct
+    * values. */
+  private[analytics] def weightedRankSelect(vals: DataFrame, group: String,
+                                            suffix: String, wCol: String): DataFrame = {
+    val counts = vals.groupBy(group, "v").agg(sum("w").cast(LongType).as("c"))
+    val byG = Window.partitionBy(group)
+    val ranked = counts
+      .withColumn("cum", sum("c").over(byG.orderBy("v")))
+      .withColumn("n", sum("c").over(byG))
+    val cells = ps.map { case (name, p) =>
+      max(when(col("cum") - col("c") < ceil(col("n") * lit(p))
+            && col("cum") >= ceil(col("n") * lit(p)), col("v")))
+        .as(s"${name}_$suffix")
+    }
+    ranked.groupBy(group)
+      .agg(max("n").as(wCol), cells: _*)
+      .orderBy(group)
+  }
+
+  /** Token-MASS-weighted document-length quantiles per language — "half
+    * this language's tokens live in documents longer than p50" — the
+    * number that actually sizes sequence-length budgets: the unweighted
+    * p50 ([[quantilesTokensByLang]]) says where the median DOCUMENT is,
+    * this says where the median TOKEN is, and on any long-tailed corpus
+    * they differ wildly. v = w = est tokens, all integer. */
+  def quantilesDocLengthWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedRankSelect(
+      graft.Tables.documents(spark, dir).select(
+        col("lang"), graft.text.TextOps.estBpeTokens.as("v"),
+        graft.text.TextOps.estBpeTokens.as("w")),
+      "lang", "wlen", "total_tokens")
+
+  val quantilesDocLengthWeightedSql: String = {
+    val cells = ps.map { case (name, p) =>
+      s"MAX(CASE WHEN cum - c < CAST(ceil(n * $p) AS BIGINT) AND cum >= CAST(ceil(n * $p) AS BIGINT) THEN v END) AS ${name}_wlen"
+    }.mkString(",\n       ")
+    s"""
+WITH d AS (
+  SELECT lang, ${graft.text.TextOps.estBpeTokensSqlE} AS v,
+         ${graft.text.TextOps.estBpeTokensSqlE} AS w
+  FROM documents),
+counts AS (SELECT lang, v, CAST(SUM(w) AS BIGINT) AS c FROM d GROUP BY lang, v),
+ranked AS (
+  SELECT lang, v, c,
+         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM counts)
+SELECT lang, MAX(n) AS total_tokens,
+       $cells
+FROM ranked
+GROUP BY lang
+ORDER BY lang"""
+  }
+
   val quantilesTokensByLangSql: String = {
     val cells = ps.map { case (name, p) =>
       s"MAX(CASE WHEN rn = CAST(ceil(n * $p) AS BIGINT) THEN v END) AS ${name}_tokens"
@@ -241,12 +299,14 @@ ORDER BY o_orderpriority"""
   val inventory: Map[String, Q] = Map(
     "quantiles_line_total"        -> (quantilesLineTotal _),
     "quantiles_tokens_by_lang"    -> (quantilesTokensByLang _),
+    "quantiles_doc_length_weighted" -> (quantilesDocLengthWeighted _),
     "fulfillment_lag"             -> (fulfillmentLag _),
     "approx_quantiles_line_total" -> (approxQuantilesLineTotal _))
 
   val oracle: Map[String, String] = Map(
     "quantiles_line_total"        -> quantilesLineTotalSql,
     "quantiles_tokens_by_lang"    -> quantilesTokensByLangSql,
+    "quantiles_doc_length_weighted" -> quantilesDocLengthWeightedSql,
     "fulfillment_lag"             -> fulfillmentLagSql,
     "approx_quantiles_line_total" -> approxQuantilesLineTotalSql)
 }

@@ -3,7 +3,7 @@ package graft.quality
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Deequ-style single-pass column profiling — the "what is in this
   * table" summary every ingestion pipeline runs before trusting a new
@@ -118,9 +118,61 @@ ${sqlOver("orders", orderCols)}
 SELECT * FROM (SELECT * FROM p_documents UNION ALL SELECT * FROM p_orders)
 ORDER BY tbl, col_name, metric"""
 
+  // ------------------------------------------------------ k-anonymity
+
+  /** Re-identification threshold: a quasi-identifier cell smaller than
+    * this is reportable. */
+  val KAnon = 5L
+
+  /** k-anonymity audit over the customer table — the governance check a
+    * dataset clears before leaving the boundary: group by the
+    * quasi-identifier combination an adversary could link on (nation,
+    * market segment, account-balance band), report every cell whose
+    * population is below [[KAnon]] plus its share of the table. One
+    * hash aggregation (QI cardinality-bounded) + a broadcast total;
+    * the band uses floor division of exact cents so both engines cut
+    * identically. */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_nationkey").cast(LongType).as("nationkey"),
+      col("c_mktsegment").as("segment"),
+      // offset to non-negative before the integer division: Spark `div`
+      // truncates toward zero while DuckDB `//` floors, and balances go
+      // negative — on a non-negative numerator the two agree
+      expr("((cast(round(c_acctbal * 100) as bigint) + 10000000) div 100000) - 100")
+        .as("acctbal_band_k"))
+    val cells = c.groupBy("nationkey", "segment", "acctbal_band_k")
+      .agg(count(lit(1)).as("cell_size"))
+    val tot = cells.agg(sum("cell_size").as("n_customers"))
+    cells.filter(col("cell_size") < KAnon)
+      .crossJoin(broadcast(tot))
+      .select(col("nationkey"), col("segment"), col("acctbal_band_k"),
+        col("cell_size"), col("n_customers"),
+        (col("cell_size").cast(DoubleType) / col("n_customers").cast(DoubleType))
+          .as("share_at_risk"))
+      .orderBy("nationkey", "segment", "acctbal_band_k")
+  }
+
+  val kAnonymityAuditSql: String = s"""
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS segment,
+         ((CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000) - 100 AS acctbal_band_k
+  FROM customer),
+cells AS (
+  SELECT nationkey, segment, acctbal_band_k, COUNT(*) AS cell_size
+  FROM c GROUP BY 1, 2, 3),
+tot AS (SELECT CAST(SUM(cell_size) AS BIGINT) AS n_customers FROM cells)
+SELECT nationkey, segment, acctbal_band_k, cell_size, n_customers,
+       CAST(cell_size AS DOUBLE) / CAST(n_customers AS DOUBLE) AS share_at_risk
+FROM cells CROSS JOIN tot
+WHERE cell_size < $KAnon
+ORDER BY nationkey, segment, acctbal_band_k"""
+
   val inventory: Map[String, Q] = Map(
-    "profile_tables" -> (profileTables _))
+    "profile_tables"    -> (profileTables _),
+    "k_anonymity_audit" -> (kAnonymityAudit _))
 
   val oracle: Map[String, String] = Map(
-    "profile_tables" -> profileTablesSql)
+    "profile_tables"    -> profileTablesSql,
+    "k_anonymity_audit" -> kAnonymityAuditSql)
 }

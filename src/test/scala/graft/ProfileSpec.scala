@@ -56,4 +56,27 @@ class ProfileSpec extends SparkSpec {
       assert(r.getAs[Double]("value") == 1.0, r.toString)
     }
   }
+
+  test("k-anonymity audit reports exactly the under-k cells") {
+    import org.apache.spark.sql.functions._
+    val rows = Profile.kAnonymityAudit(spark, sf).collect()
+    val n = Tables.customer(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cell_size") < Profile.KAnon)
+      assert(r.getAs[Long]("cell_size") >= 1)
+      assert(r.getAs[Long]("n_customers") == n)
+      assert(r.getAs[Double]("share_at_risk") ==
+        r.getAs[Long]("cell_size").toDouble / n.toDouble)
+    }
+    // recompute one flagged cell's population independently
+    rows.headOption.foreach { r =>
+      val cnt = Tables.customer(spark, sf)
+        .filter(col("c_nationkey") === r.getAs[Long]("nationkey")
+          && col("c_mktsegment") === r.getAs[String]("segment"))
+        .filter(expr("((cast(round(c_acctbal * 100) as bigint) + 10000000) div 100000) - 100")
+          === r.getAs[Long]("acctbal_band_k"))
+        .count()
+      assert(cnt == r.getAs[Long]("cell_size"))
+    }
+  }
 }

@@ -61,4 +61,20 @@ class QuantilesSpec extends SparkSpec {
       assert(p50 > 0)
     }
   }
+
+  test("token-weighted length quantiles dominate the unweighted ones") {
+    val unw = analytics.Quantiles.quantilesTokensByLang(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("p50_tokens")).toMap
+    val rows = analytics.Quantiles.quantilesDocLengthWeighted(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Long]("p50_wlen"),
+        r.getAs[Long]("p90_wlen"), r.getAs[Long]("p99_wlen"))
+      assert(p50 <= p90 && p90 <= p99, s"out of order: $r")
+      // weighting by length shifts mass toward long docs: the weighted
+      // median can never sit below the unweighted median
+      assert(p50 >= unw(r.getAs[String]("lang")),
+        s"${r.getAs[String]("lang")}: weighted p50 $p50 below unweighted")
+    }
+  }
 }
