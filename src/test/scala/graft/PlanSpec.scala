@@ -12,6 +12,20 @@ class PlanSpec extends SparkSpec {
   private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Collect WindowExec nodes THROUGH the AQE wrappers — a bare
+    * `plan.collect` stops at AdaptiveSparkPlanExec and reports an empty
+    * list, silently making window-shape assertions vacuous. */
+  private def windowsOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      windowsOf(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      windowsOf(s.plan)
+    case w: org.apache.spark.sql.execution.window.WindowExec =>
+      w +: w.children.flatMap(windowsOf)
+    case other => other.children.flatMap(windowsOf)
+  }
+
   test("cleanse filters are pushed down to the parquet scan") {
     val plan = physicalPlan(Cleanse.cleanseProducts(spark, sf))
     assert(plan.contains("PushedFilters"))
@@ -168,13 +182,66 @@ class PlanSpec extends SparkSpec {
   test("event transition window partitions by user, totals arrive broadcast") {
     val exec = SparkEntry.queries("events_type_transitions")(spark, sf)
       .queryExecution.executedPlan
-    val global = exec.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-        if w.partitionSpec.isEmpty => w
-    }
-    assert(global.isEmpty, "lead() must partition by user_id, not run globally")
+    val windows = windowsOf(exec)
+    assert(windows.nonEmpty, "expected the lead() window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "lead() must partition by user_id, not run globally")
     assert(exec.toString.contains("BroadcastHashJoin"),
       "from-type totals must join via broadcast")
+  }
+
+  test("scd2 point-in-time join is a hash join on the key, never nested-loop") {
+    // the interval predicate must ride POST-MATCH on a custkey equi-join;
+    // a planner fallback to BroadcastNestedLoopJoin here is the classic
+    // range-join trap that goes quadratic at scale
+    val plan = physicalPlan(SparkEntry.queries("scd2_pit_orders")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "PIT join fell to nested-loop")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("fuzzy join is a key equi-join, not a cartesian candidate square") {
+    val plan = physicalPlan(SparkEntry.queries("fuzzy_name_pairs")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), "blocking degenerated to all-pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(2000))
+  }
+
+  test("PQ assignment aggregates argmins; no window over the n*M*K frame") {
+    // min(struct(d2, code)) keeps the per-(vec, sub) argmin partial-
+    // combinable; a row_number window here would total-order the whole
+    // candidate frame per group
+    // the only windows allowed are the per-QUERY top-k rankers (bounded
+    // by the query sample) and the per-subspace codebook init — never
+    // one over the n·M·K encode frame
+    val exec = SparkEntry.queries("pq_search")(spark, sf)
+      .queryExecution.executedPlan
+    val windows = windowsOf(exec)
+    assert(windows.nonEmpty, "expected the top-k ranker window")
+    windows.foreach { w =>
+      val keys = w.partitionSpec.map(_.toString).mkString(",")
+      assert(keys.contains("query_id") || keys.contains("sub"),
+        s"unexpected window partition [$keys] in PQ search")
+    }
+    assert(!exec.toString.contains("CartesianProduct"))
+  }
+
+  test("token budget classifies via broadcast histogram; no corpus-wide sort") {
+    val exec = SparkEntry.queries("token_budget_exact")(spark, sf)
+      .queryExecution.executedPlan
+    // windows may only run over the bounded bucket histogram (source,
+    // bucket grain) or the single straddling bucket — never a global or
+    // per-source window over raw docs without the bucket key
+    val windows = windowsOf(exec)
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "a global window over the corpus")
+    }
+    assert(exec.toString.contains("BroadcastHashJoin")
+      || exec.toString.contains("BroadcastExchange"),
+      "bucket classification should arrive broadcast")
   }
 
   test("ivf assignment's cell column is non-nullable (no inferred argmin re-eval)") {

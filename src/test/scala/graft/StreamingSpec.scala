@@ -132,6 +132,12 @@ class StreamingSpec extends SparkSpec {
     val madSource = graft.monitor.Monitor.madAnomaly(spark, sf)
     assert(madMart.except(madSource).count() == 0)
     assert(madSource.except(madMart).count() == 0)
+    // the hour-of-week seasonal monitor is (date, hour)-grain — the
+    // mart carries ts, so it too runs unchanged with equal verdicts
+    val seasMart = graft.monitor.Monitor.seasonalAnomaly(spark, mart)
+    val seasSource = graft.monitor.Monitor.seasonalAnomaly(spark, sf)
+    assert(seasMart.except(seasSource).count() == 0)
+    assert(seasSource.except(seasMart).count() == 0)
   }
 
   test("streaming dedup suppresses duplicate event ids") {
