@@ -25,7 +25,7 @@ object BenchExt {
     "chunk_documents", "events_type_transitions", "cdc_orders_diff",
     "ivm_daily_sales", "bm25_search", "rfm_segments", "basket_pairs",
     "events_active_users", "embedding_drift",
-    "pq_search", "pq_search_rerank", "fuzzy_name_pairs",
+    "pq_search", "pq_search_rerank", "ivfpq_search", "fuzzy_name_pairs",
     "token_budget_exact", "pagerank_nation_trade", "scd2_pit_orders",
     "monitor_seasonal_anomaly")
 

@@ -27,6 +27,7 @@ object SparkEntry {
       sim.Similarity.inventory ++
       sim.Ivf.inventory ++
       sim.Pq.inventory ++
+      sim.Ivfpq.inventory ++
       streaming.Streams.inventory ++
       multimodal.Multimodal.inventory ++
       ext.Extensions.inventory ++
@@ -64,6 +65,7 @@ object SparkEntry {
       sim.Similarity.oracle ++
       sim.Ivf.oracle ++
       sim.Pq.oracle ++
+      sim.Ivfpq.oracle ++
       streaming.Streams.oracle ++
       multimodal.Multimodal.oracle ++
       ext.Extensions.oracle ++

@@ -209,7 +209,7 @@ object Ivf {
 
   private val duckD2 =
     "list_sum(list_transform(generate_series(1, len(%s)), j -> (%s[j] - %s[j]) * (%s[j] - %s[j])))"
-  private def d2(a: String, b: String): String =
+  private[sim] def d2(a: String, b: String): String =
     duckD2.format(a, a, b, a, b)
 
   /** One Lloyd iteration as CTEs: argmin assignment against c{i-1},
@@ -236,7 +236,7 @@ c$i AS (
     * fixed iterations → final assignment `afin`) — one source of truth
     * for every IVF oracle, so the banding arithmetic cannot drift
     * between the search and cells queries. */
-  private val ivfCommonCtes: String = s"""q AS (
+  private[sim] val ivfCommonCtes: String = s"""q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS qe
   FROM embeddings),

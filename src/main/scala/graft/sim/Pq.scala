@@ -47,7 +47,7 @@ object Pq {
   val TopK = 10
   val NQueries = 5
 
-  private def qz(x: String): String =
+  private[sim] def qz(x: String): String =
     s"cast(floor(cast($x as double) * 1e7) as bigint)"
 
   /** One row per (vec_id, sub) with the grid-quantized subvector. */
@@ -58,14 +58,14 @@ object Pq {
         expr(s"transform(slice(embedding, sub * $SubDim + 1, $SubDim), x -> ${qz("x")})")
           .as("qsub"))
 
-  private val subD2 = expr(
+  private[sim] val subD2 = expr(
     """aggregate(zip_with(qsub, codeword, (x, y) -> (x - y) * (x - y)),
       |          cast(0 as bigint), (a, v) -> a + v)""".stripMargin)
 
   /** Nearest codeword per (vec_id, sub): broadcast codebook join +
     * min(struct(d2, code, ...)) — tie-break (d2, lowest code), no
     * window, partial-combinable at any scale. */
-  private def assignCodes(sv: DataFrame, cent: DataFrame): DataFrame =
+  private[sim] def assignCodes(sv: DataFrame, cent: DataFrame): DataFrame =
     sv.join(broadcast(cent), "sub")
       .withColumn("d2", subD2)
       .groupBy("vec_id", "sub")
@@ -213,52 +213,58 @@ object Pq {
 
   // ------------------------------------------------------------- oracle
 
-  private def d2sql(a: String, b: String): String =
+  private[sim] def d2sql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
 
-  private def pqIter(i: Int): String = s"""
-a$i AS (
+  private def pqIter(i: Int, pfx: String = ""): String = s"""
+${pfx}a$i AS (
   SELECT vec_id, sub, qsub, code FROM (
     SELECT s.vec_id, s.sub, s.qsub, c.code,
            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
              ORDER BY ${d2sql("s.qsub", "c.codeword")}, c.code) AS rn
-    FROM sv s JOIN c${i - 1} c ON s.sub = c.sub) WHERE rn = 1),
-m$i AS (
+    FROM ${pfx}sv s JOIN ${pfx}c${i - 1} c ON s.sub = c.sub) WHERE rn = 1),
+${pfx}m$i AS (
   SELECT sub, code, dim, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
-  FROM (SELECT sub, code, generate_subscripts(qsub, 1) AS dim, unnest(qsub) AS v FROM a$i)
+  FROM (SELECT sub, code, generate_subscripts(qsub, 1) AS dim, unnest(qsub) AS v FROM ${pfx}a$i)
   GROUP BY sub, code, dim),
-c$i AS (
+${pfx}c$i AS (
   SELECT p.sub, p.code, COALESCE(mm.codeword, p.codeword) AS codeword
-  FROM c${i - 1} p LEFT JOIN
-    (SELECT sub, code, list(comp ORDER BY dim) AS codeword FROM m$i GROUP BY sub, code) mm
+  FROM ${pfx}c${i - 1} p LEFT JOIN
+    (SELECT sub, code, list(comp ORDER BY dim) AS codeword FROM ${pfx}m$i GROUP BY sub, code) mm
   ON p.sub = mm.sub AND p.code = mm.code)"""
 
   /** Shared replay prefix: quantize → subvectors → init codebooks →
-    * fixed Lloyd rounds → final encoding. */
-  private val pqCommonCtes: String = s"""q AS (
+    * fixed Lloyd rounds → final encoding. `pfx` namespaces every CTE so
+    * the replay can coexist with the IVF replay in one oracle
+    * ([[Ivfpq]]); pfx = "" keeps the standalone PQ oracles byte-stable.
+    * The query/candidate frames (`q` feeding `{pfx}sv`) stay UNprefixed
+    * — both replays quantize identically, so they share one `q`. */
+  private[sim] def pqCtes(pfx: String): String = s"""${if (pfx.isEmpty) s"""q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS qe
   FROM embeddings),
-sv AS (
+""" else ""}${pfx}sv AS (
   SELECT vec_id, sub,
          list_transform(generate_series(1, $SubDim), j -> qe[sub * $SubDim + j]) AS qsub
   FROM q, generate_series(0, ${M - 1}) t(sub)),
-c0 AS (
+${pfx}c0 AS (
   SELECT sub, CAST(rn - 1 AS INT) AS code, qsub AS codeword FROM (
     SELECT sub, qsub, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
-    FROM sv) WHERE rn <= $KCodes),
-${(1 to Iterations).map(pqIter).mkString(",")},
-codes AS (
+    FROM ${pfx}sv) WHERE rn <= $KCodes),
+${(1 to Iterations).map(pqIter(_, pfx)).mkString(",")},
+${pfx}codes AS (
   SELECT vec_id, sub, code FROM (
     SELECT s.vec_id, s.sub, c.code,
            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
              ORDER BY ${d2sql("s.qsub", "c.codeword")}, c.code) AS rn
-    FROM sv s JOIN c$Iterations c ON s.sub = c.sub) WHERE rn = 1),
-dtab AS (
+    FROM ${pfx}sv s JOIN ${pfx}c$Iterations c ON s.sub = c.sub) WHERE rn = 1),
+${pfx}dtab AS (
   SELECT f.vec_id AS query_id, c.sub, c.code,
          ${d2sql("f.qsub", "c.codeword")} AS pd2
-  FROM (SELECT * FROM sv WHERE vec_id < $NQueries) f
-  JOIN c$Iterations c ON f.sub = c.sub),
+  FROM (SELECT * FROM ${pfx}sv WHERE vec_id < $NQueries) f
+  JOIN ${pfx}c$Iterations c ON f.sub = c.sub)"""
+
+  private val pqCommonCtes: String = s"""${pqCtes("")},
 approx AS (
   SELECT d.query_id, k.vec_id, CAST(SUM(d.pd2) AS BIGINT) AS approx_d2
   FROM codes k JOIN dtab d ON k.sub = d.sub AND k.code = d.code
