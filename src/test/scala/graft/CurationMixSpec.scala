@@ -140,7 +140,7 @@ class CurationMixSpec extends SparkSpec {
     val rows = graft.text.Curation.tokenBudgetExact(spark, sf).collect()
     assert(rows.nonEmpty)
     val maxDoc = Tables.documents(spark, sf)
-      .agg(max(graft.text.TextOps.estBpeTokens)).head.getLong(0)
+      .agg(max(graft.text.TextOps.estBpeTokens)).head().getLong(0)
     rows.foreach { r =>
       val sel = r.getAs[Long]("selected_tokens")
       val budget = r.getAs[Long]("budget")

@@ -9,7 +9,7 @@ class Scd2PitSpec extends SparkSpec {
 
   test("every order matches exactly one dimension version") {
     val n = Tables.orders(spark, sf).count()
-    val matched = Scd2.pitOrders(spark, sf).agg(sum("n_orders")).head.getLong(0)
+    val matched = Scd2.pitOrders(spark, sf).agg(sum("n_orders")).head().getLong(0)
     assert(matched == n, s"PIT join lost or fanned out orders: $matched vs $n")
   }
 
