@@ -436,7 +436,55 @@ FROM c WHERE cum_before < budget
 GROUP BY source, stratum_tokens, budget
 ORDER BY source"""
 
+  // -------------------------------------------------- dataset splits
+
+  /** Holdout percents: train gets the rest. */
+  val ValPct = 5L
+  val TestPct = 5L
+
+  /** Deterministic train/val/test assignment — the split every eval
+    * pipeline needs to be REPRODUCIBLE and LEAKAGE-FREE: membership is
+    * a pure function of doc_id (md5-derived bucket in [0,100)), so
+    * re-runs, backfills and incremental appends land every document in
+    * the same split forever, with no RNG state to persist. Rolled up
+    * per (source, split) with an id-checksum so the oracle pins the
+    * exact membership, not just the sizes. One aggregation, no
+    * shuffle beyond it. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.estBpeTokens.as("toks"),
+        expr("cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 12), 16, 10) as bigint) % 100")
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TestPct, lit("test"))
+          .when(col("bucket") < TestPct + ValPct, lit("val"))
+          .otherwise(lit("train")))
+    d.groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").cast(LongType).as("n_tokens"),
+        sum("doc_id").cast(LongType).as("id_checksum"))
+      .orderBy("source", "split")
+  }
+
+  lazy val datasetSplitSql: String = s"""
+WITH d AS (
+  SELECT doc_id, source, ${TextOps.estBpeTokensSqlE} AS toks,
+         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) % 100 AS bucket
+  FROM documents)
+SELECT source,
+       CASE WHEN bucket < $TestPct THEN 'test'
+            WHEN bucket < ${TestPct + ValPct} THEN 'val'
+            ELSE 'train' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM d
+GROUP BY source, split
+ORDER BY source, split"""
+
   val inventory: Map[String, Q] = Map(
+    "dataset_split"           -> (datasetSplit _),
     "token_budget_exact"      -> (tokenBudgetExact _),
     "source_accounting"       -> (sourceAccounting _),
     "temperature_mix"         -> (temperatureMix _),
@@ -447,6 +495,7 @@ ORDER BY source"""
     "corpus_token_accounting" -> (corpusTokenAccounting _))
 
   val oracle: Map[String, String] = Map(
+    "dataset_split"           -> datasetSplitSql,
     "token_budget_exact"      -> tokenBudgetExactSql,
     "source_accounting"       -> sourceAccountingSql,
     "temperature_mix"         -> temperatureMixSql,

@@ -135,6 +135,25 @@ class CurationMixSpec extends SparkSpec {
     assert(got == naive, s"bucketed cut diverged from the total-order cut:\n$got\nvs\n$naive")
   }
 
+  test("dataset split partitions the corpus with stable membership") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.Curation.datasetSplit(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n, "splits must partition all docs")
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // train must dominate: 90% in expectation, and with this corpus
+    // size at least a strict majority per source
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val bySplit = rs.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+      val tot = bySplit.values.sum
+      assert(bySplit.getOrElse("train", 0L) * 2 > tot, s"$src: train not a majority")
+    }
+    // membership is a pure function of doc_id: a second run is identical
+    val again = graft.text.Curation.datasetSplit(spark, sf).collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("exact-cut budget lands within one document of the target") {
     import org.apache.spark.sql.functions._
     val rows = graft.text.Curation.tokenBudgetExact(spark, sf).collect()
