@@ -129,21 +129,26 @@ object Ivf {
     * instead of recomputing cell means). */
   def buildIndexFull(spark: SparkSession, dir: String, k: Int = 16,
                      iterations: Int = 3): IvfIndex = {
-    // persisted because Lloyd makes iterations+1 full passes (one argmin
-    // + cell-mean job per iteration, then the final assignment): the
-    // collection is read from the source once and served from
-    // executor-local storage after that — the cache IS the index's
-    // backing store, sized at one copy of the collection and evictable
-    // (MEMORY_AND_DISK via StorageLevel default) under pressure
+    // persisted for the Lloyd loop only (iterations × one argmin +
+    // cell-mean job, each collecting bounded k·dim state) and RELEASED
+    // before returning: a loop that rebuilds the index repeatedly must
+    // not accumulate cached copies of the collection (the pq_search
+    // variant of this leak shut down the 100× ladder's SparkContext).
+    // The returned assignments recompute from the source in one scan +
+    // one argmin per downstream action — centroids are driver-side
+    // constants by then.
     val vecs = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .persist()
-    val centroids = lloyd(vecs, k, iterations)
+    val centroids =
+      try lloyd(vecs, k, iterations)
+      finally vecs.unpersist(false)
     val centroidDf = spark.createDataFrame(
       centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) })
       .toDF("cell", "centroid")
+    val raw = Tables.embeddings(spark, dir)
     IvfIndex(
-      assign(vecs, centroids).select(col("vec_id"), col("embedding"), col("cell")),
+      assign(raw, centroids).select(col("vec_id"), col("embedding"), col("cell")),
       centroidDf)
   }
 

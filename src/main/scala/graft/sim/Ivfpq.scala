@@ -32,8 +32,8 @@ object Ivfpq {
   def search(spark: SparkSession, dir: String): DataFrame = {
     val idx = Ivf.buildIndexFull(spark, dir, Ivf.K)
     // PQ codebook + encoding over the same collection
-    val sv = Pq.subvecs(Tables.embeddings(spark, dir)).persist()
-    val cent = Pq.codebook(sv)
+    val sv = Pq.subvecs(Tables.embeddings(spark, dir))
+    val cent = Pq.trainedCodebook(spark, sv)
     val codes = Pq.assignCodes(sv, cent).select("vec_id", "sub", "code")
     // coarse probe: nprobe nearest cells per query (the Ivf.search plan)
     val queries = Tables.embeddings(spark, dir)
@@ -80,9 +80,7 @@ object Ivfpq {
     val exact = vecs.select(col("vec_id"), qe.as("qv"))
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("d2", expr(
-        """aggregate(zip_with(qq, qv, (x, y) -> (x - y) * (x - y)),
-          |          cast(0 as bigint), (a, v) -> a + v)""".stripMargin))
+      .withColumn("d2", graft.functions.QL2.of(col("qq"), col("qv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))))
       .filter(col("rank") <= Pq.TopK)

@@ -58,9 +58,11 @@ object Pq {
         expr(s"transform(slice(embedding, sub * $SubDim + 1, $SubDim), x -> ${qz("x")})")
           .as("qsub"))
 
-  private[sim] val subD2 = expr(
-    """aggregate(zip_with(qsub, codeword, (x, y) -> (x - y) * (x - y)),
-      |          cast(0 as bigint), (a, v) -> a + v)""".stripMargin)
+  /** Hot-path distance: native [[graft.functions.QL2]] over the
+    * already-quantized subvector and codeword (the HOF twin stays in
+    * the oracles). */
+  private[sim] val subD2 =
+    graft.functions.QL2.of(col("qsub"), col("codeword"))
 
   /** Nearest codeword per (vec_id, sub): broadcast codebook join +
     * min(struct(d2, code, ...)) — tie-break (d2, lowest code), no
@@ -98,13 +100,34 @@ object Pq {
     }
   }
 
+  /** Train the codebook and MATERIALIZE it to a literal M·K-row frame.
+    * The subvector frame is persisted only for the Lloyd collect and
+    * released before returning — a serving/bench loop that builds the
+    * index repeatedly must not accumulate cached lineage (the round-9
+    * 100× ladder lost its SparkContext to exactly that: seven
+    * unreleased 4M-row cached frames from seven back-to-back searches
+    * OOM'd an executor thread and every subsequent operator died with
+    * "SparkContext was shut down"). Downstream encode/search is then
+    * ONE pass over the re-read collection against driver-side
+    * constants — the same shape [[Ivf.lloyd]] always had. */
+  private[sim] def trainedCodebook(spark: SparkSession, svRaw: DataFrame): DataFrame = {
+    val sv = svRaw.persist()
+    val rows =
+      try codebook(sv).collect()
+      finally sv.unpersist(false)
+    import spark.implicits._
+    rows.toSeq
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getAs[Seq[Long]]("codeword").toList))
+      .toDF("sub", "code", "codeword")
+  }
+
   /** ADC top-k search over the PQ-encoded collection: per-query 8×16
     * integer distance table (broadcast) → code-column equi-join →
     * partial-combined SUM → top-k by exact integer distance. */
   def search(spark: SparkSession, dir: String): DataFrame = {
     val sv = subvecs(Tables.embeddings(spark, dir))
-      .persist() // Lloyd makes Iterations+1 passes + the encode pass
-    val cent = codebook(sv)
+    val cent = trainedCodebook(spark, sv)
     val codes = assignCodes(sv, cent).select("vec_id", "sub", "code")
     val dtab = sv.filter(col("vec_id") < NQueries)
       .withColumnRenamed("vec_id", "query_id")
@@ -132,8 +155,8 @@ object Pq {
     * that buys back the recall the 8-byte codes give up. The exact
     * stage touches Shortlist·queries rows, never the collection. */
   def searchRerank(spark: SparkSession, dir: String): DataFrame = {
-    val sv = subvecs(Tables.embeddings(spark, dir)).persist()
-    val cent = codebook(sv)
+    val sv = subvecs(Tables.embeddings(spark, dir))
+    val cent = trainedCodebook(spark, sv)
     val codes = assignCodes(sv, cent).select("vec_id", "sub", "code")
     val dtab = sv.filter(col("vec_id") < NQueries)
       .withColumnRenamed("vec_id", "query_id")
@@ -155,9 +178,7 @@ object Pq {
     shortlist
       .join(cand, "vec_id")
       .join(broadcast(queries), "query_id")
-      .withColumn("d2", expr(
-        """aggregate(zip_with(qq, qv, (x, y) -> (x - y) * (x - y)),
-          |          cast(0 as bigint), (a, v) -> a + v)""".stripMargin))
+      .withColumn("d2", graft.functions.QL2.of(col("qq"), col("qv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))))
       .filter(col("rank") <= TopK)
@@ -188,9 +209,7 @@ object Pq {
     vecs.select(col("vec_id"), qe.as("qv"))
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("d2", expr(
-        """aggregate(zip_with(qq, qv, (x, y) -> (x - y) * (x - y)),
-          |          cast(0 as bigint), (a, v) -> a + v)""".stripMargin))
+      .withColumn("d2", graft.functions.QL2.of(col("qq"), col("qv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))))
       .filter(col("rank") <= TopK)
