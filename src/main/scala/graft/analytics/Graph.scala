@@ -14,10 +14,18 @@ import org.apache.spark.sql.types.LongType
   *
   * Determinism (the hard part of verifying an iterative double-typed
   * algorithm): ranks live as BIGINT in units of 1e-12 — every
-  * per-edge contribution is `(r*w) div out_weight` (floor division of
-  * positives, identical in Spark and DuckDB), the damping update is
+  * per-edge contribution is floor(r·w/ow) computed WITHOUT forming
+  * the raw product: `(r div ow)*w + ((r mod ow)*w) div ow` (an exact
+  * identity for non-negative integers; floor division of positives is
+  * identical in Spark and DuckDB), the damping update is
   * `(15*INIT) div 100 + (85*Σ) div 100`, so five iterations stay
   * bit-exact across engines and partition orders. No floats anywhere.
+  * The split form bounds intermediates by max(r, ow·w) instead of
+  * r·w: a direct `(r*w) div ow` overflows Long once concentrated rank
+  * (~|V|·1e12) meets large edge weights, wrapping silently in Spark
+  * (ANSI off) while DuckDB errors — the split keeps the contract to
+  * any scale with ow < ~3e9 (√Long.MaxValue; a 100 TB lineitem count
+  * per source nation sits well under that).
   *
   * Scale posture: the edge build pays ONE big-big shuffle (lineitem ⋈
   * orders on the order key) with every dim broadcast; edges aggregate
@@ -48,7 +56,8 @@ object Graph {
     for (_ <- 1 to iters) {
       val contrib = ew.join(ranks, ew("src") === ranks("node"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(expr("(r * w) div ow")).cast(LongType).as("contrib"))
+        .agg(sum(expr("(r div ow) * w + ((r % ow) * w) div ow"))
+          .cast(LongType).as("contrib"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(15L * RankInit / 100L) +
@@ -85,7 +94,7 @@ object Graph {
   SELECT n.node,
          CAST((15 * $RankInit) // 100 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS r
   FROM nodes n LEFT JOIN (
-    SELECT e.dst AS node, CAST(SUM((r.r * e.w) // e.ow) AS BIGINT) AS contrib
+    SELECT e.dst AS node, CAST(SUM((r.r // e.ow) * e.w + ((r.r % e.ow) * e.w) // e.ow) AS BIGINT) AS contrib
     FROM ew e JOIN r${i - 1} r ON e.src = r.node
     GROUP BY e.dst) c ON n.node = c.node)"""
     }.mkString(",\n")

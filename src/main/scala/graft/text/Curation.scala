@@ -389,13 +389,20 @@ ORDER BY source"""
     val cum = hist
       .withColumn("cum_before_bucket", coalesce(sum("bucket_toks").over(wb), lit(0L)))
       .join(broadcast(budgets.select("source", "budget")), "source")
+    // fullIn is STRICTLY below the boundary: a bucket landing exactly
+    // on the budget (cum + toks == budget) goes through the straddle
+    // window, whose per-doc strict `cum_before < budget` rule matches
+    // the naive oracle membership exactly — with `<=` here a zero-token
+    // doc sitting at the boundary (cum_before == budget) would be
+    // selected by the bucketed form but excluded by the oracle, and a
+    // zero-budget source would select its zero-token docs via 0+0 <= 0.
     val fullIn = d.join(broadcast(
-        cum.filter(col("cum_before_bucket") + col("bucket_toks") <= col("budget"))
+        cum.filter(col("cum_before_bucket") + col("bucket_toks") < col("budget"))
           .select("source", "bucket")),
         Seq("source", "bucket"))
       .select("doc_id", "source", "toks")
     val straddle = cum.filter(col("cum_before_bucket") < col("budget")
-        && col("cum_before_bucket") + col("bucket_toks") > col("budget"))
+        && col("cum_before_bucket") + col("bucket_toks") >= col("budget"))
       .select("source", "bucket", "cum_before_bucket", "budget")
     val wd = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -127,18 +127,21 @@ object Scd2 {
     *
     * Scale posture: the join is an EQUI-join on the customer key with
     * the interval predicate applied post-match — a hash/sort-merge
-    * join at any scale, never a nested-loop range join — and the dim
-    * side (customer-grain, ~2 versions/key) broadcasts while small;
-    * on a 1000-executor cluster the same plan degrades gracefully to
-    * shuffle-hash on the key. One window over the dim (dim-sized
-    * shuffle) builds the intervals; the fact is touched once. */
+    * join at any scale, never a nested-loop range join. The dim side
+    * carries NO broadcast hint: the planner broadcasts it while it
+    * fits the threshold and degrades to a key-shuffled join when the
+    * customer dimension outgrows executor memory (a forced hint would
+    * broadcast an arbitrarily large dimension and OOM the driver at
+    * scale; PlanSpec asserts the plan never falls back to a
+    * nested-loop). One window over the dim (dim-sized shuffle) builds
+    * the intervals; the fact is touched once. */
   def pitOrders(spark: SparkSession, dir: String): DataFrame = {
     val hist = pitHistory(spark, dir)
     val dim = fromHistory(hist, "c_custkey", "changed_on")
     val o = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
         col("o_totalprice"))
-    o.join(broadcast(dim),
+    o.join(dim,
         o("o_custkey") === dim("c_custkey")
           && dim("effective_date") <= col("d") && col("d") < dim("end_date"))
       .groupBy(col("segment"), year(col("d")).cast(LongType).as("order_year"))
