@@ -158,6 +158,24 @@ object Ivf {
                  iterations: Int = 3): DataFrame =
     buildIndexFull(spark, dir, k, iterations).assignments
 
+  /** The SERVE path: the persisted index at the registered operating
+    * point (k=[[K]], iterations=[[Iterations]]) — centroids plus the
+    * inverted lists WITH their vectors (an IVF index stores the
+    * vectors in its lists; that duplication is the index). First touch
+    * (or a moved collection fingerprint) runs [[buildIndexFull]] and
+    * persists; every later search is joins against the stored parquet,
+    * no Lloyd anywhere on the query path. */
+  def index(spark: SparkSession, dir: String): IvfIndex = {
+    val t = IndexStore.loadOrBuild(spark, dir, "ivf",
+      s"ivf-v1-k$K-it$Iterations",
+      IndexStore.embeddingsFingerprint(spark, dir),
+      Seq("assignments", "centroids")) {
+      val b = buildIndexFull(spark, dir, K, Iterations)
+      Map("assignments" -> b.assignments, "centroids" -> b.centroids)
+    }
+    IvfIndex(t("assignments"), t("centroids"))
+  }
+
   /** Top-k search probing the `nprobe` nearest cells per query. Queries
     * are the first `nQueries` vectors (self excluded), as in
     * [[Similarity.annCosineTopK]] — so recall against the exact result is
@@ -171,7 +189,9 @@ object Ivf {
     */
   def search(spark: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
              topK: Int = 10, nQueries: Int = 5): DataFrame = {
-    val idx = buildIndexFull(spark, dir, k)
+    // at the registered operating point, serve from the persisted
+    // index; a non-default k is an experiment — build inline
+    val idx = if (k == K) index(spark, dir) else buildIndexFull(spark, dir, k)
     // queries never use `cell` — read the raw table instead of
     // idx.assignments so the k-candidate argmin isn't evaluated a
     // second time just to be projected away
@@ -291,9 +311,28 @@ WHERE rank <= $TopK"""
     * assignments; same build as [[search]], so the oracle shares the
     * Lloyd-replay CTEs verbatim. */
   def cells(spark: SparkSession, dir: String, k: Int = K): DataFrame =
-    buildIndexFull(spark, dir, k).assignments
+    (if (k == K) index(spark, dir) else buildIndexFull(spark, dir, k))
+      .assignments
       .groupBy("cell")
       .agg(count(lit(1)).as("cell_size"), min("vec_id").as("min_vec_id"))
+
+  /** The persisted coarse-quantizer centroids, exploded to scalar
+    * (cell, dim, comp) grain — the stored artifact's oracle face: the
+    * replay retrains, so hash-equality proves the parquet on disk is
+    * the deterministic Lloyd result. */
+  def indexCentroids(spark: SparkSession, dir: String): DataFrame =
+    index(spark, dir).centroids
+      .select(col("cell").cast("int").as("cell"),
+        posexplode(col("centroid")).as(Seq("dim", "comp")))
+      .select(col("cell"), col("dim").cast("int").as("dim"),
+        col("comp").cast("bigint").as("comp"))
+
+  val ivfIndexCentroidsSql: String = s"""
+WITH $ivfCommonCtes
+SELECT CAST(cell AS INT) AS cell,
+       CAST(generate_subscripts(centroid, 1) - 1 AS INT) AS dim,
+       CAST(unnest(centroid) AS BIGINT) AS comp
+FROM c$Iterations"""
 
   val ivfCellsSql: String = s"""
 WITH $ivfCommonCtes
@@ -338,10 +377,12 @@ ORDER BY e.query_id"""
   val inventory: Map[String, Q] = Map(
     "ivf_search" -> ((s, dir) => search(s, dir, K, NProbe, TopK, NQueries)),
     "ivf_cells"  -> ((s, dir) => cells(s, dir, K)),
-    "ivf_recall" -> (recallVsExact _))
+    "ivf_recall" -> (recallVsExact _),
+    "ivf_index_centroids" -> (indexCentroids _))
 
   val oracle: Map[String, String] = Map(
     "ivf_search" -> ivfSearchSql,
     "ivf_cells"  -> ivfCellsSql,
-    "ivf_recall" -> ivfRecallSql)
+    "ivf_recall" -> ivfRecallSql,
+    "ivf_index_centroids" -> ivfIndexCentroidsSql)
 }

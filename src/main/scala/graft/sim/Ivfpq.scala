@@ -29,12 +29,18 @@ import org.apache.spark.sql.functions._
 object Ivfpq {
   type Q = (SparkSession, String) => DataFrame
 
-  def search(spark: SparkSession, dir: String): DataFrame = {
-    val idx = Ivf.buildIndexFull(spark, dir, Ivf.K)
-    // PQ codebook + encoding over the same collection
-    val sv = Pq.subvecs(Tables.embeddings(spark, dir))
-    val cent = Pq.trainedCodebook(spark, sv)
-    val codes = Pq.assignCodes(sv, cent).select("vec_id", "sub", "code")
+  /** Serve-path search: BOTH composed indexes load from the store
+    * ([[Ivf.index]], [[Pq.index]]) — first touch builds and persists;
+    * every later query pays only the probe + ADC joins. */
+  def search(spark: SparkSession, dir: String): DataFrame =
+    searchWith(spark, dir, Ivf.index(spark, dir), Pq.index(spark, dir))
+
+  /** Core over prebuilt artifacts, so a caller composing several
+    * probes (e.g. [[recallVsExact]]) loads each index exactly once. */
+  private[sim] def searchWith(spark: SparkSession, dir: String,
+                              idx: Ivf.IvfIndex, pq: Pq.PqIndex): DataFrame = {
+    val cent = pq.codebook
+    val codes = pq.codes
     // coarse probe: nprobe nearest cells per query (the Ivf.search plan)
     val queries = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < Ivf.NQueries)
@@ -53,7 +59,8 @@ object Ivfpq {
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
     // ADC over the pruned candidates only
-    val dtab = sv.filter(col("vec_id") < Ivf.NQueries)
+    val dtab = Pq.subvecs(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < Ivf.NQueries))
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cent), "sub")
       .withColumn("pd2", Pq.subD2)
@@ -71,7 +78,8 @@ object Ivfpq {
 
   /** Recall@k of IVF-PQ against the exact integer-grid L2 top-k: BOTH
     * approximations (cell pruning + code quantization) priced in one
-    * measured number. */
+    * measured number. Uses [[searchWith]] over one pair of loaded
+    * indexes, so the probe never re-pays an index build. */
   def recallVsExact(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
     val qe = expr(s"transform(embedding, x -> ${Pq.qz("x")})")
@@ -85,7 +93,7 @@ object Ivfpq {
         Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))))
       .filter(col("rank") <= Pq.TopK)
       .select("query_id", "vec_id")
-    val approx = search(spark, dir)
+    val approx = searchWith(spark, dir, Ivf.index(spark, dir), Pq.index(spark, dir))
       .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
     exact.join(approx, Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")

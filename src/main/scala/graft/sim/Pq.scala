@@ -122,19 +122,59 @@ object Pq {
       .toDF("sub", "code", "codeword")
   }
 
+  /** The trained artifact pair a serving tier stores: the M·K codebook
+    * and the 8-codes-per-vector encoding. */
+  final case class PqIndex(codebook: DataFrame, codes: DataFrame)
+
+  /** The BUILD path: train the codebook (fixed-iteration Lloyd per
+    * subspace) and encode the whole collection — the multi-pass job a
+    * deployment runs once per collection vintage. */
+  def buildIndex(spark: SparkSession, dir: String): PqIndex =
+    buildIndexOver(spark, Tables.embeddings(spark, dir))
+
+  /** Build core over any (vec_id, embedding) frame (spec surface). */
+  private[graft] def buildIndexOver(spark: SparkSession, vecs: DataFrame): PqIndex = {
+    val sv = subvecs(vecs)
+    val cent = trainedCodebook(spark, sv)
+    PqIndex(cent, assignCodes(sv, cent).select("vec_id", "sub", "code"))
+  }
+
+  /** Everything that shapes the stored layout, in the version string:
+    * a changed hyperparameter must never serve a stale artifact. */
+  private def indexVersion = s"pq-v1-m$M-d$SubDim-k$KCodes-it$Iterations"
+
+  /** The SERVE path: load the persisted index (build+persist on first
+    * touch or when the collection fingerprint moved) — search cost is
+    * then the ADC plan alone, decoupled from training. */
+  def index(spark: SparkSession, dir: String): PqIndex = {
+    val t = IndexStore.loadOrBuild(spark, dir, "pq", indexVersion,
+      IndexStore.embeddingsFingerprint(spark, dir), Seq("codebook", "codes")) {
+      val b = buildIndex(spark, dir)
+      Map("codebook" -> b.codebook, "codes" -> b.codes)
+    }
+    PqIndex(t("codebook"), t("codes"))
+  }
+
   /** ADC top-k search over the PQ-encoded collection: per-query 8×16
     * integer distance table (broadcast) → code-column equi-join →
-    * partial-combined SUM → top-k by exact integer distance. */
-  def search(spark: SparkSession, dir: String): DataFrame = {
-    val sv = subvecs(Tables.embeddings(spark, dir))
-    val cent = trainedCodebook(spark, sv)
-    val codes = assignCodes(sv, cent).select("vec_id", "sub", "code")
-    val dtab = sv.filter(col("vec_id") < NQueries)
+    * partial-combined SUM → top-k by exact integer distance. Runs
+    * against the PERSISTED index — the plan touches the codes table
+    * and the query rows, never retrains. */
+  def search(spark: SparkSession, dir: String): DataFrame =
+    searchCore(Tables.embeddings(spark, dir), index(spark, dir))
+
+  /** Inline-trained twin over an arbitrary frame (spec surface — the
+    * store is bypassed so adversarial corpora never touch it). */
+  private[graft] def searchOver(spark: SparkSession, vecs: DataFrame): DataFrame =
+    searchCore(vecs, buildIndexOver(spark, vecs))
+
+  private[sim] def searchCore(queryVecs: DataFrame, idx: PqIndex): DataFrame = {
+    val dtab = subvecs(queryVecs.filter(col("vec_id") < NQueries))
       .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(cent), "sub")
+      .join(broadcast(idx.codebook), "sub")
       .withColumn("pd2", subD2)
       .select("query_id", "sub", "code", "pd2")
-    codes.join(broadcast(dtab), Seq("sub", "code"))
+    idx.codes.join(broadcast(dtab), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum("pd2").cast("bigint").as("approx_d2"))
@@ -154,16 +194,17 @@ object Pq {
     * are fetched and exactly re-ranked — the standard two-stage recipe
     * that buys back the recall the 8-byte codes give up. The exact
     * stage touches Shortlist·queries rows, never the collection. */
-  def searchRerank(spark: SparkSession, dir: String): DataFrame = {
-    val sv = subvecs(Tables.embeddings(spark, dir))
-    val cent = trainedCodebook(spark, sv)
-    val codes = assignCodes(sv, cent).select("vec_id", "sub", "code")
-    val dtab = sv.filter(col("vec_id") < NQueries)
+  def searchRerank(spark: SparkSession, dir: String): DataFrame =
+    searchRerankCore(spark, dir, index(spark, dir))
+
+  private def searchRerankCore(spark: SparkSession, dir: String,
+                               idx: PqIndex): DataFrame = {
+    val dtab = subvecs(Tables.embeddings(spark, dir).filter(col("vec_id") < NQueries))
       .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(cent), "sub")
+      .join(broadcast(idx.codebook), "sub")
       .withColumn("pd2", subD2)
       .select("query_id", "sub", "code", "pd2")
-    val shortlist = codes.join(broadcast(dtab), Seq("sub", "code"))
+    val shortlist = idx.codes.join(broadcast(dtab), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum("pd2").cast("bigint").as("approx_d2"))
@@ -229,6 +270,25 @@ object Pq {
         (col("n_hits").cast("double") / lit(TopK.toDouble)).as("recall_at_k"))
       .orderBy("query_id")
   }
+
+  /** The persisted codebook, exploded to scalar (sub, code, dim, comp)
+    * grain — the oracle-checkable face of the STORED artifact: the
+    * DuckDB replay retrains from scratch, so hash-equality proves the
+    * parquet on disk IS the deterministic training result (catching a
+    * stale or corrupted store, not just a wrong formula). */
+  def indexCodebook(spark: SparkSession, dir: String): DataFrame =
+    index(spark, dir).codebook
+      .select(col("sub"), col("code"),
+        posexplode(col("codeword")).as(Seq("dim", "comp")))
+      .select(col("sub"), col("code"), col("dim").cast("int").as("dim"),
+        col("comp").cast("bigint").as("comp"))
+
+  /** The persisted encoding — one row per (vec_id, subspace) with the
+    * trained code. THE serving table (8 bytes/vector); data-sized by
+    * design, exactly what an in-RAM ADC tier loads. */
+  def indexCodes(spark: SparkSession, dir: String): DataFrame =
+    index(spark, dir).codes
+      .select(col("vec_id"), col("sub"), col("code").cast("int").as("code"))
 
   // ------------------------------------------------------------- oracle
 
@@ -356,15 +416,30 @@ FROM exact e LEFT JOIN rr p ON e.query_id = p.query_id AND e.vec_id = p.vec_id
 GROUP BY e.query_id
 ORDER BY e.query_id"""
 
+  val pqIndexCodebookSql: String = s"""
+WITH ${pqCtes("")}
+SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+       CAST(generate_subscripts(codeword, 1) - 1 AS INT) AS dim,
+       CAST(unnest(codeword) AS BIGINT) AS comp
+FROM c$Iterations"""
+
+  val pqIndexCodesSql: String = s"""
+WITH ${pqCtes("")}
+SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code FROM codes"""
+
   val inventory: Map[String, Q] = Map(
-    "pq_search"        -> (search _),
-    "pq_search_rerank" -> (searchRerank _),
-    "pq_recall"        -> (recallVsExact _),
-    "pq_rerank_recall" -> (rerankRecall _))
+    "pq_search"         -> (search _),
+    "pq_search_rerank"  -> (searchRerank _),
+    "pq_recall"         -> (recallVsExact _),
+    "pq_rerank_recall"  -> (rerankRecall _),
+    "pq_index_codebook" -> (indexCodebook _),
+    "pq_index_codes"    -> (indexCodes _))
 
   val oracle: Map[String, String] = Map(
-    "pq_search"        -> pqSearchSql,
-    "pq_search_rerank" -> pqSearchRerankSql,
-    "pq_recall"        -> pqRecallSql,
-    "pq_rerank_recall" -> pqRerankRecallSql)
+    "pq_search"         -> pqSearchSql,
+    "pq_search_rerank"  -> pqSearchRerankSql,
+    "pq_recall"         -> pqRecallSql,
+    "pq_rerank_recall"  -> pqRerankRecallSql,
+    "pq_index_codebook" -> pqIndexCodebookSql,
+    "pq_index_codes"    -> pqIndexCodesSql)
 }

@@ -42,8 +42,24 @@ class PqSpec extends SparkSpec {
   }
 
   test("search is deterministic under input repartitioning") {
-    val a = Pq.search(spark, sf).collect().toSeq
-    val b = Pq.search(spark, sf).collect().toSeq
+    // inline-trained core (store bypassed) so the SECOND run really
+    // re-trains and re-encodes over a differently-partitioned frame —
+    // the property is that partition order cannot perturb training,
+    // encoding, or ADC ranking (exact integer sums + total tie-breaks)
+    val vecs = Tables.embeddings(spark, sf)
+    val a = Pq.searchOver(spark, vecs).collect().toSeq
+    val b = Pq.searchOver(spark, vecs.repartition(7)).collect().toSeq
     assert(a == b)
+  }
+
+  test("store round-trip: served index equals a fresh inline build") {
+    val idx = Pq.index(spark, sf)
+    val fresh = Pq.buildIndex(spark, sf)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(idx.codes) == canon(fresh.codes))
+    assert(canon(idx.codebook) == canon(fresh.codebook))
+    // second load is a cache hit serving the SAME artifact
+    assert(canon(Pq.index(spark, sf).codes) == canon(idx.codes))
   }
 }
