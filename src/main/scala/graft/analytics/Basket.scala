@@ -10,13 +10,25 @@ import org.apache.spark.sql.types._
   * "frequently bought together" (the reference's dashboards show
   * category mixes but never compute co-occurrence).
   *
-  * Scale posture: the pair generation is a SELF-JOIN CO-PARTITIONED ON
-  * THE ORDER KEY — both sides shuffle once on l_orderkey and pairs
-  * materialize inside each order's join group, so the fanout per order
-  * is C(items, 2) with items bounded by order size (≤ 7 lineitems
-  * here; small in any retail schema), never corpus-quadratic. The
-  * pair aggregation partial-combines, and the final ranking is a
-  * distributed top-k (TakeOrderedAndProject). Item and order totals
+  * Scale posture: ONE order-key shuffle builds each basket's sorted
+  * distinct item array and pairs materialize inside it via a
+  * combination HOF — fanout per order is C(items, 2), never
+  * corpus-quadratic (measured faster than the codegen'd co-partitioned
+  * self-join alternative, whose per-partition sorts dominate at 30×).
+  * The remaining scale cost is the pair STREAM (C(7,2)·orders rows for
+  * 20 output rows) flowing through the partial-combined count; the
+  * a-priori support bound prunes it when the corpus is skewed enough
+  * to bite: a pair's count is ≤ min of its items' order counts, so a
+  * pair in the global top-20 needs BOTH items' supports ≥ T, the
+  * 20th-best pair count. T is unknown up front, but any cheaply
+  * derived lower bound c ≤ T gives an EXACT prune: pass 1 counts pairs
+  * among only the [[TopItemsForBound]] highest-occurrence items (a
+  * tiny pre-shuffle-filtered stream) and takes its 20th-best count as
+  * c; pass 2 then counts pairs over only items with occurrences ≥ c —
+  * a superset of every possible top-20 pair, so the final top-20 is
+  * bit-identical to the unpruned answer (the all-pairs DuckDB oracle
+  * machine-proves exactly that), while BOTH the basket shuffle and the
+  * pair stream shrink to the frequent-item mass. Item and order totals
   * for the lift denominator arrive via broadcast.
   *
   * Determinism: support and lift are single-rounding double expressions
@@ -25,31 +37,87 @@ import org.apache.spark.sql.types._
 object Basket {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Pass-1 candidate pool: pairs among this many top-support items
+    * derive the prune bound. C(100,2) ≈ 5k candidate keys — bounded
+    * work at any corpus size. */
+  val TopItemsForBound = 100
+
+  /** Output depth (the reference's dashboards page 20 rows). */
+  val TopPairs = 20
+
+  /** Largest frequent-item set worth broadcasting (~32 MB of longs);
+    * beyond it the prune falls back to the unpruned plan. */
+  val MaxBroadcastItems = 4000000L
+
+  /** Prune only when the frequent set is at most 1/this of the item
+    * universe — a no-op prune on a near-uniform corpus would add a
+    * broadcast join without removing anything. */
+  val PruneSelectivity = 4L
+
   def basketPairs(spark: SparkSession, dir: String): DataFrame =
     basketPairsOver(Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")))
 
   private[graft] def basketPairsOver(li: DataFrame): DataFrame = {
-    // ONE shuffle on the order key builds each basket's sorted distinct
-    // item array; pairs then materialize INSIDE the array via a
-    // combination HOF (quadratic only in basket size), skipping the
-    // self-join's second order-key shuffle and the separate distinct —
-    // measured ~2 data shuffles instead of 4 for identical output
-    val baskets = li.groupBy("l_orderkey")
+    // raw OCCURRENCE counts per item (not distinct supports): a cheap
+    // partial-combined aggregate used only to choose pass-1 candidates
+    // and the prune set. Valid for both because occurrences ≥ distinct
+    // supports ≥ any pair count involving the item.
+    val occ = li.groupBy("l_partkey").agg(count(lit(1)).as("occ"))
+    // ONE order-key shuffle builds each basket's sorted distinct item
+    // array; pairs materialize INSIDE the array via a combination HOF
+    // (quadratic only in basket size — measured faster here than a
+    // co-partitioned self-join, whose per-partition sorts dominate),
+    // then a partial-combined count
+    def basketsOf(src: DataFrame): DataFrame = src
+      .groupBy("l_orderkey")
       .agg(array_sort(collect_set("l_partkey")).as("parts"))
+    def pairsOf(src: DataFrame): DataFrame = basketsOf(src)
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_orders"))
+    // pass 1 — the bound: the 20th-best count among pairs of the
+    // TopItemsForBound highest-occurrence items is ≤ the global
+    // 20th-best (subset ordering), so pruning on it is EXACT. The
+    // candidate corpus filters BEFORE any shuffle, so pass-1 cost is
+    // those items' occurrence mass, never the corpus.
+    val topItems = occ.orderBy(col("occ").desc, col("l_partkey").asc)
+      .limit(TopItemsForBound).select("l_partkey")
+    val cand = pairsOf(li.join(broadcast(topItems), "l_partkey"))
+      .orderBy(col("pair_orders").desc, col("part_a").asc, col("part_b").asc)
+      .limit(TopPairs).collect()
+    val bound = if (cand.length == TopPairs) cand.last.getAs[Long]("pair_orders") else 0L
+    // pass 2 — prune only when it BITES: the frequent set must be
+    // broadcastable AND a small fraction of the item universe (on a
+    // near-uniform corpus every item clears a low bound, and a no-op
+    // prune would only add a join). Fallback = the unpruned plan,
+    // bit-identical output either way.
+    val stats = occ.agg(count(lit(1)).as("n_items"),
+      sum(when(col("occ") >= bound, 1L).otherwise(0L)).as("n_freq")).head()
+    val nItems = stats.getLong(0)
+    val nFreq = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val usePrune = bound > 1L && nFreq <= MaxBroadcastItems &&
+      nFreq * PruneSelectivity <= nItems
+    val cnt =
+      if (usePrune)
+        pairsOf(li.join(
+          broadcast(occ.filter(col("occ") >= bound).select("l_partkey")),
+          "l_partkey"))
+      else pairsOf(li)
+    // exact corpus statistics for support/lift always come from the
+    // UNPRUNED corpus; in the unpruned case this basket subtree is
+    // identical to cnt's and the physical planner reuses one exchange
+    val baskets = basketsOf(li)
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val itemN = baskets
       .select(explode(col("parts")).as("l_partkey"))
       .groupBy("l_partkey").agg(count(lit(1)).as("item_orders"))
-    val pairs = baskets.select(explode(expr(
-      """flatten(transform(parts, (x, i) ->
-        |  transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"""
-        .stripMargin)).as("p"))
-      .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
-    val cnt = pairs.groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_orders"))
     val top = cnt
       .orderBy(col("pair_orders").desc, col("part_a").asc, col("part_b").asc)
-      .limit(20)
+      .limit(TopPairs)
     // broadcast the 20-ROW side, never the catalog-sized item counts:
     // at 100 TB `itemN` is every part in the catalog
     val withA = broadcast(top)

@@ -25,6 +25,33 @@ class BasketRfmSpec extends SparkSpec {
       Set((10L, 20L), (10L, 30L)))
   }
 
+  test("a-priori prune is exact on a corpus where the bound activates") {
+    // 30 pairs each co-occurring in 3 orders (so pass 1 derives bound=3)
+    // plus 300 one-off pairs — enough rare items that the selectivity
+    // guard fires (60 frequent items ≤ 660/4) and pass 2 REALLY prunes;
+    // the prune must discard the rare pairs WITHOUT perturbing the top-20
+    val frequent = (0 until 30).flatMap { i =>
+      (0 until 3).flatMap { r =>
+        val o = (i * 3 + r).toLong
+        Seq((o, 2L * i), (o, 2L * i + 1))
+      }
+    }
+    val rare = (0 until 300).flatMap { j =>
+      Seq((1000L + j, 1000L + j), (1000L + j, 5000L + j))
+    }
+    val li = (frequent ++ rare).toDF("l_orderkey", "l_partkey")
+    val rows = Basket.basketPairsOver(li).collect()
+    assert(rows.length == Basket.TopPairs)
+    assert(rows.forall(_.getAs[Long]("pair_orders") == 3L))
+    // top-20 under (count desc, part_a, part_b): the 20 smallest pairs
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0 until 20).map(i => (2L * i, 2L * i + 1)))
+    // lift denominator still uses TRUE (unpruned) totals: 390 orders
+    // (90 frequent + 300 rare), each frequent item in 3 of them
+    assert(rows.forall(_.getAs[Long]("orders_a") == 3L))
+    assert(rows.forall(_.getAs[Double]("support") == 3.0 / 390.0))
+  }
+
   test("basket pairs plan: co-partitioned self-join plus a top-k") {
     val plan = Basket.basketPairs(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
