@@ -344,10 +344,25 @@ FROM s GROUP BY bucket"""
     * drives the same banding over a clone-pile corpus and asserts the
     * recall/selectivity numbers, and the jittered-replica ScaleGen
     * rungs measure it at 50k/150k vectors. */
-  def annLshDedupPairs(spark: SparkSession, dir: String): DataFrame = {
+  def annLshDedupPairs(spark: SparkSession, dir: String): DataFrame =
+    annLshDedupPairsAt(spark, dir, 0.8)
+
+  /** The dedup-grade operating point at a caller-chosen rescore
+    * threshold (same mass-adaptive banding; the threshold only gates
+    * the exact rescore, so EVERY registered threshold shares the
+    * verified candidate machinery). The 0.45 registration exists
+    * because the 0.8 row is VACUOUSLY green on the driver corpus —
+    * measured max pairwise cosine is 0.51 (sf0.01) / 0.60 (sf0.1), so
+    * both engines agree on the empty set, which proves the banding
+    * only at the 100× clone-pile rungs. 0.45 is the highest round
+    * threshold that is output-BEARING at both driver SFs, making the
+    * oracle row a non-trivial hash over surfaced pairs + exact
+    * cosines. */
+  def annLshDedupPairsAt(spark: SparkSession, dir: String,
+                         threshold: Double): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val rows = adaptiveLshRowsByMass(e, e.count())
-    annLshNearDupPairsOver(e, 64 / rows, rows, 0.8, LshBucketCap)
+    annLshNearDupPairsOver(e, 64 / rows, rows, threshold, LshBucketCap)
   }
 
   /** Parameterized form: bands×rows must fit the 64-plane signature;
@@ -465,7 +480,11 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
     * candidates → exact integer rescore as the engine. Structurally
     * cheaper than the per-row lambda form: the md5 sign matrix is a
     * 64×dims CTE computed once and joined, not recomputed per row. */
-  val annLshDedupPairsSql: String = s"""
+  val annLshDedupPairsSql: String = annLshDedupPairsSqlAt(0.8)
+
+  /** The adaptive-depth replay at any rescore threshold (shared by the
+    * 0.8 dedup row and the output-bearing 0.45 row). */
+  def annLshDedupPairsSqlAt(threshold: Double): String = s"""
 WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
 base AS (SELECT CAST(($adaptiveRowsCaseE) AS INT) AS r0, n FROM cnt),
 planes AS (
@@ -520,7 +539,7 @@ SELECT c.vec_a, c.vec_b,
 FROM cand c JOIN vecs x ON c.vec_a = x.vec_id JOIN vecs y ON c.vec_b = y.vec_id
 WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
              i -> ${duckQz("x.embedding[i]")} * ${duckQz("y.embedding[i]")})) AS DOUBLE)
-        / (x.nrm * y.nrm) >= 0.8"""
+        / (x.nrm * y.nrm) >= $threshold"""
 
   /** One materialized CC run per (session, dir) — the iterative label
     * propagation executes jobs eagerly at construction and caches label
@@ -627,6 +646,7 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "ann_lsh_buckets"          -> (annLshBuckets _),
     "ann_lsh_near_dup_pairs_demo" -> (annLshNearDupPairs _),
     "ann_lsh_dedup_pairs"      -> (annLshDedupPairs _),
+    "ann_lsh_dedup_pairs_t45"  -> ((s, d) => annLshDedupPairsAt(s, d, 0.45)),
     "ann_dedup_reps"           -> (annDedupReps _),
     "embedding_quantize"       -> (embeddingQuantize _))
 
@@ -636,6 +656,7 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "ann_lsh_buckets"          -> annLshBucketsSql,
     "ann_lsh_near_dup_pairs_demo" -> annLshNearDupPairsSql,
     "ann_lsh_dedup_pairs"      -> annLshDedupPairsSql,
+    "ann_lsh_dedup_pairs_t45"  -> annLshDedupPairsSqlAt(0.45),
     "ann_dedup_reps"           -> annDedupRepsSql,
     "embedding_quantize"       -> embeddingQuantizeSql)
 }
