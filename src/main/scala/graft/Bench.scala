@@ -122,11 +122,30 @@ object Bench {
       rs.map { case (k, _, _, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val extTotal = extResults.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$TimedRuns,"stat":"median",""" +
+    // Two artifacts from one measurement (round-9 driver artifact had
+    // parsed:null — the full line with ~40 ext ops × 4 maps outgrew the
+    // captured stdout tail window):
+    //  - STDOUT gets ONE compact, always-parseable line: headline
+    //    queries + totals + failure count (the BASELINE.md-comparable
+    //    numbers), with a pointer to the detail file.
+    //  - The FULL detail (ext per-op medians, spreads, row counts)
+    //    goes to docs/BENCH_LAST.json (override: SPARK_GRAFT_BENCH_OUT),
+    //    written BEFORE the stdout line so a tail capture can never
+    //    race the file.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/BENCH_LAST.json")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$TimedRuns,"stat":"median",""" +
       s""""queries":${js(results)},"spread":${sjs(results)},""" +
       s""""ext_total":$extTotal,"ext_queries":${js(extResults)},"ext_spread":${sjs(extResults)},""" +
       s""""ext_rows":${rjs(extResults)},""" +
-      s""""failures":$failures,"sf":"$sfDir"}""")
+      s""""failures":$failures,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$TimedRuns,"stat":"median",""" +
+      s""""queries":${js(results)},"ext_total":$extTotal,""" +
+      s""""failures":$failures,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }
