@@ -102,7 +102,15 @@ object Bench {
     // (WordShingles/MinHashSig/SimHashSig/SrpSig/QDot/TopKBy) is caught
     // round-over-round, not only in the dev-tool BenchExt run. "value"
     // stays the headline total — the BASELINE.md-comparable number.
+    // SPARK_GRAFT_BENCH_SKIP: comma-separated ext ops to leave out of a
+    // run (a scale-ladder knob — e.g. the pair-LISTING dedup ops whose
+    // output is intrinsically quadratic in clone multiplicity and whose
+    // collect() dominates a 300× rung). Never set by the driver; skips
+    // are visible because the op's key is absent from the artifact.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val extQs = BenchExt.ops.filter(SparkEntry.queries.contains)
+      .filterNot(skip)
     (1 to 2).foreach(_ =>
       extQs.foreach(q =>
         try SparkEntry.queries(q)(spark, sfDir).collect()
