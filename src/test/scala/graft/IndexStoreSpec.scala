@@ -1,0 +1,50 @@
+package graft
+
+import graft.sim.{IndexStore, Pq}
+import org.apache.spark.sql.functions._
+
+/** The persisted-index store's contract: build once, serve the stored
+  * artifact, and NEVER serve a stale one — a collection that changed
+  * under the same directory must be detected by the fingerprint and
+  * trigger a rebuild (the failure mode that would silently break the
+  * oracle's training-replay equality). */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeCorpus(dir: String, shift: Float): Unit =
+    (0 until 64).map { i =>
+      (i.toLong, (0 until 64).map(d => (i * 64 + d) / 4096.0f + shift), s"l${i % 3}")
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("a changed collection under the same path rebuilds the index") {
+    val dir = java.nio.file.Files.createTempDirectory("idxstore").toString
+    writeCorpus(dir, 0.0f)
+    val v1 = canon(Pq.index(spark, dir).codes)
+    // same bytes → fingerprint hit → served artifact identical
+    assert(canon(Pq.index(spark, dir).codes) == v1)
+    // regenerate the collection IN PLACE (same row count, same vec_ids,
+    // different components) — count+key checksums alone would miss it;
+    // the component checksum must not
+    writeCorpus(dir, 0.25f)
+    val v2 = canon(Pq.index(spark, dir).codes)
+    val fresh = canon(Pq.buildIndex(spark, dir).codes)
+    assert(v2 == fresh, "served index must equal a fresh build on the new collection")
+    // and the codebooks really differ across the two collection vintages
+    val cb2 = canon(Pq.index(spark, dir).codebook)
+    writeCorpus(dir, 0.0f)
+    assert(canon(Pq.index(spark, dir).codebook) != cb2,
+      "reverting the collection must revert the served codebook")
+  }
+
+  test("fingerprint distinguishes component changes at fixed count and keys") {
+    val dir = java.nio.file.Files.createTempDirectory("idxstore-fp").toString
+    writeCorpus(dir, 0.0f)
+    val f0 = IndexStore.embeddingsFingerprint(spark, dir)
+    writeCorpus(dir, 0.25f)
+    assert(IndexStore.embeddingsFingerprint(spark, dir) != f0)
+  }
+}
