@@ -2,7 +2,6 @@ package graft.analytics
 
 import graft.{Det, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -15,8 +14,10 @@ import org.apache.spark.sql.types._
   * Instead of a global ntile() — a single-partition window sort over
   * every customer — the quintile bounds come from the exact
   * rank-selection-over-value-counts core ([[Quantiles]]): four type-1
-  * bounds per dimension from a tiny distinct-value frame, broadcast
-  * back, and each customer scores with three comparisons. Ties share a
+  * bounds per dimension from the distinct-value frame (cumulated via
+  * partition offsets — no single-partition window even when the
+  * monetary frame is customer-sized), broadcast back, and each
+  * customer scores with three comparisons. Ties share a
   * score (boundary values score identically — the deterministic
   * convention both engines mirror; ntile would split ties by row
   * position instead).
@@ -31,12 +32,21 @@ object Rfm {
   private val qs = Seq(0.2, 0.4, 0.6, 0.8)
 
   /** Four type-1 quintile bounds of `v` over a (v) frame, as one row
-    * q1..q4 — the [[Quantiles.rankSelect]] slab trick, global group. */
+    * q1..q4 — the [[Quantiles.rankSelect]] slab trick over a GLOBAL
+    * group. The cumulative count comes from [[graft.Dist.exclusiveCumsum]]
+    * (range-partition + per-partition offsets), NOT a global
+    * `Window.orderBy` — the monetary dimension's distinct-value frame
+    * is customer-cardinality at scale, and a single-partition running
+    * sum over it would serialize the whole bounds computation (recency
+    * and frequency frames are small; monetary is the one that grows).
+    * Identical values: v is distinct after the value-count aggregation,
+    * so inclusive-running-sum == exclusive cumsum + own count. */
   private def boundsOf(vals: DataFrame): DataFrame = {
-    val counts = vals.groupBy("v").agg(count(lit(1)).as("c"))
-    val ranked = counts
-      .withColumn("cum", sum("c").over(Window.orderBy("v")))
-      .withColumn("n", sum("c").over(Window.partitionBy()))
+    val counts = vals.groupBy("v").agg(count(lit(1)).cast(LongType).as("c"))
+    val n = counts.agg(sum("c").cast(LongType).as("n"))
+    val ranked = graft.Dist.exclusiveCumsum(counts, "v", "c", "cum_before")
+      .withColumn("cum", col("cum_before") + col("c"))
+      .crossJoin(broadcast(n))
     val cells = qs.zipWithIndex.map { case (p, i) =>
       max(when(col("cum") - col("c") < ceil(col("n") * lit(p))
             && col("cum") >= ceil(col("n") * lit(p)), col("v"))).as(s"q${i + 1}")
