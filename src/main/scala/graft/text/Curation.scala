@@ -373,53 +373,76 @@ ORDER BY source"""
 
   /** Parameterized core over any (doc_id, source, text) frame. */
   private[graft] def tokenBudgetExactOver(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = docs.select(col("doc_id"), col("source"),
-        TextOps.estBpeTokens.as("toks"))
-      .withColumn("h", expr(
-        "cast(conv(substr(md5(concat('tb:', cast(doc_id as string))), 1, 12), 16, 10) as bigint)"))
-      .withColumn("bucket", expr("h div 68719476736")) // h >> 36 → 4096 cells
-    val budgets = d.groupBy("source")
-      .agg(sum("toks").cast(LongType).as("stratum_tokens"))
-      .withColumn("budget", expr(s"(stratum_tokens * $TokenBudgetPct) div 100"))
-    val hist = d.groupBy("source", "bucket")
-      .agg(sum("toks").cast(LongType).as("bucket_toks"))
-    val wb = Window.partitionBy("source").orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist
-      .withColumn("cum_before_bucket", coalesce(sum("bucket_toks").over(wb), lit(0L)))
-      .join(broadcast(budgets.select("source", "budget")), "source")
-    // fullIn is STRICTLY below the boundary: a bucket landing exactly
-    // on the budget (cum + toks == budget) goes through the straddle
-    // window, whose per-doc strict `cum_before < budget` rule matches
-    // the naive oracle membership exactly — with `<=` here a zero-token
-    // doc sitting at the boundary (cum_before == budget) would be
-    // selected by the bucketed form but excluded by the oracle, and a
-    // zero-budget source would select its zero-token docs via 0+0 <= 0.
-    val fullIn = d.join(broadcast(
-        cum.filter(col("cum_before_bucket") + col("bucket_toks") < col("budget"))
-          .select("source", "bucket")),
-        Seq("source", "bucket"))
-      .select("doc_id", "source", "toks")
-    val straddle = cum.filter(col("cum_before_bucket") < col("budget")
-        && col("cum_before_bucket") + col("bucket_toks") >= col("budget"))
-      .select("source", "bucket", "cum_before_bucket", "budget")
-    val wd = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val boundary = d.join(broadcast(straddle), Seq("source", "bucket"))
-      .withColumn("cum_before",
-        col("cum_before_bucket") + coalesce(sum("toks").over(wd), lit(0L)))
-      .filter(col("cum_before") < col("budget"))
-      .select("doc_id", "source", "toks")
-    fullIn.unionByName(boundary)
-      .groupBy("source")
+    val d = docs.select(col("doc_id").as("id"), col("source").as("stratum"),
+      TextOps.estBpeTokens.as("w"))
+    val (sel, budgets) = exactPrefixCutOver(d, "tb:", TokenBudgetPct)
+    sel.groupBy("stratum")
       .agg(count(lit(1)).as("n_selected"),
-        sum("toks").cast(LongType).as("selected_tokens"),
-        sum("doc_id").cast(LongType).as("id_checksum"))
-      .join(broadcast(budgets), "source")
-      .select(col("source"), col("stratum_tokens"), col("budget"),
+        sum("w").cast(LongType).as("selected_tokens"),
+        sum("id").cast(LongType).as("id_checksum"))
+      .join(broadcast(budgets), "stratum")
+      .select(col("stratum").as("source"),
+        col("stratum_w").as("stratum_tokens"), col("budget"),
         col("n_selected"), col("selected_tokens"), col("id_checksum"))
       .orderBy("source")
+  }
+
+  /** Exact prefix cut WITHOUT a per-stratum total order — the shared
+    * core of [[tokenBudgetExact]] and [[stratifiedSample]]: rows of
+    * each stratum are (conceptually) laid out in salted-48-bit-md5-hash
+    * order and kept while the running weight sum stays strictly inside
+    * `(stratum_weight*pct) div 100`. The hash's top 12 bits address
+    * 4096 coarse buckets; a BOUNDED per-(stratum,bucket) weight
+    * histogram is cumsum'd (≤4096 rows per stratum — window over a
+    * tiny frame), and bucket arithmetic classifies every bucket as
+    * fully-inside (selected with NO sort), fully-outside (dropped), or
+    * the single straddling bucket per stratum — only its ~1/4096 of
+    * the stratum gets a within-bucket total order. Selection is
+    * identical to the naive windowed rule because the bucket id is a
+    * hash prefix: coarse bucket order IS coarse hash order.
+    *
+    * Boundary rule is strict `cum_before < budget` throughout: a
+    * bucket landing exactly ON the budget routes through the straddle
+    * window — with `<=` in fullIn a zero-weight row sitting at the
+    * boundary (cum_before == budget) would be selected here but
+    * excluded by the naive oracle form, and a zero-budget stratum
+    * would select its zero-weight rows via 0+0 <= 0.
+    *
+    * Input columns (id, stratum, w); returns (selected rows, the
+    * per-stratum (stratum, stratum_w, budget) frame) for rollups. */
+  private def exactPrefixCutOver(rows: DataFrame, salt: String,
+      pct: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val d = rows
+      .withColumn("h", expr(
+        s"cast(conv(substr(md5(concat('$salt', cast(id as string))), 1, 12), 16, 10) as bigint)"))
+      .withColumn("bucket", expr("h div 68719476736")) // h >> 36 → 4096 cells
+    val budgets = d.groupBy("stratum")
+      .agg(sum("w").cast(LongType).as("stratum_w"))
+      .withColumn("budget", expr(s"(stratum_w * $pct) div 100"))
+    val hist = d.groupBy("stratum", "bucket")
+      .agg(sum("w").cast(LongType).as("bucket_w"))
+    val wb = Window.partitionBy("stratum").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cum_before_bucket", coalesce(sum("bucket_w").over(wb), lit(0L)))
+      .join(broadcast(budgets.select("stratum", "budget")), "stratum")
+    val fullIn = d.join(broadcast(
+        cum.filter(col("cum_before_bucket") + col("bucket_w") < col("budget"))
+          .select("stratum", "bucket")),
+        Seq("stratum", "bucket"))
+      .select("id", "stratum", "w")
+    val straddle = cum.filter(col("cum_before_bucket") < col("budget")
+        && col("cum_before_bucket") + col("bucket_w") >= col("budget"))
+      .select("stratum", "bucket", "cum_before_bucket", "budget")
+    val wd = Window.partitionBy("stratum", "bucket").orderBy("h", "id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = d.join(broadcast(straddle), Seq("stratum", "bucket"))
+      .withColumn("cum_before",
+        col("cum_before_bucket") + coalesce(sum("w").over(wd), lit(0L)))
+      .filter(col("cum_before") < col("budget"))
+      .select("id", "stratum", "w")
+    (fullIn.unionByName(boundary), budgets)
   }
 
   lazy val tokenBudgetExactSql: String = s"""
@@ -490,8 +513,65 @@ FROM d
 GROUP BY source, split
 ORDER BY source, split"""
 
+  // ------------------------------------------- exact stratified sample
+
+  /** Sample percent per stratum (language). */
+  val SamplePct = 10L
+
+  /** Exact stratified sampling — the precise counterpart of
+    * [[graft.text.DedupClusters.stratifiedSample]]'s in-expectation
+    * hash threshold (the same relationship [[tokenBudgetExact]] bears
+    * to [[corpusMixBudget]]): EXACT per-stratum sizes (`(n_g*pct) div
+    * 100` rows per language, never ±binomial noise) with reproducible,
+    * append-stable membership (pure salted-hash function of doc_id —
+    * the [[datasetSplit]] argument). It is [[exactPrefixCutOver]] with
+    * weight 1: a count cut can't straddle mid-row, so the prefix cut
+    * returns exactly the target count per stratum, selected in hash
+    * order with only ~1/4096 of each stratum ever sorted. Output is
+    * the per-language rollup with an id-checksum, so the oracle (the
+    * naive per-stratum windowed form) pins the sampled SET, not just
+    * its size. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOver(Tables.documents(spark, dir))
+
+  /** Parameterized core over any (doc_id, lang) frame. */
+  private[graft] def stratifiedSampleOver(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id").as("id"), col("lang").as("stratum"),
+      lit(1L).as("w"))
+    val (sel, budgets) = exactPrefixCutOver(d, "ss:", SamplePct)
+    sel.groupBy("stratum")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("id").cast(LongType).as("id_checksum"))
+      .join(broadcast(budgets), "stratum")
+      .select(col("stratum").as("lang"), col("stratum_w").as("stratum_docs"),
+        col("budget").as("sample_target"),
+        col("n_sampled"), col("id_checksum"))
+      .orderBy("lang")
+  }
+
+  lazy val stratifiedSampleSql: String = s"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('ss:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) AS h
+  FROM documents),
+b AS (
+  SELECT lang, COUNT(*) AS stratum_docs,
+         (COUNT(*) * $SamplePct) // 100 AS sample_target
+  FROM d GROUP BY lang),
+c AS (
+  SELECT d.doc_id, d.lang, b.stratum_docs, b.sample_target,
+         COALESCE(COUNT(*) OVER (PARTITION BY d.lang ORDER BY d.h, d.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d JOIN b USING (lang))
+SELECT lang, stratum_docs, sample_target,
+       COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM c WHERE cum_before < sample_target
+GROUP BY lang, stratum_docs, sample_target
+ORDER BY lang"""
+
   val inventory: Map[String, Q] = Map(
     "dataset_split"           -> (datasetSplit _),
+    "stratified_sample_exact" -> (stratifiedSample _),
     "token_budget_exact"      -> (tokenBudgetExact _),
     "source_accounting"       -> (sourceAccounting _),
     "temperature_mix"         -> (temperatureMix _),
@@ -503,6 +583,7 @@ ORDER BY source, split"""
 
   val oracle: Map[String, String] = Map(
     "dataset_split"           -> datasetSplitSql,
+    "stratified_sample_exact" -> stratifiedSampleSql,
     "token_budget_exact"      -> tokenBudgetExactSql,
     "source_accounting"       -> sourceAccountingSql,
     "temperature_mix"         -> temperatureMixSql,
