@@ -119,9 +119,124 @@ SELECT node AS nation, r AS rank_units FROM r$Iters
 ORDER BY rank_units DESC, nation"""
   }
 
+  // ------------------------------------------- triangle counting
+
+  /** Triangle census of the part co-purchase graph (vertices = parts,
+    * edges = distinct same-order co-occurrence) — triangle count and
+    * global transitivity are THE density/community signals on a
+    * co-purchase graph, and the operator family (wedge enumeration)
+    * is the standard bulk-graph pattern the engine should own next to
+    * PageRank and connected components.
+    *
+    * Scale posture — the degree-ordered orientation bound: each
+    * undirected edge is oriented from its lower-(degree,key) endpoint
+    * to the higher, which caps every out-degree at O(√m) regardless of
+    * skew (a hub of degree d only RECEIVES edges from lower-degree
+    * neighbors), so the wedge stream Σ C(outdeg,2) is O(m^1.5) worst
+    * case instead of Σ C(deg,2) — unbounded under power-law hubs. Each
+    * triangle {x<y<z} in the orientation order is found exactly once:
+    * as the wedge (x→y, x→z) closed by the oriented edge y→z. Wedges
+    * materialize INSIDE each source's ord-sorted neighbor array via
+    * the combination HOF (the measured-faster basket pattern), then
+    * one co-partitioned join against the oriented edge list closes
+    * them. No cartesian anywhere; every shuffle is key-partitioned.
+    *
+    * Determinism: all counts are exact longs; transitivity is one
+    * double expression (3·t/w, both < 2⁵³ → exact conversion, single
+    * IEEE divide — identical in both engines). The oracle counts the
+    * same triangles via the naive key-ordered three-way self-join
+    * (orientation choice cannot change the census). */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCountOver(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")))
+
+  private[graft] def triangleCountOver(li: DataFrame): DataFrame = {
+    val spark = li.sparkSession
+    import spark.implicits._
+    // distinct undirected edges a<b: one order-key shuffle builds each
+    // basket, pairs materialize inside the sorted array, then distinct.
+    // The edge list and the oriented list each feed 3 consumers, so
+    // both persist for the (eager) census and release before return —
+    // the Pq.trainedCodebook discipline: without it the basket+distinct
+    // subtree appears ~6× in the DAG and Spark only reuses the
+    // exchanges AQE happens to line up.
+    val edges = li
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+      .persist()
+    try {
+      val deg = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      // total order ord(v) = d·2³² + v (keys < 2³¹ ⇒ unique, overflow-free)
+      val orientated = edges
+        .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+        .withColumn("orda", col("da") * lit(4294967296L) + col("a"))
+        .withColumn("ordb", col("db") * lit(4294967296L) + col("b"))
+        .select(
+          when(col("orda") < col("ordb"), col("a")).otherwise(col("b")).as("src"),
+          when(col("orda") < col("ordb"), col("b")).otherwise(col("a")).as("dst"),
+          greatest(col("orda"), col("ordb")).as("ord_dst"))
+        .persist()
+      try {
+        // wedges via the codegen'd co-partitioned self-join on src
+        // (outdeg ≤ O(√m) bounds the per-key fanout). NOT the basket
+        // combination HOF: orientation makes out-neighbor arrays as
+        // large as √m, and flatten/transform materializes C(outdeg,2)
+        // structs per hub row in one interpreted pass — the opposite
+        // regime from baskets' ≤7-element arrays.
+        val o1 = orientated.select(col("src"), col("dst").as("wa"),
+          col("ord_dst").as("orda2"))
+        val o2 = orientated.select(col("src"), col("dst").as("wb"),
+          col("ord_dst").as("ordb2"))
+        val wedges = o1.join(o2, "src")
+          .filter(col("orda2") < col("ordb2"))
+          .select(col("wa"), col("wb"))
+        val t = wedges
+          .join(orientated.select(col("src").as("wa"), col("dst").as("wb")),
+            Seq("wa", "wb"))
+          .count()
+        val s = deg.agg(count(lit(1)).as("n_vertices"),
+          sum(expr("(d * (d - 1)) div 2")).cast(LongType).as("n_wedges")).head()
+        val (nv, nw) = (s.getLong(0), s.getLong(1))
+        val ne = edges.count()
+        // both t and nw < 2⁵³ ⇒ exact double conversion, one IEEE
+        // divide — bit-identical to the oracle's 3.0*t/w
+        Seq((nv, ne, nw, t, 3.0 * t / nw))
+          .toDF("n_vertices", "n_edges", "n_wedges", "n_triangles",
+            "transitivity")
+      } finally orientated.unpersist(false)
+    } finally edges.unpersist(false)
+  }
+
+  lazy val triangleCountSql: String = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+deg AS (SELECT node, COUNT(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        GROUP BY node),
+tri AS (SELECT COUNT(*) AS t
+        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       t AS n_triangles,
+       3.0 * t / (SELECT SUM((d * (d - 1)) // 2) FROM deg) AS transitivity
+FROM tri"""
+
   val inventory: Map[String, Q] = Map(
-    "pagerank_nation_trade" -> (pagerankNationTrade _))
+    "pagerank_nation_trade" -> (pagerankNationTrade _),
+    "triangle_count_copurchase" -> (triangleCount _))
 
   val oracle: Map[String, String] = Map(
-    "pagerank_nation_trade" -> pagerankNationTradeSql)
+    "pagerank_nation_trade" -> pagerankNationTradeSql,
+    "triangle_count_copurchase" -> triangleCountSql)
 }

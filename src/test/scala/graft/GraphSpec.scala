@@ -37,4 +37,25 @@ class GraphSpec extends SparkSpec {
     val b = Graph.pagerank(edges.repartition(7), 3).orderBy("node").collect().toSeq
     assert(a == b, "rank values depend on partitioning")
   }
+
+  test("triangle census on a hand-computed co-purchase graph") {
+    // baskets {1,2,3}, {3,4}, {2,3,4}, {5} → edges (1,2)(1,3)(2,3)(3,4)(2,4)
+    // triangles {1,2,3} and {2,3,4}; degrees 2,3,3,2 → 1+3+3+1 = 8 wedges
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 3L), (20L, 4L),
+      (30L, 2L), (30L, 3L), (30L, 4L),
+      (40L, 5L),
+      (10L, 1L)) // duplicate line must not create a self-edge or recount
+      .toDF("l_orderkey", "l_partkey")
+    val r = Graph.triangleCountOver(li).head()
+    assert(r.getAs[Long]("n_vertices") == 4L) // isolated part 5 excluded
+    assert(r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Long]("n_wedges") == 8L)
+    assert(r.getAs[Long]("n_triangles") == 2L)
+    assert(r.getAs[Double]("transitivity") == 3.0 * 2L / 8L)
+    // census is partition-layout invariant
+    val again = Graph.triangleCountOver(li.repartition(7)).head()
+    assert(r.toSeq == again.toSeq)
+  }
 }
