@@ -150,59 +150,73 @@ ORDER BY rank_units DESC, nation"""
     triangleCountOver(Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")))
 
+  /** Distinct undirected co-purchase edges a<b: one order-key shuffle
+    * builds each basket, pairs materialize inside the sorted array
+    * (quadratic only in basket size), then distinct. */
+  private[graft] def undirectedEdges(li: DataFrame): DataFrame = li
+    .groupBy("l_orderkey")
+    .agg(array_sort(collect_set("l_partkey")).as("parts"))
+    .select(explode(expr(
+      """flatten(transform(parts, (x, i) ->
+        |  transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"""
+        .stripMargin)).as("p"))
+    .select(col("p.a").as("a"), col("p.b").as("b"))
+    .distinct()
+
+  /** Per-node degree of an undirected (a<b) edge list. */
+  private[graft] def degreesOf(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+
+  /** Degree-ordered orientation: src is the lower-(degree,key)
+    * endpoint under ord(v) = d·2³² + v (keys < 2³¹ ⇒ unique,
+    * overflow-free), which caps every out-degree at O(√m). */
+  private[graft] def orientedOver(edges: DataFrame, deg: DataFrame): DataFrame =
+    edges
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .withColumn("orda", col("da") * lit(4294967296L) + col("a"))
+      .withColumn("ordb", col("db") * lit(4294967296L) + col("b"))
+      .select(
+        when(col("orda") < col("ordb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("orda") < col("ordb"), col("b")).otherwise(col("a")).as("dst"),
+        greatest(col("orda"), col("ordb")).as("ord_dst"))
+
+  /** Wedge enumeration + closing join over an oriented edge list (lazy;
+    * exposed for the PlanSpec no-cartesian guard): wedges via the
+    * codegen'd co-partitioned self-join on src (outdeg ≤ O(√m) bounds
+    * the per-key fanout — NOT the basket combination HOF: orientation
+    * makes out-neighbor arrays √m-sized, and flatten/transform would
+    * materialize C(outdeg,2) structs per hub row in one interpreted
+    * pass, the opposite regime from baskets' ≤7-element arrays), then
+    * one key-partitioned join closes each wedge into a triangle. */
+  private[graft] def wedgeClose(orientated: DataFrame): DataFrame = {
+    val o1 = orientated.select(col("src"), col("dst").as("wa"),
+      col("ord_dst").as("orda2"))
+    val o2 = orientated.select(col("src"), col("dst").as("wb"),
+      col("ord_dst").as("ordb2"))
+    o1.join(o2, "src")
+      .filter(col("orda2") < col("ordb2"))
+      .select(col("wa"), col("wb"))
+      .join(orientated.select(col("src").as("wa"), col("dst").as("wb")),
+        Seq("wa", "wb"))
+  }
+
   private[graft] def triangleCountOver(li: DataFrame): DataFrame = {
     val spark = li.sparkSession
     import spark.implicits._
-    // distinct undirected edges a<b: one order-key shuffle builds each
-    // basket, pairs materialize inside the sorted array, then distinct.
     // The edge list and the oriented list each feed 3 consumers, so
     // both persist for the (eager) census and release before return —
     // the Pq.trainedCodebook discipline: without it the basket+distinct
     // subtree appears ~6× in the DAG and Spark only reuses the
     // exchanges AQE happens to line up.
-    val edges = li
-      .groupBy("l_orderkey")
-      .agg(array_sort(collect_set("l_partkey")).as("parts"))
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
-      .persist()
+    val edges = undirectedEdges(li).persist()
     try {
-      val deg = edges.select(col("a").as("node"))
-        .unionAll(edges.select(col("b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("d"))
-      // total order ord(v) = d·2³² + v (keys < 2³¹ ⇒ unique, overflow-free)
-      val orientated = edges
-        .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
-        .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
-        .withColumn("orda", col("da") * lit(4294967296L) + col("a"))
-        .withColumn("ordb", col("db") * lit(4294967296L) + col("b"))
-        .select(
-          when(col("orda") < col("ordb"), col("a")).otherwise(col("b")).as("src"),
-          when(col("orda") < col("ordb"), col("b")).otherwise(col("a")).as("dst"),
-          greatest(col("orda"), col("ordb")).as("ord_dst"))
-        .persist()
+      val deg = degreesOf(edges)
+      val orientated = orientedOver(edges, deg).persist()
       try {
-        // wedges via the codegen'd co-partitioned self-join on src
-        // (outdeg ≤ O(√m) bounds the per-key fanout). NOT the basket
-        // combination HOF: orientation makes out-neighbor arrays as
-        // large as √m, and flatten/transform materializes C(outdeg,2)
-        // structs per hub row in one interpreted pass — the opposite
-        // regime from baskets' ≤7-element arrays.
-        val o1 = orientated.select(col("src"), col("dst").as("wa"),
-          col("ord_dst").as("orda2"))
-        val o2 = orientated.select(col("src"), col("dst").as("wb"),
-          col("ord_dst").as("ordb2"))
-        val wedges = o1.join(o2, "src")
-          .filter(col("orda2") < col("ordb2"))
-          .select(col("wa"), col("wb"))
-        val t = wedges
-          .join(orientated.select(col("src").as("wa"), col("dst").as("wb")),
-            Seq("wa", "wb"))
-          .count()
+        val t = wedgeClose(orientated).count()
         val s = deg.agg(count(lit(1)).as("n_vertices"),
           sum(expr("(d * (d - 1)) div 2")).cast(LongType).as("n_wedges")).head()
         val (nv, nw) = (s.getLong(0), s.getLong(1))

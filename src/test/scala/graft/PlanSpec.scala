@@ -244,6 +244,27 @@ class PlanSpec extends SparkSpec {
       "bucket classification should arrive broadcast")
   }
 
+  test("triangle wedge pipeline joins on keys — no cartesian, no nested-loop") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = analytics.Graph.undirectedEdges(li)
+    val oriented = analytics.Graph.orientedOver(edges,
+      analytics.Graph.degreesOf(edges))
+    val plan = physicalPlan(analytics.Graph.wedgeClose(oriented))
+    assert(!plan.contains("CartesianProduct"),
+      "wedge enumeration degenerated to all-pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "closing join fell to nested-loop")
+  }
+
+  test("pii referential rollup is a key equi-join on the pseudonym") {
+    val plan = physicalPlan(quality.Pii.referentialRollup(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "pseudonym join fell to nested-loop (non-equi condition?)")
+  }
+
   test("ivf assignment's cell column is non-nullable (no inferred argmin re-eval)") {
     // a nullable cell makes every downstream equi-join infer
     // IsNotNull(cell) — whose condition IS the whole k-candidate argmin
