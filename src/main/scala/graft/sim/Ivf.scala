@@ -260,11 +260,13 @@ c$i AS (
   /** The shared Lloyd-replay prefix (quantize → init → $Iterations
     * fixed iterations → final assignment `afin`) — one source of truth
     * for every IVF oracle, so the banding arithmetic cannot drift
-    * between the search and cells queries. */
-  private[sim] val ivfCommonCtes: String = s"""q AS (
+    * between the search and cells queries. `trainWhere` restricts the
+    * TRAINING collection (e.g. the base slice for the delta-assign
+    * op); empty trains on everything. */
+  private[sim] def ivfCommonCtesOver(trainWhere: String): String = s"""q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS qe
-  FROM embeddings),
+  FROM embeddings$trainWhere),
 c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qe AS centroid
   FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT $K)),
@@ -275,6 +277,8 @@ afin AS (
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
              ORDER BY ${d2("q.qe", "c.centroid")}, c.cell) AS rn
     FROM q CROSS JOIN c$Iterations c) WHERE rn = 1)"""
+
+  private[sim] val ivfCommonCtes: String = ivfCommonCtesOver("")
 
   /** Full replay of buildIndexFull(k=16, iterations=3) + search(nprobe=4,
     * topK=10, nQueries=5) in DuckDB: same grid quantization, same
@@ -374,15 +378,89 @@ FROM exact e LEFT JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_
 GROUP BY e.query_id
 ORDER BY e.query_id"""
 
+  // --------------------------------------------- incremental ingest
+
+  /** Incremental ingest into a FROZEN index — the path a serving tier
+    * actually takes when vectors arrive after the index was trained:
+    * nobody re-runs Lloyd per batch at 100 TB; the new vectors get one
+    * argmin pass against the stored coarse quantizer and append to the
+    * inverted lists, with retraining deferred to the next index
+    * vintage. Here the collection's even vec_ids are the trained BASE
+    * (its centroids persist via [[IndexStore]] under their own version
+    * key — built once per collection vintage, k·dim longs on disk),
+    * the odd vec_ids are the arriving DELTA, and the output is the
+    * per-cell delta occupancy with an id-checksum — the frame an
+    * ingest job emits to size list appends. The oracle replays Lloyd
+    * over ONLY the base slice, then assigns the delta against those
+    * frozen centroids — hash-equality proves both that the stored
+    * centroids are the base-trained result and that the delta argmin
+    * matches, i.e. the whole incremental path, not just the formula.
+    *
+    * Scale posture: serve cost is one column-pruned scan of the delta
+    * + a k·dim-constant codegen'd argmin ([[graft.functions
+    * .QArgminCell]]) + a ≤k-row aggregate. No shuffle of the base, no
+    * Lloyd, no window. */
+  def deltaAssign(spark: SparkSession, dir: String): DataFrame = {
+    val stored = IndexStore.loadOrBuild(spark, dir, "ivf_base",
+      s"ivf-base-v1-k$K-it$Iterations-even",
+      IndexStore.embeddingsFingerprint(spark, dir),
+      Seq("centroids")) {
+      val base = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 2 === 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+      val cents =
+        try lloyd(base, K, Iterations)
+        finally base.unpersist(false)
+      Map("centroids" -> spark.createDataFrame(
+        cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
+        .toDF("cell", "centroid"))
+    }
+    // k rows of driver-side constants — bounded by the index, not data
+    val centroids = stored("centroids").collect()
+      .map(r => (r.getAs[Int]("cell"),
+        r.getAs[Seq[Long]]("centroid").toArray))
+      .sortBy(_._1)
+    val delta = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 2 === 1)
+    assign(delta, centroids)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("delta_count"),
+        sum("vec_id").cast(org.apache.spark.sql.types.LongType).as("id_checksum"),
+        min("vec_id").as("min_vec_id"))
+      .orderBy("cell")
+  }
+
+  /** Lloyd over the even-id base, then frozen-centroid assignment of
+    * the odd-id delta. */
+  lazy val ivfDeltaAssignSql: String = s"""
+WITH ${ivfCommonCtesOver(" WHERE vec_id % 2 = 0")},
+qd AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS qe
+  FROM embeddings WHERE vec_id % 2 = 1),
+ad AS (
+  SELECT vec_id, cell FROM (
+    SELECT qd.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY qd.vec_id
+             ORDER BY ${d2("qd.qe", "c.centroid")}, c.cell) AS rn
+    FROM qd CROSS JOIN c$Iterations c) WHERE rn = 1)
+SELECT cell, COUNT(*) AS delta_count,
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+       MIN(vec_id) AS min_vec_id
+FROM ad GROUP BY cell ORDER BY cell"""
+
   val inventory: Map[String, Q] = Map(
     "ivf_search" -> ((s, dir) => search(s, dir, K, NProbe, TopK, NQueries)),
     "ivf_cells"  -> ((s, dir) => cells(s, dir, K)),
     "ivf_recall" -> (recallVsExact _),
-    "ivf_index_centroids" -> (indexCentroids _))
+    "ivf_index_centroids" -> (indexCentroids _),
+    "ivf_delta_assign" -> (deltaAssign _))
 
   val oracle: Map[String, String] = Map(
     "ivf_search" -> ivfSearchSql,
     "ivf_cells"  -> ivfCellsSql,
     "ivf_recall" -> ivfRecallSql,
-    "ivf_index_centroids" -> ivfIndexCentroidsSql)
+    "ivf_index_centroids" -> ivfIndexCentroidsSql,
+    "ivf_delta_assign" -> ivfDeltaAssignSql)
 }

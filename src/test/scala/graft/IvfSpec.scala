@@ -14,6 +14,21 @@ class IvfSpec extends SparkSpec {
     assert(idx.select("vec_id", "cell").except(again).count() == 0)
   }
 
+  test("delta assignment covers every arriving vector exactly once") {
+    val out = Ivf.deltaAssign(spark, sf).cache()
+    try {
+      val nOdd = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 2 === 1).count()
+      val agg = out.agg(sum("delta_count"), sum("id_checksum")).head()
+      assert(agg.getLong(0) == nOdd, "every delta vector lands in one cell")
+      // checksum over all cells == sum of all odd ids (partition of the set)
+      val oddSum = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 2 === 1).agg(sum("vec_id")).head().getLong(0)
+      assert(agg.getLong(1) == oddSum)
+      assert(out.filter(col("cell") < 0 || col("cell") >= Ivf.K).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("null embeddings route to cell -1, not centroid 0") {
     import spark.implicits._
     // with a null embedding every candidate struct has d = null, and
