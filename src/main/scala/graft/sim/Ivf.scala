@@ -401,6 +401,24 @@ ORDER BY e.query_id"""
     * .QArgminCell]]) + a ≤k-row aggregate. No shuffle of the base, no
     * Lloyd, no window. */
   def deltaAssign(spark: SparkSession, dir: String): DataFrame = {
+    val delta = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 2 === 1)
+    assign(delta, baseCentroids(spark, dir))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("delta_count"),
+        sum("vec_id").cast(org.apache.spark.sql.types.LongType).as("id_checksum"),
+        min("vec_id").as("min_vec_id"))
+      .orderBy("cell")
+  }
+
+  /** The persisted base-trained coarse quantizer as driver-side
+    * constants — the frozen surface both the batch delta assignment
+    * and the streaming ingest ([[graft.streaming.Streams
+    * .annIngestStream]]) map through. First touch trains on the
+    * even-id base and persists via [[IndexStore]]; thereafter this is
+    * one tiny parquet read + a k-row collect. */
+  private[graft] def baseCentroids(spark: SparkSession,
+      dir: String): Array[(Int, Array[Long])] = {
     val stored = IndexStore.loadOrBuild(spark, dir, "ivf_base",
       s"ivf-base-v1-k$K-it$Iterations-even",
       IndexStore.embeddingsFingerprint(spark, dir),
@@ -417,19 +435,17 @@ ORDER BY e.query_id"""
         .toDF("cell", "centroid"))
     }
     // k rows of driver-side constants — bounded by the index, not data
-    val centroids = stored("centroids").collect()
+    stored("centroids").collect()
       .map(r => (r.getAs[Int]("cell"),
         r.getAs[Seq[Long]]("centroid").toArray))
       .sortBy(_._1)
-    val delta = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 2 === 1)
-    assign(delta, centroids)
-      .groupBy("cell")
-      .agg(count(lit(1)).as("delta_count"),
-        sum("vec_id").cast(org.apache.spark.sql.types.LongType).as("id_checksum"),
-        min("vec_id").as("min_vec_id"))
-      .orderBy("cell")
   }
+
+  /** Frozen-centroid cell assignment of any (vec_id, embedding) frame
+    * — the stateless per-row map the ingest stream runs. */
+  private[graft] def assignFrozen(vecs: DataFrame,
+      centroids: Array[(Int, Array[Long])]): DataFrame =
+    assign(vecs, centroids)
 
   /** Lloyd over the even-id base, then frozen-centroid assignment of
     * the odd-id delta. */

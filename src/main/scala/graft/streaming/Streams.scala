@@ -339,6 +339,21 @@ GROUP BY user_id, session_seq"""
 SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_doc_id
 FROM documents GROUP BY md5(text)"""
 
+  /** Streaming ANN ingest — the arrival half of [[graft.sim.Ivf
+    * .deltaAssign]] as a stream: vectors map STATELESSLY through the
+    * codegen'd argmin against the frozen base-trained coarse
+    * quantizer (driver-side constants), emitting (vec_id, cell). No
+    * state store, no watermark, no shuffle — latency is the
+    * micro-batch interval, and the inverted-list append belongs in
+    * the sink (foreachBatch, as [[streamToIncrementalParquet]]). At
+    * 100 TB this IS how vectors reach a serving index between
+    * retrains; StreamingSpec asserts the streamed assignment equals
+    * the batch delta path row-for-row. */
+  def annIngestStream(vecs: DataFrame,
+      centroids: Array[(Int, Array[Long])]): DataFrame =
+    graft.sim.Ivf.assignFrozen(vecs, centroids)
+      .select(col("vec_id"), col("cell"))
+
   /** The documents parquet as a bounded file stream (the ingest-time
     * view of the corpus). */
   def docsStream(spark: SparkSession, dir: String): DataFrame = {

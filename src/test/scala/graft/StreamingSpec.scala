@@ -192,6 +192,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN ingest equals the batch frozen-centroid delta path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val delta = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Float]]("embedding").toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData(delta.toIndexedSeq)
+    val centroids = sim.Ivf.baseCentroids(spark, sf)
+    val q = Streams.annIngestStream(
+        mem.toDF().toDF("vec_id", "embedding"), centroids)
+      .writeStream.format("memory").queryName("ann_ingest_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ann_ingest_stream").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed.size == delta.length, "every arriving vector assigned once")
+    // roll the streamed assignment up and compare against the
+    // REGISTERED batch op (count + id-checksum + min per cell)
+    val rolled = streamed.groupBy(_._2).map { case (cell, xs) =>
+      (cell, xs.size.toLong, xs.keys.sum, xs.keys.min)
+    }.toSet
+    val batch = sim.Ivf.deltaAssign(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rolled == batch, "stream and batch ingest disagree")
+  }
+
   test("content dedup state is watermark-bounded: horizon-separated dups re-emit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
