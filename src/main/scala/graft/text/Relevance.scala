@@ -232,13 +232,93 @@ FROM rk WHERE rank <= 10
 ORDER BY query_id, rank"""
   }
 
+  // ------------------------------------------------ hybrid retrieval
+
+  /** Each lexical query's embedding-space twin — the "same user query,
+    * embedded" pairing a hybrid-search deployment holds; fixed here
+    * (the non-deterministic user input replaced per SURVEY §7.4) as
+    * the first three [[graft.sim.Similarity.annCosineTopK]] query
+    * vectors. */
+  private[graft] val HybridQueryMap = Seq(
+    ("q_hash_join", 0L), ("q_window_agg", 1L), ("q_stream_batch", 2L))
+
+  /** Standard RRF smoothing constant (Cormack/Clarke/Büttcher). */
+  val RrfK = 60
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion — the RAG-serving
+    * staple: a lexical ranking ([[bm25Search]]) and a dense ranking
+    * ([[graft.sim.Similarity.annCosineTopK]]) fused per query by
+    * `Σ 1/(k+rank)`, which needs NO score calibration between the two
+    * systems (only ranks), which is exactly why production hybrid
+    * search uses it. Composes the two REGISTERED operators directly
+    * (the [[graft.text.DedupClusters]] funnel pattern), so the fusion
+    * can never drift from the rankings it fuses; the oracle nests both
+    * already-green replays as subqueries.
+    *
+    * Determinism: each contribution is one IEEE divide on
+    * integer-derived operands and the fusion is ONE fixed-order
+    * addition of the two coalesced contributions — no distributed sum,
+    * so the double hashes identically cross-engine. Ties break on
+    * doc_id.
+    *
+    * Scale posture: both input rankings are top-10-per-query frames
+    * (bounded by the query load, not the corpus); the fusion is a
+    * full-outer join + per-query window over ≤20 rows per query. At
+    * 100 TB the corpus-sized work lives entirely inside the two input
+    * operators, whose plans are audited separately. */
+  def hybridRrfSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = HybridQueryMap.toDF("query_id", "ann_qid")
+    val b = bm25Search(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("brank"))
+    val a = graft.sim.Similarity.annCosineTopK(spark, dir)
+      .select(col("query_id").as("ann_qid"), col("vec_id").as("doc_id"),
+        col("rank").as("arank"))
+      .join(broadcast(m), "ann_qid")
+      .select("query_id", "doc_id", "arank")
+    val fused = b.join(a, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("brank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("arank")), lit(0.0))).as("rrf"))
+    fused
+      .withColumn("rrf_rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id").asc))
+          .cast(LongType))
+      .filter(col("rrf_rank") <= 10)
+      .select("query_id", "rrf_rank", "doc_id", "rrf")
+      .orderBy("query_id", "rrf_rank")
+  }
+
+  lazy val hybridRrfSearchSql: String = {
+    val values = HybridQueryMap.map { case (q, v) => s"('$q', $v)" }.mkString(", ")
+    s"""
+WITH b AS (SELECT query_id, doc_id, rank AS brank FROM ($bm25SearchSql)),
+m(query_id, ann_qid) AS (VALUES $values),
+a AS (SELECT m.query_id, s.vec_id AS doc_id, s.rank AS arank
+      FROM (${graft.sim.Similarity.annCosineTopKSql}) s
+      JOIN m ON s.query_id = m.ann_qid),
+f AS (SELECT COALESCE(b.query_id, a.query_id) AS query_id,
+             COALESCE(b.doc_id, a.doc_id) AS doc_id,
+             COALESCE(1.0 / ($RrfK + b.brank), 0) + COALESCE(1.0 / ($RrfK + a.arank), 0) AS rrf
+      FROM b FULL JOIN a ON b.query_id = a.query_id AND b.doc_id = a.doc_id)
+SELECT query_id, rrf_rank, doc_id, rrf FROM (
+  SELECT query_id, doc_id, rrf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rrf_rank
+  FROM f)
+WHERE rrf_rank <= 10
+ORDER BY query_id, rrf_rank"""
+  }
+
   val inventory: Map[String, Q] = Map(
     "tfidf_top_terms"  -> (tfidfTopTerms _),
     "lm_quality_score" -> (lmQualityScore _),
-    "bm25_search"      -> (bm25Search _))
+    "bm25_search"      -> (bm25Search _),
+    "hybrid_rrf_search" -> (hybridRrfSearch _))
 
   val oracle: Map[String, String] = Map(
     "tfidf_top_terms"  -> tfidfTopTermsSql,
     "lm_quality_score" -> lmQualityScoreSql,
-    "bm25_search"      -> bm25SearchSql)
+    "bm25_search"      -> bm25SearchSql,
+    "hybrid_rrf_search" -> hybridRrfSearchSql)
 }

@@ -97,4 +97,32 @@ class RelevanceSpec extends SparkSpec {
     assert(top.getAs[Long]("doc_id") == 50L,
       s"rare-term doc must rank first, got ${top}")
   }
+
+  test("hybrid RRF fuses exactly 1/(k+b_rank) + 1/(k+a_rank) of its inputs") {
+    import org.apache.spark.sql.functions._
+    val out = Relevance.hybridRrfSearch(spark, sf).collect()
+    assert(out.length == 30, "3 queries x top-10")
+    // recompute every fused score from the two REGISTERED source ops
+    val b = Relevance.bm25Search(spark, sf).collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("rank")).toMap
+    val amap = Relevance.HybridQueryMap.map(_.swap).toMap
+    val a = sim.Similarity.annCosineTopK(spark, sf).collect()
+      .flatMap(r => amap.get(r.getAs[Long]("query_id"))
+        .map(q => (q, r.getAs[Long]("vec_id")) -> r.getAs[Int]("rank").toLong))
+      .toMap
+    out.foreach { r =>
+      val key = (r.getAs[String]("query_id"), r.getAs[Long]("doc_id"))
+      val expected =
+        b.get(key).map(br => 1.0 / (Relevance.RrfK + br)).getOrElse(0.0) +
+          a.get(key).map(ar => 1.0 / (Relevance.RrfK + ar)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == expected, s"score mismatch at $key")
+    }
+    // a doc surfaced by BOTH systems must outrank a doc surfaced by one
+    // at the same single-system rank (1/(k+r) + something > 1/(k+r))
+    val both = out.filter(r => b.contains((r.getString(0), r.getLong(2)))
+      && a.contains((r.getString(0), r.getLong(2))))
+    assert(both.nonEmpty, "fusion never saw a doc in both rankings — " +
+      "the spec corpus should overlap; weaken only with evidence")
+  }
 }
