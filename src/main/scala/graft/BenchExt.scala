@@ -27,7 +27,11 @@ object BenchExt {
     "events_active_users", "embedding_drift",
     "pq_search", "pq_search_rerank", "ivfpq_search", "fuzzy_name_pairs",
     "token_budget_exact", "pagerank_nation_trade", "scd2_pit_orders",
-    "monitor_seasonal_anomaly")
+    "monitor_seasonal_anomaly",
+    // round-10 additions (joined the roster AFTER the round-10 ladder
+    // completed — the op list stays frozen across a ladder)
+    "triangle_count_copurchase", "ivf_delta_assign", "hybrid_rrf_search",
+    "stratified_sample_exact", "pii_referential_rollup")
 
   private val WarmPasses = 2
   private val TimedRuns = 5
