@@ -58,12 +58,27 @@ object Basket {
     basketPairsOver(Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")))
 
-  private[graft] def basketPairsOver(li: DataFrame): DataFrame = {
+  /** `allowPrune = false` forces the unpruned fallback — the A/B knob
+    * the skewed-corpus ladder variant uses to measure the prune's win
+    * against the plain plan on identical input (output is bit-identical
+    * either way, so only cost differs). */
+  private[graft] def basketPairsOver(li: DataFrame,
+                                     allowPrune: Boolean = true): DataFrame = {
     // raw OCCURRENCE counts per item (not distinct supports): a cheap
     // partial-combined aggregate used only to choose pass-1 candidates
     // and the prune set. Valid for both because occurrences ≥ distinct
-    // supports ≥ any pair count involving the item.
-    val occ = li.groupBy("l_partkey").agg(count(lit(1)).as("occ"))
+    // supports ≥ any pair count involving the item. Three eager
+    // consumers follow (pass-1 collect, the stats head, the prune
+    // filter) — persist across them and release before return (the
+    // triangleCountOver discipline) so construction doesn't recompute
+    // the occurrence aggregate per consumer.
+    val occ = li.groupBy("l_partkey").agg(count(lit(1)).as("occ")).persist()
+    try basketPairsPruned(li, occ, allowPrune)
+    finally occ.unpersist(false)
+  }
+
+  private def basketPairsPruned(li: DataFrame, occ: DataFrame,
+                                allowPrune: Boolean): DataFrame = {
     // ONE order-key shuffle builds each basket's sorted distinct item
     // array; pairs materialize INSIDE the array via a combination HOF
     // (quadratic only in basket size — measured faster here than a
@@ -99,7 +114,7 @@ object Basket {
       sum(when(col("occ") >= bound, 1L).otherwise(0L)).as("n_freq")).head()
     val nItems = stats.getLong(0)
     val nFreq = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    val usePrune = bound > 1L && nFreq <= MaxBroadcastItems &&
+    val usePrune = allowPrune && bound > 1L && nFreq <= MaxBroadcastItems &&
       nFreq * PruneSelectivity <= nItems
     val cnt =
       if (usePrune)

@@ -218,12 +218,16 @@ ORDER BY rank_units DESC, nation"""
       try {
         val t = wedgeClose(orientated).count()
         val s = deg.agg(count(lit(1)).as("n_vertices"),
-          sum(expr("(d * (d - 1)) div 2")).cast(LongType).as("n_wedges")).head()
+          // empty edge set: SUM over zero rows is NULL — coalesce so
+          // the census row degrades to zeros instead of an NPE
+          coalesce(sum(expr("(d * (d - 1)) div 2")), lit(0L))
+            .cast(LongType).as("n_wedges")).head()
         val (nv, nw) = (s.getLong(0), s.getLong(1))
         val ne = edges.count()
         // both t and nw < 2⁵³ ⇒ exact double conversion, one IEEE
-        // divide — bit-identical to the oracle's 3.0*t/w
-        Seq((nv, ne, nw, t, 3.0 * t / nw))
+        // divide — bit-identical to the oracle's 3.0*t/w; a wedge-free
+        // graph has no transitivity to report (NULL, not 0/0 = NaN)
+        Seq((nv, ne, nw, t, if (nw == 0L) None else Some(3.0 * t / nw)))
           .toDF("n_vertices", "n_edges", "n_wedges", "n_triangles",
             "transitivity")
       } finally orientated.unpersist(false)

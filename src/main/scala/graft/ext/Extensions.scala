@@ -267,9 +267,13 @@ LIMIT $HeavyHitterTop"""
              |  i -> concat(substring(name, 1, i - 1),
              |              substring(name, i + 1, length(name))))""".stripMargin)
     )).as("k"))
-    val a = keys.withColumnRenamed("name", "name_a")
-    val b = keys.withColumnRenamed("name", "name_b")
-    a.join(b, a("k") === b("k") && col("name_a") < col("name_b"))
+    // distinct key-column names per side: a("k") === b("k") over two
+    // derivations of the SAME frame resolves both sides to one column
+    // object and logs a trivially-true-predicate warning on every run,
+    // drowning real plan warnings (the join itself still disambiguates)
+    val a = keys.toDF("name_a", "ka")
+    val b = keys.toDF("name_b", "kb")
+    a.join(b, col("ka") === col("kb") && col("name_a") < col("name_b"))
       .select("name_a", "name_b").distinct()
       .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
       .select(col("name_a"), col("name_b"),

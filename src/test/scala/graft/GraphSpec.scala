@@ -58,4 +58,17 @@ class GraphSpec extends SparkSpec {
     val again = Graph.triangleCountOver(li.repartition(7)).head()
     assert(r.toSeq == again.toSeq)
   }
+
+  test("triangle census degrades gracefully on an edge-free corpus") {
+    // single-item baskets → no co-purchase edges: the census must emit
+    // zeros and a NULL transitivity, not NPE on a null wedge sum or
+    // divide 0/0 into NaN
+    val li = Seq((10L, 1L), (20L, 2L)).toDF("l_orderkey", "l_partkey")
+    val r = Graph.triangleCountOver(li).head()
+    assert(r.getAs[Long]("n_vertices") == 0L)
+    assert(r.getAs[Long]("n_edges") == 0L)
+    assert(r.getAs[Long]("n_wedges") == 0L)
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.isNullAt(r.fieldIndex("transitivity")))
+  }
 }

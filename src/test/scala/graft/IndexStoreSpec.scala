@@ -47,4 +47,42 @@ class IndexStoreSpec extends SparkSpec {
     writeCorpus(dir, 0.25f)
     assert(IndexStore.embeddingsFingerprint(spark, dir) != f0)
   }
+
+  test("fingerprint sees a change confined to one non-zero dimension") {
+    // regression: a first-component-only checksum passed any in-place
+    // regeneration that left dim 0 untouched — the fingerprint must
+    // read EVERY component
+    val dir = java.nio.file.Files.createTempDirectory("idxstore-fp1").toString
+    def write(bump: Float): Unit =
+      (0 until 64).map { i =>
+        (i.toLong,
+          (0 until 64).map(d =>
+            (i * 64 + d) / 4096.0f + (if (d == 7) bump else 0.0f)),
+          s"l${i % 3}")
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    write(0.0f)
+    val f0 = IndexStore.embeddingsFingerprint(spark, dir)
+    write(0.5f)
+    assert(IndexStore.embeddingsFingerprint(spark, dir) != f0,
+      "a dim-7-only edit must change the fingerprint")
+  }
+
+  test("fingerprint sees a dimension permutation at fixed component sums") {
+    // swapping two components per row keeps the plain component sum —
+    // the position-weighted checksum must catch it
+    val dir = java.nio.file.Files.createTempDirectory("idxstore-fpperm").toString
+    def write(swap: Boolean): Unit =
+      (0 until 64).map { i =>
+        val base = (0 until 64).map(d => (i * 64 + d) / 4096.0f)
+        val emb = if (swap) base.updated(0, base(1)).updated(1, base(0)) else base
+        (i.toLong, emb, s"l${i % 3}")
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    write(swap = false)
+    val f0 = IndexStore.embeddingsFingerprint(spark, dir)
+    write(swap = true)
+    assert(IndexStore.embeddingsFingerprint(spark, dir) != f0,
+      "a component swap must change the fingerprint")
+  }
 }
