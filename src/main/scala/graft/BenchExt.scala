@@ -31,7 +31,10 @@ object BenchExt {
     // round-10 additions (joined the roster AFTER the round-10 ladder
     // completed — the op list stays frozen across a ladder)
     "triangle_count_copurchase", "ivf_delta_assign", "hybrid_rrf_search",
-    "stratified_sample_exact", "pii_referential_rollup")
+    "stratified_sample_exact", "pii_referential_rollup",
+    // round-11 additions: the output-bounded dedup-family rollups (the
+    // rows a 300× rung runs where the pair LISTING's collect can't)
+    "ann_dedup_pair_stats", "ann_dedup_cluster_hist")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

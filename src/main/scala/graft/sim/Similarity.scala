@@ -541,6 +541,123 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
              i -> ${duckQz("x.embedding[i]")} * ${duckQz("y.embedding[i]")})) AS DOUBLE)
         / (x.nrm * y.nrm) >= $threshold"""
 
+  // ------------------------------------------- bounded-state dedup reps
+
+  /** Spanning-star edges of the dedup similarity graph, ONE per
+    * (kept LSH cell, member beyond its local component's min) — the
+    * bounded-state input [[annDedupRepsOver]] feeds connected
+    * components instead of the full qualifying pair list.
+    *
+    * Why: the pair list is intrinsically quadratic in clone
+    * multiplicity (measured ~87M pairs / ~76 GB of live candidate-join
+    * state at the 300× rung — the one operator that had to be
+    * skip-listed there). But CC only needs CONNECTIVITY, and
+    * connectivity of the banded-LSH similarity graph decomposes by
+    * cell: every qualifying candidate pair shares at least one kept
+    * (band, bucket) cell, so the global graph is exactly the union of
+    * the per-cell qualifying subgraphs. Replacing each cell's subgraph
+    * with a spanning forest (each local component's members star-linked
+    * to the component's min vec_id) preserves per-cell connectivity,
+    * hence global connectivity, hence the CC fixpoint — the
+    * recursive-CTE oracle over the FULL pair SQL stays bit-green while
+    * edge state drops to ≤ n·bands rows.
+    *
+    * Execution: cells group via one `groupByKey` on (band, bucket) —
+    * group size is capped by the hot-cell drop (≤ `bucketCap` members,
+    * ~3 MB with 64-dim embeddings), so the per-group union-find is
+    * bounded-memory however degenerate the corpus. Within a group,
+    * members are scanned in vec_id order and each (i, j) pair is
+    * exactly rescored ONLY if still in different local components —
+    * skipping a comparison of already-connected members cannot change
+    * connectivity, and on a clone pile it collapses the C(m,2) rescore
+    * work to O(m) (member 2..m each match member 1 on their first
+    * probe). Worst case (nothing matches) stays ≤ C(cap, 2) integer
+    * dot products per cell — the same bound the join form had, without
+    * materializing any pair. The quantized arithmetic is the exact
+    * [[graft.functions.QDot]] semantics (floor(x·1e7) longs, IEEE
+    * double divide), so a rescore here passes iff the join form's
+    * rescore passes. */
+  private[graft] def annLshStarEdgesOver(e: DataFrame,
+                                         bands: Int, rows: Int,
+                                         threshold: Double,
+                                         bucketCap: Int): DataFrame = {
+    require(bands >= 1 && rows >= 1 && bands * rows <= 64,
+      s"need bands >= 1, rows >= 1, bands*rows <= 64; got $bands x $rows")
+    val spark = e.sparkSession
+    import spark.implicits._
+    val ein = e.repartition(spark.sparkContext.defaultParallelism)
+    val banded = ein
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.SrpSig64.of(col("embedding")).as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .selectExpr("vec_id", "embedding", "band",
+        s"cast(shiftright(sig, band * $rows) & ${if (rows == 64) -1L else (1L << rows) - 1} as bigint) as bucket")
+    val hot = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > bucketCap)
+      .select("band", "bucket")
+    val kept = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    kept.select(col("band"), col("bucket"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Long, Array[Float])]
+      .groupByKey { case (band, bucket, _, _) => (band, bucket) }
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Array[Float])]) =>
+        val ms = it.map { case (_, _, id, emb) => (id, emb) }
+          .toArray.sortBy(_._1)
+        val n = ms.length
+        if (n < 2) Iterator.empty
+        else {
+          // exact QDot quantization: floor(x·1e7) as long, per component
+          val q = ms.map { case (_, emb) =>
+            val a = new Array[Long](emb.length)
+            var i = 0
+            while (i < emb.length) {
+              a(i) = math.floor(emb(i).toDouble * 1e7).toLong; i += 1
+            }
+            a
+          }
+          def dot(a: Array[Long], b: Array[Long]): Long = {
+            var acc = 0L; var i = 0
+            while (i < a.length) { acc += a(i) * b(i); i += 1 }
+            acc
+          }
+          val nrm = q.map(a => math.sqrt(dot(a, a).toDouble))
+          val parent = Array.tabulate(n)(identity)
+          def find(x: Int): Int = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          var j = 1
+          while (j < n) {
+            var i = 0
+            while (i < j) {
+              val ri = find(i); val rj = find(j)
+              if (ri != rj) {
+                val cos = dot(q(i), q(j)).toDouble / (nrm(i) * nrm(j))
+                // same IEEE expression tree as the join form's rescore
+                if (cos >= threshold) parent(math.max(ri, rj)) = math.min(ri, rj)
+              }
+              i += 1
+            }
+            j += 1
+          }
+          // members sorted by vec_id ⇒ a component's min INDEX is its
+          // min vec_id — the star center
+          val byRoot = (0 until n).groupBy(find)
+          byRoot.valuesIterator.flatMap { idxs =>
+            val center = ms(idxs.min)._1
+            idxs.iterator.filter(_ != idxs.min)
+              .map(i => (center, ms(i)._1))
+          }
+        }
+      }
+      .toDF("vec_a", "vec_b")
+      .distinct()
+  }
+
   /** One materialized CC run per (session, dir) — the iterative label
     * propagation executes jobs eagerly at construction and caches label
     * rounds, so re-running it per bench pass would stack abandoned
@@ -556,10 +673,13 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
     * 100), while this op collapses the pair graph to connected
     * components and elects the min-vec_id representative per cluster —
     * output exactly one row per VECTOR, whatever the clone structure.
-    * Composition of two verified pieces: the adaptive-depth dedup-grade
-    * pair generator and the shared minimum-label-propagation CC
-    * ([[graft.text.DedupClusters.connectedComponents]] — per-round one
-    * shuffle join + one groupBy min, no driver-side graph). On the
+    * The intermediate state is bounded too: CC consumes the spanning
+    * STAR edges of the similarity graph ([[annLshStarEdgesOver]] —
+    * ≤ n·bands rows, connectivity-identical to the full pair list by
+    * per-cell decomposition), not the quadratic pair list itself, then
+    * the shared minimum-label-propagation CC ([[graft.text
+    * .DedupClusters.connectedComponents]] — per-round one shuffle join
+    * + one groupBy min, no driver-side graph). On the
     * driver corpus the similarity graph is EMPTY (pairwise cosine tops
     * out at 0.51/0.60 < 0.8), so every vector is its own keeper — the
     * oracle checks exactly that fixpoint via the same recursive CTE;
@@ -572,13 +692,21 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
       annDedupRepsOver(Tables.embeddings(spark, dir)))
   }
 
-  /** Core over any (vec_id, embedding) frame (spec surface). */
+  /** Core over any (vec_id, embedding) frame (spec surface). The CC
+    * input is [[annLshStarEdgesOver]] — connectivity-equivalent to the
+    * full qualifying pair list (AnnDedupGradeSpec machine-checks the
+    * equivalence on clone piles AND on within-bucket chain corpora
+    * where member↔member edges exist that no member↔bucket-min rescore
+    * would find), at ≤ n·bands edge rows instead of a
+    * clone-multiplicity-quadratic pair list. Star trees are one hop
+    * deeper than the cliques they replace, so the propagation budget
+    * gets headroom over the default. */
   private[graft] def annDedupRepsOver(e: DataFrame): DataFrame = {
     val rows = adaptiveLshRowsByMass(e, e.count())
-    val pairs = annLshNearDupPairsOver(e, 64 / rows, rows, 0.8, LshBucketCap)
-      .select(col("vec_a"), col("vec_b"))
+    val edges = annLshStarEdgesOver(e, 64 / rows, rows, 0.8, LshBucketCap)
     graft.text.DedupClusters
-      .connectedComponents(e.select(col("vec_id").as("id")), pairs)
+      .connectedComponents(e.select(col("vec_id").as("id")), edges,
+        maxRounds = 30)
       .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
         col("is_keeper"))
   }
@@ -600,6 +728,52 @@ sizes AS (SELECT label AS cluster_id, COUNT(*) AS cluster_size FROM rch GROUP BY
 SELECT r.node AS vec_id, r.label AS cluster_id, s.cluster_size,
        r.node = r.label AS is_keeper
 FROM rch r JOIN sizes s ON r.label = s.cluster_id"""
+
+  /** Output-BOUNDED rollup of the dedup-grade pair stream — what a
+    * 100 TB run reports instead of LISTING pairs (the pair list is
+    * quadratic in clone multiplicity; its global statistics are five
+    * numbers). Runs the exact registered [[annLshDedupPairs]] plan and
+    * aggregates it in-stream: nothing pair-shaped ever reaches the
+    * driver, so THIS row is the dedup family's ladder representative
+    * at rungs where the listing op's collect() is the bottleneck.
+    * MIN/MAX over cross-engine-identical cosines need no decimal snap
+    * (no summation), and both engines agree COUNT over the empty
+    * stream is 0 with NULL extrema. */
+  def annDedupPairStats(spark: SparkSession, dir: String): DataFrame =
+    annLshDedupPairs(spark, dir)
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("vec_a")).as("n_vec_a"),
+        countDistinct(col("vec_b")).as("n_vec_b"),
+        min(col("cosine")).as("min_cosine"),
+        max(col("cosine")).as("max_cosine"))
+
+  val annDedupPairStatsSql: String = s"""
+SELECT COUNT(*) AS n_pairs,
+       COUNT(DISTINCT vec_a) AS n_vec_a,
+       COUNT(DISTINCT vec_b) AS n_vec_b,
+       MIN(cosine) AS min_cosine,
+       MAX(cosine) AS max_cosine
+FROM ($annLshDedupPairsSql)"""
+
+  /** Cluster-size histogram of the dedup components — the other
+    * bounded executive view (≤ one row per distinct cluster size; on a
+    * clone-pile corpus it reads "how many piles of how many"). Reuses
+    * the [[annDedupReps]] materialization (same session cache), so in
+    * a bench pass after the reps op this is one tiny re-aggregation. */
+  def annDedupClusterHist(spark: SparkSession, dir: String): DataFrame =
+    annDedupReps(spark, dir)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_vectors"))
+      .orderBy("cluster_size")
+
+  val annDedupClusterHistSql: String = s"""
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_vectors
+FROM (SELECT DISTINCT cluster_id, cluster_size FROM ($annDedupRepsSql))
+GROUP BY cluster_size
+ORDER BY cluster_size"""
 
   /** Int8 quantization of the embedding store — the storage-reduction
     * pass a 100 TB vector corpus runs before serving (4x smaller than
@@ -648,6 +822,8 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "ann_lsh_dedup_pairs"      -> (annLshDedupPairs _),
     "ann_lsh_dedup_pairs_t45"  -> ((s, d) => annLshDedupPairsAt(s, d, 0.45)),
     "ann_dedup_reps"           -> (annDedupReps _),
+    "ann_dedup_pair_stats"     -> (annDedupPairStats _),
+    "ann_dedup_cluster_hist"   -> (annDedupClusterHist _),
     "embedding_quantize"       -> (embeddingQuantize _))
 
   val oracle: Map[String, String] = Map(
@@ -658,5 +834,7 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "ann_lsh_dedup_pairs"      -> annLshDedupPairsSql,
     "ann_lsh_dedup_pairs_t45"  -> annLshDedupPairsSqlAt(0.45),
     "ann_dedup_reps"           -> annDedupRepsSql,
+    "ann_dedup_pair_stats"     -> annDedupPairStatsSql,
+    "ann_dedup_cluster_hist"   -> annDedupClusterHistSql,
     "embedding_quantize"       -> embeddingQuantizeSql)
 }

@@ -98,6 +98,73 @@ class AnnDedupGradeSpec extends SparkSpec {
       Similarity.LshMassMaxRows)
   }
 
+  /** Reference CC over the FULL qualifying pair list (what the oracle's
+    * recursive CTE computes) — the equivalence target for the
+    * bounded-state star-edge path. */
+  private def ccOverFullPairs(e: org.apache.spark.sql.DataFrame,
+                              bands: Int, rows: Int): Map[Long, (Long, Long, Boolean)] = {
+    import org.apache.spark.sql.functions.col
+    val pairs = Similarity
+      .annLshNearDupPairsOver(e, bands, rows, 0.8, Similarity.LshBucketCap)
+      .select(col("vec_a"), col("vec_b"))
+    graft.text.DedupClusters
+      .connectedComponents(e.select(col("vec_id").as("id")), pairs, maxRounds = 30)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+  }
+
+  private def ccOverStarEdges(e: org.apache.spark.sql.DataFrame,
+                              bands: Int, rows: Int): Map[Long, (Long, Long, Boolean)] = {
+    import org.apache.spark.sql.functions.col
+    val edges = Similarity.annLshStarEdgesOver(e, bands, rows, 0.8,
+      Similarity.LshBucketCap)
+    graft.text.DedupClusters
+      .connectedComponents(e.select(col("vec_id").as("id")), edges, maxRounds = 30)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+  }
+
+  test("star edges yield the exact full-pair-list components on the pile corpus") {
+    val e = corpus.toDF("vec_id", "embedding")
+    assert(ccOverStarEdges(e, 8, 8) == ccOverFullPairs(e, 8, 8))
+  }
+
+  test("star edges survive the within-bucket chain case") {
+    // adversarial shape for any member↔bucket-min-ONLY rescore: a chain
+    // v0–v1–v2–... where consecutive vectors pass 0.8 but the bucket's
+    // min-id member and a far member do NOT — connectivity must still
+    // come out whole because the per-cell union-find compares ALL
+    // not-yet-connected member pairs, not just pairs with the min.
+    // Build: walk a base direction in small steps; step k vs k+1 has
+    // cosine ~0.97, step 0 vs 5 ~0.75 (below threshold).
+    val base = randVec()
+    val dirStep = randVec()
+    val chain = (0 until 6).map { k =>
+      k.toLong -> {
+        val t = k * 0.17
+        base.indices.map(i => (base(i) + t * dirStep(i)).toFloat).toArray
+      }
+    }
+    val e = (chain ++ noise.take(60)).toDF("vec_id", "embedding")
+    val full = ccOverFullPairs(e, 8, 8)
+    val star = ccOverStarEdges(e, 8, 8)
+    assert(star == full, "star-edge CC diverged from full-pair CC on a chain corpus")
+    // the shape is only adversarial if the chain actually chains:
+    // endpoints must NOT be directly >= 0.8 while the whole walk is one
+    // component in the exact answer
+    assert(full(0L)._1 == full(5L)._1,
+      "chain endpoints should share a component via transitivity")
+  }
+
+  test("star edges match full pairs on a clone-pile corpus at the adaptive depth") {
+    // the reps operator's exact configuration: depth from the mass rule
+    val e = corpus.toDF("vec_id", "embedding")
+    val rows = Similarity.adaptiveLshRowsByMass(e, corpus.size.toLong)
+    assert(ccOverStarEdges(e, 64 / rows, rows) == ccOverFullPairs(e, 64 / rows, rows))
+  }
+
   test("deep bands pass few random pairs as candidates; shallow bands cannot") {
     val e = noise.toDF("vec_id", "embedding")
     val allPairs = 150 * 149 / 2.0
