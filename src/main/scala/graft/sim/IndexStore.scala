@@ -1,9 +1,7 @@
 package graft.sim
 
-import graft.Tables
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.Paths
@@ -29,16 +27,16 @@ import java.nio.file.Paths
   * what an inline retrain would produce, so the oracle replay of the
   * TRAINING still hash-proves the SERVED index.
   *
-  * Fingerprint = one column-pruned aggregate over the collection (row
-  * count + key checksum + TWO full-component checksums, one plain and
-  * one position-weighted so dimension permutations change it too), NOT
-  * a cryptographic content hash. It reads every embedding component —
-  * a collection regenerated in place with unchanged ids but different
-  * values in ANY dimension invalidates the index (a first-component-only
-  * probe missed exactly that) — but it stays one narrow linear scan
-  * with no shuffle: microseconds of parquet at driver scale, ~1 s at
-  * the 100× ladder rung. A vintage system with real mutation tracking
-  * would key on a table version instead; plain parquet dirs have none.
+  * Fingerprint = a digest of the source table's file METADATA (sorted
+  * path/length/mtime triples — see [[tableFingerprint]]): any rewrite
+  * of the collection produces new part-file names, so a regenerated
+  * collection invalidates the index however little of its content
+  * changed (a first-component-only content probe missed exactly the
+  * in-place-regeneration case), while the serve-path cost is an
+  * O(#files) listing — decoupled from collection size, which content
+  * checksums are not (measured ~7 s/serve at the 300× rung). A vintage
+  * system with real mutation tracking would key on a table version
+  * instead; plain parquet directories have none.
   *
   * Durability protocol (what makes the commit marker honest on a real
   * deployment): EVERYTHING — tables and manifest — goes through the
@@ -74,49 +72,52 @@ object IndexStore {
     s"$root/${canon.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(48)}-$key/$name"
   }
 
-  /** Per-row checksums stay under this before summing, so the corpus
-    * total cannot overflow a 64-bit sum until ~9e9 rows (and ANSI mode
-    * never throws on the fingerprint path). */
-  private val FpMod = 1000000007L
-
-  /** Row count + key checksum + plain and position-weighted checksums
-    * over EVERY embedding component (1e-7 integer grid, so the string
-    * is stable across runs and engines). The weighted sum makes
-    * component permutations visible; the plain sum makes any value
-    * change visible even if a permutation-compensating edit fooled one
-    * of them. One column-pruned scan, no shuffle. */
-  def embeddingsFingerprint(spark: SparkSession, dataDir: String): String = {
-    val q = "cast(floor(cast(x as double) * 1e7) as bigint)"
-    val r = Tables.embeddings(spark, dataDir)
-      .agg(count(lit(1)).as("n"),
-        sum(col("vec_id")).as("sid"),
-        sum(expr(
-          s"""pmod(aggregate(transform(embedding, x -> $q),
-                cast(0 as bigint), (acc, v) -> acc + v), ${FpMod}L)"""))
-          .as("sall"),
-        sum(expr(
-          s"""pmod(aggregate(zip_with(embedding, sequence(1, size(embedding)),
-                (x, i) -> cast(i as bigint) * $q),
-                cast(0 as bigint), (acc, v) -> acc + v), ${FpMod}L)"""))
-          .as("swt"))
-      .head()
-    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
-    s"n=${l(0)};sid=${l(1)};sall=${l(2)};swt=${l(3)}"
+  /** Staleness fingerprint of one source table: an MD5 over the sorted
+    * (path, length, modification time) of every data file under the
+    * table directory — file METADATA, no content scan.
+    *
+    * Why this catches every regeneration: Spark (and every parquet
+    * writer in this lineage) writes part files with fresh task UUIDs in
+    * their names, so an in-place rewrite changes the path set itself —
+    * content never changes under an unchanged (path, length, mtime)
+    * triple short of deliberate filesystem surgery, and the failure
+    * direction of any residual doubt is a spurious REBUILD (safe), not
+    * a stale serve. Earlier rounds checksummed vector components
+    * instead; that read the whole collection per serve call (~7 s of
+    * interpreted lambdas at the 300× rung, charged to every query
+    * batch) — metadata listing is O(#files) and keeps the serve path
+    * truly decoupled from collection size, which at 100 TB is the only
+    * option anyway. */
+  def tableFingerprint(spark: SparkSession, dataDir: String,
+                       table: String): String = {
+    val p = new HPath(s"$dataDir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) s"$table:absent"
+    else {
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next()
+        // _SUCCESS/.crc markers churn without data meaning; data files
+        // (part-*.parquet) are what the scan reads
+        if (!s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          entries += s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}"
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      entries.sorted.foreach(e => md.update(e.getBytes(StandardCharsets.UTF_8)))
+      s"$table:n=${entries.size};md5=" +
+        md.digest().map("%02x".format(_)).mkString
+    }
   }
 
-  /** Row count + key checksum + content checksum of the documents
-    * table — the staleness guard for text indexes ([[graft.text
-    * .Relevance]]'s BM25 postings). xxhash64 of the text reads every
-    * byte, so any in-place edit invalidates; still one narrow scan. */
-  def documentsFingerprint(spark: SparkSession, dataDir: String): String = {
-    val r = Tables.documents(spark, dataDir)
-      .agg(count(lit(1)).as("n"),
-        sum(col("doc_id")).as("sid"),
-        sum(expr(s"pmod(xxhash64(text), ${FpMod}L)")).as("st"))
-      .head()
-    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
-    s"n=${l(0)};sid=${l(1)};st=${l(2)}"
-  }
+  /** The embeddings collection's staleness guard (vector indexes). */
+  def embeddingsFingerprint(spark: SparkSession, dataDir: String): String =
+    tableFingerprint(spark, dataDir, "embeddings")
+
+  /** The documents corpus's staleness guard ([[graft.text.Relevance]]'s
+    * BM25 postings). */
+  def documentsFingerprint(spark: SparkSession, dataDir: String): String =
+    tableFingerprint(spark, dataDir, "documents")
 
   /** Serialize build-once semantics per index path within this JVM; the
     * temp-dir + rename protocol covers cross-process readers. */

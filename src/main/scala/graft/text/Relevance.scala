@@ -166,8 +166,74 @@ ORDER BY doc_id"""
     * DECIMAL(18,6) snap so distributed summation order cannot matter;
     * ranking orders by the exact decimal sum with doc_id tiebreak. */
   def bm25Search(spark: SparkSession, dir: String): DataFrame =
-    bm25SearchOver(docs(spark, dir))
+    bm25Served(spark, dir)
 
+  /** Layout version of the persisted text index: bump when the
+    * tokenizer ([[TextOps.toksE]]) or the table schema changes. */
+  private val Bm25IndexVersion = "bm25-v2"
+
+  /** The inverted-index tables over any (doc_id, text) frame:
+    *  - `postings` (term, doc_id, tf, dl) — DENORMALIZED: each posting
+    *    carries its document's length, so scoring never joins a
+    *    corpus-sized side at query time, and TERM-ORDERED on disk so
+    *    parquet row-group min/max stats let a query-term pushdown skip
+    *    everything outside the query vocabulary (the classic inverted-
+    *    index layout, expressed as a sorted columnar table);
+    *  - `df` (term, df) — per-term document frequencies;
+    *  - `stats` — the one-row corpus census (n_docs, total tokens).
+    * This is the BUILD cost (tokenize + three shuffles); everything the
+    * query-time scorer needs and nothing per-query. */
+  private[graft] def bm25IndexTablesOver(d: DataFrame): Map[String, DataFrame] = {
+    val occ = occurrencesOver(d)
+    val lens = occ.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = occ.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    // df per term from the postings grain (one row per (term, doc)) —
+    // same value as COUNT(DISTINCT doc_id) without a second distinct
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("total"))
+    val postings = tf.join(lens, "doc_id")
+      .select("term", "doc_id", "tf", "dl").sort("term")
+    Map("postings" -> postings, "df" -> dfT, "stats" -> stats)
+  }
+
+  /** The persisted index for a corpus directory ([[graft.sim
+    * .IndexStore]] protocol: build once per (version, corpus
+    * fingerprint), serve the stored parquet thereafter — the same
+    * split the IVF/PQ family got in round 10; through round 10 BM25
+    * re-derived postings/df/idf on every call). */
+  private def bm25Index(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    graft.sim.IndexStore.loadOrBuild(spark, dir, "bm25", Bm25IndexVersion,
+      graft.sim.IndexStore.documentsFingerprint(spark, dir),
+      Seq("postings", "df", "stats")) {
+      bm25IndexTablesOver(docs(spark, dir))
+    }
+
+  /** SERVE path: a STATIC `isin` on the fixed query vocabulary reaches
+    * the postings scan as a pushed parquet filter (the term-ordered
+    * layout makes row-group skipping effective), the tiny query list
+    * broadcasts onto what survives, and dl rides inside each posting —
+    * no corpus-sized scan, join, or aggregation anywhere on the query
+    * path. Scoring math is shared with the inline form
+    * ([[bm25ScoredFrom]]), and stored tf/df/dl/stats values equal the
+    * inline ones by construction, so the DuckDB oracle keeps
+    * hash-proving the served answer (RelevanceSpec also asserts
+    * served == inline row for row). */
+  private def bm25Served(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = bm25Index(spark, dir)
+    val terms = Bm25Queries.map(_._2).distinct
+    val q = Bm25Queries.toDF("query_id", "term")
+    val tfq = idx("postings").filter(col("term").isin(terms: _*))
+      .join(broadcast(q), "term")
+      .select("query_id", "term", "doc_id", "tf", "dl")
+    bm25ScoredFrom(tfq, idx("df").filter(col("term").isin(terms: _*)),
+      idx("stats"))
+  }
+
+  /** Inline twin over any (doc_id, text) frame (RelevanceSpec surface;
+    * also the shape a one-shot scoring job without a persisted index
+    * runs). Must stay value-identical to the served path — the spec
+    * asserts it. */
   private[graft] def bm25SearchOver(d: DataFrame): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
@@ -179,12 +245,23 @@ ORDER BY doc_id"""
     val tf = qocc.groupBy("query_id", "term", "doc_id").agg(count(lit(1)).as("tf"))
     val dfq = qocc.select("term", "doc_id").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
+    bm25ScoredFrom(tf.join(lens, "doc_id")
+      .select("query_id", "term", "doc_id", "tf", "dl"), dfq, stats)
+  }
+
+  /** Shared scorer: tfq (query_id, term, doc_id, tf, dl) ⋈ broadcast
+    * df ⋈ broadcast stats → Σ per-(query, doc) decimal-snapped term
+    * scores → top-10 per query. Both joined sides are bounded by the
+    * query vocabulary (≤ |terms| rows), so this subtree's cost is the
+    * posting mass of the query terms — corpus size never enters. */
+  private def bm25ScoredFrom(tfq: DataFrame, dfT: DataFrame,
+                             stats: DataFrame): DataFrame = {
     def D(c: String) = col(c).cast("double")
     val avgdl = D("total") / D("n_docs")
     val idf = log((D("n_docs") - D("df") + lit(0.5)) / (D("df") + lit(0.5)) + lit(1.0))
     val termScore = idf * (D("tf") * lit(K1 + 1.0)) /
       (D("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * D("dl") / avgdl))
-    val scored = tf.join(dfq, "term").join(lens, "doc_id")
+    val scored = tfq.join(broadcast(dfT), "term")
       .crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
       .agg(sum(Det.dec6(termScore)).as("s"))

@@ -49,9 +49,10 @@ class IndexStoreSpec extends SparkSpec {
   }
 
   test("fingerprint sees a change confined to one non-zero dimension") {
-    // regression: a first-component-only checksum passed any in-place
-    // regeneration that left dim 0 untouched — the fingerprint must
-    // read EVERY component
+    // regression: a first-component-only content checksum passed any
+    // in-place regeneration that left dim 0 untouched — the
+    // file-status fingerprint catches EVERY rewrite because parquet
+    // writers mint fresh part-file names
     val dir = java.nio.file.Files.createTempDirectory("idxstore-fp1").toString
     def write(bump: Float): Unit =
       (0 until 64).map { i =>
@@ -69,8 +70,8 @@ class IndexStoreSpec extends SparkSpec {
   }
 
   test("fingerprint sees a dimension permutation at fixed component sums") {
-    // swapping two components per row keeps the plain component sum —
-    // the position-weighted checksum must catch it
+    // swapping two components per row would fool a plain component-sum
+    // checksum; the rewrite itself must invalidate
     val dir = java.nio.file.Files.createTempDirectory("idxstore-fpperm").toString
     def write(swap: Boolean): Unit =
       (0 until 64).map { i =>

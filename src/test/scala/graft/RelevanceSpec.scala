@@ -98,6 +98,20 @@ class RelevanceSpec extends SparkSpec {
       s"rare-term doc must rank first, got ${top}")
   }
 
+  test("served bm25 (persisted index) equals the inline computation row for row") {
+    // the registered op serves from the IndexStore vintage; the inline
+    // twin re-derives postings/df/lens/stats per call — they must be
+    // value-identical (same scores, same ranks, same ties), or the
+    // build/serve split silently changed the operator
+    val served = Relevance.bm25Search(spark, sf).collect().map(_.toSeq)
+    val inline = Relevance.bm25SearchOver(Tables.documents(spark, sf))
+      .collect().map(_.toSeq)
+    assert(served.toSeq == inline.toSeq)
+    // and a second serve (warm manifest) returns the same rows
+    assert(Relevance.bm25Search(spark, sf).collect().map(_.toSeq).toSeq ==
+      served.toSeq)
+  }
+
   test("hybrid RRF fuses exactly 1/(k+b_rank) + 1/(k+a_rank) of its inputs") {
     import org.apache.spark.sql.functions._
     val out = Relevance.hybridRrfSearch(spark, sf).collect()
