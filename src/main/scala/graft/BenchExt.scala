@@ -34,7 +34,8 @@ object BenchExt {
     "stratified_sample_exact", "pii_referential_rollup",
     // round-11 additions: the output-bounded dedup-family rollups (the
     // rows a 300× rung runs where the pair LISTING's collect can't)
-    "ann_dedup_pair_stats", "ann_dedup_cluster_hist")
+    "ann_dedup_pair_stats", "ann_dedup_cluster_hist",
+    "multimodal_phash_pairs")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

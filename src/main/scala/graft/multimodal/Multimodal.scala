@@ -156,13 +156,126 @@ SELECT doc_id,
            'string_agg', '')) AS thumb_md5
 FROM documents"""
 
+  // --------------------------------------------- perceptual-hash dedup
+
+  /** Bucket cap for a phash (block, block_bits) cell — same guardrail
+    * (and size) as [[graft.text.TextOps.SimhashBucketCap]]: a
+    * low-entropy payload pile floods shared buckets and the candidate
+    * join must stay ≤ cap² per cell, not melt. */
+  val PhashBucketCap = 200
+
+  /** 60-bit difference hash (dHash) over the strided thumbnail the
+    * resize stub samples: 61 evenly-strided payload bytes (the same
+    * `1 + i·max(1, len/64)` grid as [[resizeThumbnails]]), bit j = 1
+    * iff sample j > sample j+1. dHash is THE standard cheap image
+    * near-dup fingerprint (gradient signs survive re-encode, resize,
+    * and brightness shifts); over the ASCII stand-in payloads it is a
+    * pure function of the bytes, so both engines replay it exactly.
+    * Payloads shorter than one full 8×8 grid (64 bytes) carry no
+    * thumbnail to hash and are excluded. 60 bits, not 64: the hash
+    * stays non-negative in every engine and slices into five exact
+    * 12-bit blocks — the [[graft.text.TextOps.dedupSimhashPairs]]
+    * pigeonhole geometry, reused verbatim. */
+  def phash(spark: SparkSession, dir: String): DataFrame =
+    phashOver(Tables.documents(spark, dir))
+
+  private[graft] def phashOver(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= 64)
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 60),
+          |  i -> ascii(substr(text, 1 + i * cast(greatest(1, length(text) div 64) as int), 1)))"""
+          .stripMargin).as("s"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) ->
+          |  acc + if(element_at(s, j + 1) > element_at(s, j + 2),
+          |           shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""
+          .stripMargin).as("phash60"))
+
+  private val phashCte: String = """
+ph AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 59), j ->
+           CASE WHEN s[j + 1] > s[j + 2] THEN (CAST(1 AS BIGINT) << j)
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash60
+  FROM (SELECT doc_id,
+               list_transform(generate_series(0, 60),
+                 i -> ascii(substr(text, 1 + i * CAST(greatest(1, length(text) // 64) AS INT), 1))) AS s
+        FROM documents WHERE length(text) >= 64))"""
+
+  val phashSql: String = s"WITH $phashCte\nSELECT doc_id, phash60 FROM ph"
+
+  /** Near-duplicate payload pairs at Hamming distance ≤ 4 over the
+    * dHash — found EXACTLY via the pigeonhole banding: 5 disjoint
+    * 12-bit blocks, any ≤4-bit difference must agree on ≥1 block, so
+    * candidates come from block-equality joins (never all-pairs) and
+    * the exact Hamming filter keeps no false positives. Identical
+    * payloads (the corpus's exact-dup groups) land at Hamming 0, so
+    * the row is output-bearing at the driver SFs. Hot cells beyond
+    * [[PhashBucketCap]] drop from candidate generation (recall
+    * semantics as in SimHash: a pair is lost only when every block it
+    * agrees on is degenerate). */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairsOver(
+      phashOver(Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)),
+      PhashBucketCap)
+
+  /** Parameterized core over any (doc_id, phash60) frame (spec drives
+    * it with an adversarial constant-payload corpus and a tiny cap). */
+  private[graft] def phashPairsOver(sh: DataFrame, bucketCap: Int): DataFrame = {
+    val blocks = sh.select(col("doc_id"), col("phash60"),
+      posexplode(expr(
+        """array(phash60 & 4095,
+                 shiftright(phash60, 12) & 4095,
+                 shiftright(phash60, 24) & 4095,
+                 shiftright(phash60, 36) & 4095,
+                 shiftright(phash60, 48) & 4095)"""))
+        .as(Seq("block", "block_bits")))
+    val hot = blocks.groupBy("block", "block_bits")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > bucketCap)
+      .select("block", "block_bits")
+    val kept = blocks.join(broadcast(hot), Seq("block", "block_bits"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.block_bits") === col("b.block_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.phash60 ^ b.phash60)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 4)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  val phashPairsSql: String = s"""
+WITH $phashCte,
+blocks AS (
+  SELECT doc_id, phash60, b.block,
+         CASE b.block WHEN 0 THEN phash60 & 4095
+                      WHEN 1 THEN (phash60 >> 12) & 4095
+                      WHEN 2 THEN (phash60 >> 24) & 4095
+                      WHEN 3 THEN (phash60 >> 36) & 4095
+                      ELSE (phash60 >> 48) & 4095 END AS block_bits
+  FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS block) b),
+hot AS (SELECT block, block_bits FROM blocks GROUP BY 1, 2 HAVING COUNT(*) > $PhashBucketCap),
+kept AS (SELECT * FROM blocks ANTI JOIN hot USING (block, block_bits))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash60, b.phash60)) AS BIGINT) AS hamming
+FROM kept a JOIN kept b
+  ON a.block = b.block AND a.block_bits = b.block_bits AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash60, b.phash60)) <= 4"""
+
   val inventory: Map[String, Q] = Map(
     "multimodal_features" -> (mediaFeatures _),
     "multimodal_decode"   -> (decodeFeaturesQ _),
-    "multimodal_resize"   -> (resizeThumbnails _))
+    "multimodal_resize"   -> (resizeThumbnails _),
+    "multimodal_phash"    -> (phash _),
+    "multimodal_phash_pairs" -> (phashPairs _))
 
   val oracle: Map[String, String] = Map(
     "multimodal_features" -> mediaFeaturesSql,
     "multimodal_decode"   -> decodeFeaturesSql,
-    "multimodal_resize"   -> resizeThumbnailsSql)
+    "multimodal_resize"   -> resizeThumbnailsSql,
+    "multimodal_phash"    -> phashSql,
+    "multimodal_phash_pairs" -> phashPairsSql)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** The perceptual-hash (dHash) payload dedup: gradient-sign hashing of
+  * the strided thumbnail, pigeonhole banding for candidates, exact
+  * Hamming verify — and the bucket cap as the low-entropy safety valve
+  * (the SimhashCapSpec posture applied to the multimodal family). */
+class PhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  // payload long enough for the 8×8 grid; varied bytes so the gradient
+  // signs carry entropy
+  private def payload(seed: Int): String =
+    (0 until 96).map(i => ('a' + ((i * 7 + seed * 13 + i * i * seed) % 26)).toChar)
+      .mkString
+
+  test("identical payloads hash identically and pair at Hamming 0") {
+    val d = Seq(
+      (1L, payload(3)), (2L, payload(3)),       // exact clone pair
+      (3L, payload(5)), (4L, payload(9)))       // unrelated
+      .toDF("doc_id", "text")
+    val hashes = Multimodal.phashOver(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L) >= 0L, "60-bit hash must be non-negative")
+    val pairs = Multimodal.phashPairsOver(Multimodal.phashOver(d), 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)), s"clone pair missing from $pairs")
+    assert(pairs.forall { case (a, b, _) => (a, b) == ((1L, 2L)) },
+      s"unrelated payloads must not pair: $pairs")
+  }
+
+  test("a single-byte payload edit stays within the Hamming-4 pairing radius") {
+    // one changed byte flips at most its two adjacent gradient signs —
+    // dHash's robustness claim, machine-checked
+    val base = payload(4)
+    val edited = base.updated(40, if (base(40) == 'z') 'a' else 'z')
+    val d = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairsOver(Multimodal.phashOver(d), 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length == 1 && pairs.head._3 <= 2L,
+      s"edited payload should pair at Hamming <= 2, got $pairs")
+  }
+
+  test("short payloads (< one 8x8 grid) are excluded, not mis-hashed") {
+    val d = Seq((1L, "short"), (2L, payload(1))).toDF("doc_id", "text")
+    val ids = Multimodal.phashOver(d).select("doc_id").as[Long].collect()
+    assert(ids.toSeq == Seq(2L))
+  }
+
+  test("bucket cap keeps a constant-payload pile from exploding the join") {
+    // 150 identical payloads: every block bucket is hot; with a small
+    // cap the pile drops wholesale while a distinct small pair survives
+    val pile = (1 to 150).map(i => (i.toLong, payload(2)))
+    val other = Seq((301L, payload(6)), (302L, payload(6)))
+    val d = (pile ++ other).toDF("doc_id", "text")
+    val sh = Multimodal.phashOver(d)
+    val uncapped = Multimodal.phashPairsOver(sh, Int.MaxValue).count()
+    assert(uncapped > 11000, s"expected ~C(150,2)+1 uncapped, got $uncapped")
+    val capped = Multimodal.phashPairsOver(sh, 50).collect()
+    assert(capped.length < 50, s"cap did not bound the join: ${capped.length}")
+    assert(capped.exists(r =>
+      r.getLong(0) == 301L && r.getLong(1) == 302L && r.getLong(2) == 0L),
+      "the non-hot duplicate pair must still be found")
+  }
+}
