@@ -26,9 +26,13 @@ object Bench {
     // AQE on for skew splits and runtime coalescing.
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     // the shared local profile (Sessions.local) — one place for the
-    // AQE-off/compression-off/locality-wait tuning story
+    // AQE-off/compression-off/locality-wait tuning story.
+    // SPARK_GRAFT_AQE=1 switches to the ladder profile (AQE coalescing
+    // from a high initial partition count — ONE config honest at every
+    // rung, replacing the per-rung SPARK_GRAFT_SHUFFLE guesswork).
     val spark = Sessions.local(cores = cpus.toInt,
-      shufflePartitions = shufflePartitions.toInt)
+      shufflePartitions = shufflePartitions.toInt,
+      adaptive = sys.env.get("SPARK_GRAFT_AQE").contains("1"))
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = headline.filter(SparkEntry.queries.contains)

@@ -14,12 +14,23 @@ object Sessions {
   /** Local development/bench profile (single JVM, data ≤ a few GB):
     * shuffle partitions sized to data not cores, AQE off (its stage
     * re-materializations cost more than they save at this scale),
-    * shuffle compression off (pure CPU overhead on in-memory blocks). */
-  def local(cores: Int = 4, shufflePartitions: Int = 8): SparkSession =
-    SparkSession.builder()
+    * shuffle compression off (pure CPU overhead on in-memory blocks).
+    *
+    * `adaptive = true` is the SCALE-LADDER profile: one configuration
+    * honest at every rung. A fixed partition count cannot be — 8 is
+    * right at 1× and starves 300×, 32 is right at 300× and pays ~3.3 s
+    * of task-scheduling overhead at 1× (measured, round 10) — so the
+    * ladder lets AQE coalesce from a high initial count down to
+    * whatever the RUNTIME shuffle bytes justify (`parallelismFirst`
+    * off, or the coalescer would pin partitions ≈ cores and reproduce
+    * exactly the small-rung overhead this profile removes; 16 MB
+    * advisory size keeps a few partitions alive on compute-heavy
+    * medium shuffles). Skew-join splitting rides along — the same
+    * machinery a real cluster run enables ([[clusterDefaults]]). */
+  def local(cores: Int = 4, shufflePartitions: Int = 8,
+            adaptive: Boolean = false): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.locality.wait", "0")
@@ -30,8 +41,22 @@ object Sessions {
       // sessions — constant value, so the write is race-free)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    val tuned =
+      if (adaptive) b
+        .config("spark.sql.shuffle.partitions", "256")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      else b
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
+        .config("spark.sql.adaptive.enabled", "false")
+    tuned
       .withExtensions(new functions.GraftExtensions)
       .getOrCreate()
+  }
 
   /** Cluster profile (the 100 TB posture — values are the starting
     * point a deployment tunes from, applied via builder so a spark-submit

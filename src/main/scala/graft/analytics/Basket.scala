@@ -54,6 +54,18 @@ object Basket {
     * broadcast join without removing anything. */
   val PruneSelectivity = 4L
 
+  /** Prune only when the average basket holds at least this many items.
+    * The cost a-priori pruning attacks is the C(basket, 2) pair-stream
+    * fanout; on slim baskets (TPC-H's ~4 items → fanout 6) the pair
+    * stream never dominates the mandatory full-corpus passes, so even
+    * an ACTIVATED prune loses its pass-1 overhead (measured: −8% at a
+    * 10× skewed rung with slim baskets vs +2.2× with 26-item baskets —
+    * docs/BENCH_BASKET_SKEW.json). Gate on the cheap approximate
+    * order count BEFORE pass-1 runs, so slim-basket corpora skip the
+    * bound derivation entirely; approximation is fine because this is
+    * a cost decision, not a correctness one (both plans are exact). */
+  val MinAvgBasketForPrune = 8.0
+
   def basketPairs(spark: SparkSession, dir: String): DataFrame =
     basketPairsOver(Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")))
@@ -77,6 +89,13 @@ object Basket {
     finally occ.unpersist(false)
   }
 
+  /** Diagnostic: whether the last [[basketPairsOver]] construction on
+    * this JVM took the pruned plan — read by the skew A/B bench so the
+    * committed artifact can PROVE the guard activated rather than
+    * asserting it (best-effort under concurrency; bench runs are
+    * single-query). */
+  @volatile private[graft] var lastPruneActive: Boolean = false
+
   private def basketPairsPruned(li: DataFrame, occ: DataFrame,
                                 allowPrune: Boolean): DataFrame = {
     // ONE order-key shuffle builds each basket's sorted distinct item
@@ -99,12 +118,21 @@ object Basket {
     // 20th-best (subset ordering), so pruning on it is EXACT. The
     // candidate corpus filters BEFORE any shuffle, so pass-1 cost is
     // those items' occurrence mass, never the corpus.
-    val topItems = occ.orderBy(col("occ").desc, col("l_partkey").asc)
-      .limit(TopItemsForBound).select("l_partkey")
-    val cand = pairsOf(li.join(broadcast(topItems), "l_partkey"))
-      .orderBy(col("pair_orders").desc, col("part_a").asc, col("part_b").asc)
-      .limit(TopPairs).collect()
-    val bound = if (cand.length == TopPairs) cand.last.getAs[Long]("pair_orders") else 0L
+    val fanoutWorthy = allowPrune && {
+      val g = li.agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("l_orderkey")).as("orders")).head()
+      g.getLong(0).toDouble / math.max(1L, g.getLong(1)) >= MinAvgBasketForPrune
+    }
+    val bound =
+      if (!fanoutWorthy) 0L // plain plan: pay nothing for a bound it won't use
+      else {
+        val topItems = occ.orderBy(col("occ").desc, col("l_partkey").asc)
+          .limit(TopItemsForBound).select("l_partkey")
+        val cand = pairsOf(li.join(broadcast(topItems), "l_partkey"))
+          .orderBy(col("pair_orders").desc, col("part_a").asc, col("part_b").asc)
+          .limit(TopPairs).collect()
+        if (cand.length == TopPairs) cand.last.getAs[Long]("pair_orders") else 0L
+      }
     // pass 2 — prune only when it BITES: the frequent set must be
     // broadcastable AND a small fraction of the item universe (on a
     // near-uniform corpus every item clears a low bound, and a no-op
@@ -116,6 +144,7 @@ object Basket {
     val nFreq = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val usePrune = allowPrune && bound > 1L && nFreq <= MaxBroadcastItems &&
       nFreq * PruneSelectivity <= nItems
+    lastPruneActive = usePrune
     val cnt =
       if (usePrune)
         pairsOf(li.join(
@@ -123,13 +152,27 @@ object Basket {
           "l_partkey"))
       else pairsOf(li)
     // exact corpus statistics for support/lift always come from the
-    // UNPRUNED corpus; in the unpruned case this basket subtree is
-    // identical to cnt's and the physical planner reuses one exchange
-    val baskets = basketsOf(li)
-    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-    val itemN = baskets
-      .select(explode(col("parts")).as("l_partkey"))
-      .groupBy("l_partkey").agg(count(lit(1)).as("item_orders"))
+    // UNPRUNED corpus — but their formulation follows the branch. In
+    // the unpruned plan the basket-array subtree is identical to cnt's
+    // and the physical planner reuses one exchange, so deriving stats
+    // from the arrays is free. In the PRUNED plan cnt builds arrays
+    // only over the frequent-item mass, and stats via a full array
+    // build would hand back everything the prune saved (measured: a
+    // wash at the 30× skew rung) — the distinct (order, item) grain
+    // gives the same exact counts with map-side partial dedup and no
+    // array construction. Both formulations count each (order, item)
+    // once, which is what the oracle's DISTINCT CTE specifies.
+    val (nOrders, itemN) =
+      if (usePrune) {
+        val op = li.dropDuplicates("l_orderkey", "l_partkey")
+        (op.agg(countDistinct(col("l_orderkey")).as("n_orders")),
+          op.groupBy("l_partkey").agg(count(lit(1)).as("item_orders")))
+      } else {
+        val baskets = basketsOf(li)
+        (baskets.agg(count(lit(1)).as("n_orders")),
+          baskets.select(explode(col("parts")).as("l_partkey"))
+            .groupBy("l_partkey").agg(count(lit(1)).as("item_orders")))
+      }
     val top = cnt
       .orderBy(col("pair_orders").desc, col("part_a").asc, col("part_b").asc)
       .limit(TopPairs)
