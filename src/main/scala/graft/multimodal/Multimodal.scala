@@ -175,11 +175,28 @@ FROM documents"""
     * thumbnail to hash and are excluded. 60 bits, not 64: the hash
     * stays non-negative in every engine and slices into five exact
     * 12-bit blocks — the [[graft.text.TextOps.dedupSimhashPairs]]
-    * pigeonhole geometry, reused verbatim. */
+    * pigeonhole geometry, reused verbatim.
+    *
+    * Computed by the native [[graft.functions.DHash60]] expression
+    * (one code-point walk per row, whole-stage codegen). The first
+    * formulation was the equivalent HOF ([[phashOverHof]], kept as the
+    * spec twin): interpreter-bound and, fused into the pair join's
+    * broadcast-build stage, it re-evaluated the 61-sample transform per
+    * element_at reference — a measured 75–150 s single-task stage for
+    * 5k docs at sf0.1. The oracle keeps verifying the HOF/SQL form. */
   def phash(spark: SparkSession, dir: String): DataFrame =
     phashOver(Tables.documents(spark, dir))
 
   private[graft] def phashOver(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= 64)
+      .select(col("doc_id"),
+        graft.functions.DHash60.of(col("text")).as("phash60"))
+
+  /** HOF twin of [[phashOver]] — the formulation the DuckDB oracle
+    * mirrors; PhashSpec machine-checks native == HOF (incl. multibyte
+    * payloads, where code-point indexing could drift from byte
+    * indexing). Not registered: interpreter-bound (see [[phash]]). */
+  private[graft] def phashOverHof(d: DataFrame): DataFrame =
     d.filter(length(col("text")) >= 64)
       .select(col("doc_id"), expr(
         """transform(sequence(0, 60),

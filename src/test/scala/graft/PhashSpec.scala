@@ -50,6 +50,28 @@ class PhashSpec extends SparkSpec {
     assert(ids.toSeq == Seq(2L))
   }
 
+  test("native DHash60 == the HOF/oracle formulation, incl. multibyte payloads") {
+    // the registered op hashes with the native single-pass expression;
+    // the DuckDB oracle replays the ascii(substr(...)) HOF — this pins
+    // the two together, on exactly the inputs where they could drift:
+    // multibyte chars (code-point vs byte indexing), astral-plane chars
+    // (surrogate pairs), constant and periodic payloads, and the real
+    // length-stride interaction of a varied corpus
+    val adv = Seq(
+      (1L, "é" * 100),                            // 2-byte chars
+      (2L, "日本語テキスト" * 20),                  // 3-byte chars
+      (3L, ("a" * 32) + ("é" * 32) + ("𝕏" * 8)),  // mixed incl. astral
+      (4L, (0 until 200).map(i => ('!' + i % 90).toChar).mkString),
+      (5L, "x" * 64),                              // constant payload
+      (6L, "ab" * 64),                             // period-2 payload
+      (7L, payload(11)), (8L, payload(12)), (9L, payload(13)))
+      .toDF("doc_id", "text")
+    val mismatches = Multimodal.phashOver(adv).as("n")
+      .join(Multimodal.phashOverHof(adv).as("h"), "doc_id")
+      .filter(col("n.phash60") =!= col("h.phash60")).count()
+    assert(mismatches == 0L)
+  }
+
   test("bucket cap keeps a constant-payload pile from exploding the join") {
     // 150 identical payloads: every block bucket is hot; with a small
     // cap the pile drops wholesale while a distinct small pair survives
