@@ -35,7 +35,10 @@ object BenchExt {
     // round-11 additions: the output-bounded dedup-family rollups (the
     // rows a 300× rung runs where the pair LISTING's collect can't)
     "ann_dedup_pair_stats", "ann_dedup_cluster_hist",
-    "multimodal_phash_pairs")
+    "multimodal_phash_pairs",
+    // joined AFTER the round-11 ladder froze (next ladder measures it;
+    // quiet sf0.1 probe: ~3 s warm, the jaccard-join cost class)
+    "dedup_containment_pairs")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

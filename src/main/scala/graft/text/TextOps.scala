@@ -552,6 +552,57 @@ SELECT doc_a, doc_b,
 FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
 WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.7"""
 
+  /** Containment operating point: the smaller document's shingle set is
+    * ≥ 90% inside the other's. */
+  val ContainmentThreshold = 0.9
+
+  /** Broder CONTAINMENT near-dup pairs — |A∩B| / min(|A|, |B|) ≥
+    * `threshold` — over the same df-capped distinct-shingle relation as
+    * [[jaccardPairsOverShingles]]. Containment is the asymmetric
+    * companion to resemblance (Jaccard): a 50-shingle document quoted
+    * verbatim inside a 1000-shingle page has J ≈ 0.05 — structurally
+    * invisible to any resemblance threshold — but containment 1.0.
+    * Scraped corpora are full of exactly this shape (article + chrome,
+    * quote inclusion, boilerplate wrapping), and a dedup ladder that
+    * only tests resemblance ships the duplicate. Same distributed
+    * shape and cost as the Jaccard op: candidates from the
+    * shingle-equality self-join (never all-pairs; the df cap bounds
+    * the worst key at cap²), sizes from a doc-grain aggregate, one
+    * exact integer divide per surviving pair (IEEE-identical across
+    * engines, no summation to snap). */
+  def containmentPairsOverShingles(sh: DataFrame,
+                                   dfCap: Int = HotShingleDfCap,
+                                   threshold: Double = ContainmentThreshold): DataFrame = {
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("s")
+    val capped = sh.join(broadcast(hot), Seq("s"), "left_anti")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = capped.as("a")
+      .join(capped.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Word-trigram containment pairs over the corpus (registered op). */
+  def dedupContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOverShingles(
+      docs(spark, dir).select(col("doc_id"), explode(shinglesNative).as("s")))
+
+  val dedupContainmentPairsSql: String = s"""
+WITH ${shingleCtes(HotShingleDfCap)}
+SELECT doc_a, doc_b, CAST(i AS BIGINT) AS n_common,
+       CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+       CAST(i AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE) AS containment
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE) >= $ContainmentThreshold"""
+
   // ------------------------------------------- decontamination/repetition
 
   /** Benchmark source held out by [[decontamination]]. */
@@ -970,6 +1021,7 @@ WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 4"""
     "dedup_exact"          -> (dedupExact _),
     "dedup_canonical"      -> (dedupCanonical _),
     "dedup_jaccard_pairs"  -> (dedupJaccardPairs _),
+    "dedup_containment_pairs" -> (dedupContainmentPairs _),
     "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
     "dedup_simhash_pairs"  -> (dedupSimhashPairs _),
     "text_decontamination" -> (decontamination _),
@@ -987,6 +1039,7 @@ WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 4"""
     "dedup_exact"          -> dedupExactSql,
     "dedup_canonical"      -> dedupCanonicalSql,
     "dedup_jaccard_pairs"  -> dedupJaccardPairsSql,
+    "dedup_containment_pairs" -> dedupContainmentPairsSql,
     "dedup_minhash_lsh"    -> dedupMinhashLshSql,
     "dedup_simhash_pairs"  -> dedupSimhashPairsSql,
     "text_decontamination" -> decontaminationSql,
