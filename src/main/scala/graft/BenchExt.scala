@@ -36,9 +36,10 @@ object BenchExt {
     // rows a 300× rung runs where the pair LISTING's collect can't)
     "ann_dedup_pair_stats", "ann_dedup_cluster_hist",
     "multimodal_phash_pairs",
-    // joined AFTER the round-11 ladder froze (next ladder measures it;
-    // quiet sf0.1 probe: ~3 s warm, the jaccard-join cost class)
-    "dedup_containment_pairs")
+    // joined AFTER the round-11 ladder froze (next ladder measures them;
+    // quiet sf0.1 probes: containment ~3 s warm (the jaccard-join cost
+    // class), semantic reps ~0.7 s warm on the served IVF assignment)
+    "dedup_containment_pairs", "semantic_dedup_reps")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

@@ -775,6 +775,147 @@ FROM (SELECT DISTINCT cluster_id, cluster_size FROM ($annDedupRepsSql))
 GROUP BY cluster_size
 ORDER BY cluster_size"""
 
+  // ---------------------------------------------------- semantic dedup
+
+  /** Within-cluster near-dup threshold — SemDeDup-style semantic dedup
+    * keeps one representative per tight cosine neighborhood. */
+  val SemanticDedupThreshold = 0.85
+
+  /** Cells larger than this emit singletons without pair generation —
+    * the degenerate-partition guard (a cell's pair work is C(m, 2); the
+    * cap bounds it at ~8.4M rescores however skewed the assignment).
+    * A production run scales the quantizer's k with n (SemDeDup trains
+    * k ∝ n clusters) so cells stay small by construction; the cap only
+    * defends the frozen-index-on-grown-corpus case. */
+  val SemanticCellCap = 4096
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023): assign
+    * every vector to its cell under the FROZEN IVF coarse quantizer
+    * ([[Ivf.index]] — the same persisted index `ivf_search` serves
+    * from; one build feeds search AND dedup), then within each cell
+    * collapse cosine ≥ [[SemanticDedupThreshold]] neighborhoods to
+    * their min-vec_id representative. Components never span cells —
+    * that is the SemDeDup contract (the quantizer IS the blocking
+    * function) — so no global connected components is needed: the
+    * whole op is ONE lazy plan, one shuffle (groupByKey on cell), and
+    * a bounded per-group union-find (the [[annLshStarEdgesOver]]
+    * machinery: members in vec_id order, pairs rescored with exact
+    * QDot semantics ONLY while still in different local components —
+    * O(m) rescores on a clone pile, ≤ C(cap, 2) worst case). Cells
+    * over [[SemanticCellCap]] stream through as singletons (embeddings
+    * dropped, ids only) — bounded memory per group however degenerate
+    * the corpus. Differs from [[annDedupReps]] in blocking semantics:
+    * LSH bands approximate the FULL similarity graph (components can
+    * chain across buckets); the semantic op partitions by a TRAINED
+    * quantizer first — the shape used to thin web-scale embedding
+    * corpora where cross-cluster duplicates are, by construction of
+    * the clustering, not near-dups. */
+  def semanticDedupReps(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupRepsOver(Ivf.index(spark, dir).assignments, SemanticCellCap)
+
+  /** Core over any (vec_id, embedding, cell) assignment frame. */
+  private[graft] def semanticDedupRepsOver(assignments: DataFrame,
+                                           cellCap: Int): DataFrame = {
+    val spark = assignments.sparkSession
+    import spark.implicits._
+    assignments.select(col("cell").cast("int"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+        // buffer at most cap+1 members WITH embeddings; past that the
+        // cell is singleton-only and the tail streams as bare ids
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        var overflow: List[Long] = Nil
+        var over = false
+        it.foreach { case (_, id, emb) =>
+          if (!over && buf.length <= cellCap) buf += ((id, emb))
+          else { over = true; overflow = id :: overflow }
+        }
+        if (buf.length > cellCap) { over = true }
+        if (over) {
+          // degenerate cell: every member its own keeper
+          (buf.iterator.map(_._1) ++ overflow.iterator)
+            .map(id => (id, cell, id, 1L, true))
+        } else {
+          val ms = buf.toArray.sortBy(_._1)
+          val n = ms.length
+          val q = ms.map { case (_, emb) =>
+            val a = new Array[Long](emb.length)
+            var i = 0
+            while (i < emb.length) {
+              a(i) = math.floor(emb(i).toDouble * 1e7).toLong; i += 1
+            }
+            a
+          }
+          def dot(a: Array[Long], b: Array[Long]): Long = {
+            var acc = 0L; var i = 0
+            while (i < a.length) { acc += a(i) * b(i); i += 1 }
+            acc
+          }
+          val nrm = q.map(a => math.sqrt(dot(a, a).toDouble))
+          val parent = Array.tabulate(n)(identity)
+          def find(x: Int): Int = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          var j = 1
+          while (j < n) {
+            var i = 0
+            while (i < j) {
+              val ri = find(i); val rj = find(j)
+              if (ri != rj) {
+                val cos = dot(q(i), q(j)).toDouble / (nrm(i) * nrm(j))
+                if (cos >= SemanticDedupThreshold)
+                  parent(math.max(ri, rj)) = math.min(ri, rj)
+              }
+              i += 1
+            }
+            j += 1
+          }
+          val byRoot = (0 until n).groupBy(find)
+          byRoot.valuesIterator.flatMap { idxs =>
+            val center = ms(idxs.min)._1
+            val size = idxs.size.toLong
+            idxs.iterator.map(i =>
+              (ms(i)._1, cell, center, size, ms(i)._1 == center))
+          }
+        }
+      }
+      .toDF("vec_id", "cell", "cluster_id", "cluster_size", "is_keeper")
+  }
+
+  /** DuckDB replay: deterministic Lloyd (the ivf_cells contract) →
+    * within-cell qualifying pairs (cap-eligible cells only) → min-label
+    * reachability fixpoint — the same recursive-CTE machinery as
+    * [[annDedupRepsSql]], which is connectivity-equivalent to the
+    * union-find's rescore-while-separate shortcut. */
+  val semanticDedupRepsSql: String = s"""
+WITH RECURSIVE ${Ivf.ivfCommonCtes},
+big AS (SELECT cell FROM afin GROUP BY cell HAVING COUNT(*) > $SemanticCellCap),
+elig AS (SELECT * FROM afin ANTI JOIN big USING (cell)),
+prs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM elig a JOIN elig b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(generate_series(1, len(a.qe)),
+               j -> a.qe[j] * b.qe[j])) AS DOUBLE)
+        / (sqrt(CAST(list_sum(list_transform(a.qe, x -> x * x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(b.qe, x -> x * x)) AS DOUBLE)))
+        >= $SemanticDedupThreshold),
+edges AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+reach(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON r.node = e.b),
+rch AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+sizes AS (SELECT label AS cluster_id, COUNT(*) AS cluster_size FROM rch GROUP BY label)
+SELECT r.node AS vec_id, CAST(a.cell AS INT) AS cell, r.label AS cluster_id,
+       s.cluster_size, r.node = r.label AS is_keeper
+FROM rch r JOIN afin a ON a.vec_id = r.node
+JOIN sizes s ON r.label = s.cluster_id"""
+
   /** Int8 quantization of the embedding store — the storage-reduction
     * pass a 100 TB vector corpus runs before serving (4x smaller than
     * float32, cosine ranking preserved to ~1e-2): per-dimension min/max
@@ -824,6 +965,7 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "ann_dedup_reps"           -> (annDedupReps _),
     "ann_dedup_pair_stats"     -> (annDedupPairStats _),
     "ann_dedup_cluster_hist"   -> (annDedupClusterHist _),
+    "semantic_dedup_reps"      -> (semanticDedupReps _),
     "embedding_quantize"       -> (embeddingQuantize _))
 
   val oracle: Map[String, String] = Map(
@@ -836,5 +978,6 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "ann_dedup_reps"           -> annDedupRepsSql,
     "ann_dedup_pair_stats"     -> annDedupPairStatsSql,
     "ann_dedup_cluster_hist"   -> annDedupClusterHistSql,
+    "semantic_dedup_reps"      -> semanticDedupRepsSql,
     "embedding_quantize"       -> embeddingQuantizeSql)
 }
