@@ -39,7 +39,8 @@ object BenchExt {
     // joined AFTER the round-11 ladder froze (next ladder measures them;
     // quiet sf0.1 probes: containment ~3 s warm (the jaccard-join cost
     // class), semantic reps ~0.7 s warm on the served IVF assignment)
-    "dedup_containment_pairs", "semantic_dedup_reps")
+    "dedup_containment_pairs", "semantic_dedup_reps",
+    "semantic_dedup_capture_t45")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

@@ -887,6 +887,54 @@ ORDER BY cluster_size"""
       .toDF("vec_id", "cell", "cluster_id", "cluster_size", "is_keeper")
   }
 
+  /** Blocking-loss eval for the semantic dedup — the dedup family's
+    * counterpart of `ivf_recall`/`pq_recall`: of all EXACT cosine ≥
+    * 0.45 pairs corpus-wide (brute force, the eval baseline — driver-SF
+    * sized by design, like every recall row), what fraction co-assigns
+    * to one IVF cell and is therefore visible to [[semanticDedupReps]]'
+    * within-cell pass? 0.45 is the output-bearing eval threshold
+    * ([[annLshDedupPairsAt]]'s `_t45` rationale — the dedup operating
+    * point's 0.8 bar has NO qualifying pairs on the driver corpus, and
+    * a 0/0 capture rate would be a vacuous oracle row). One number
+    * nothing else registers: how much duplicate mass the trained
+    * blocking function gives up for its no-global-CC scale shape. */
+  def semanticDedupCaptureT45(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Ivf.index(spark, dir).assignments
+      .select(col("vec_id"), col("cell"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normN("embedding").as("nrm"))
+    val pairs = e.repartition(spark.sparkContext.defaultParallelism).as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (dotN("a.embedding", "b.embedding")
+          / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+    pairs
+      .join(cells.toDF("va", "cell_a"), "va")
+      .join(cells.toDF("vb", "cell_b"), "vb")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cell_a") === col("cell_b"), 1L).otherwise(0L))
+          .as("n_captured"))
+      .select(col("n_pairs"), col("n_captured"),
+        (col("n_captured").cast("double") / col("n_pairs").cast("double"))
+          .as("capture_rate"))
+  }
+
+  val semanticDedupCaptureT45Sql: String = s"""
+WITH ${Ivf.ivfCommonCtes},
+n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
+prs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
+               i -> ${duckQz("a.embedding[i]")} * ${duckQz("b.embedding[i]")})) AS DOUBLE)
+          / (a.nrm * b.nrm) >= 0.45)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN x.cell = y.cell THEN 1 ELSE 0 END) AS BIGINT) AS n_captured,
+       CAST(SUM(CASE WHEN x.cell = y.cell THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS capture_rate
+FROM prs JOIN afin x ON prs.va = x.vec_id JOIN afin y ON prs.vb = y.vec_id"""
+
   /** DuckDB replay: deterministic Lloyd (the ivf_cells contract) →
     * within-cell qualifying pairs (cap-eligible cells only) → min-label
     * reachability fixpoint — the same recursive-CTE machinery as
@@ -966,6 +1014,7 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "ann_dedup_pair_stats"     -> (annDedupPairStats _),
     "ann_dedup_cluster_hist"   -> (annDedupClusterHist _),
     "semantic_dedup_reps"      -> (semanticDedupReps _),
+    "semantic_dedup_capture_t45" -> (semanticDedupCaptureT45 _),
     "embedding_quantize"       -> (embeddingQuantize _))
 
   val oracle: Map[String, String] = Map(
@@ -979,5 +1028,6 @@ FROM dims d JOIN ranges r ON d.dim = r.dim"""
     "ann_dedup_pair_stats"     -> annDedupPairStatsSql,
     "ann_dedup_cluster_hist"   -> annDedupClusterHistSql,
     "semantic_dedup_reps"      -> semanticDedupRepsSql,
+    "semantic_dedup_capture_t45" -> semanticDedupCaptureT45Sql,
     "embedding_quantize"       -> embeddingQuantizeSql)
 }
