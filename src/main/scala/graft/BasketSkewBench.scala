@@ -64,9 +64,11 @@ object BasketSkewBench {
       (ts(runs / 2), rows)
     }
 
-    // warm both plans once (JIT/codegen steady state)
-    analytics.Basket.basketPairsOver(li, allowPrune = true).collect()
-    val pruneActive = analytics.Basket.lastPruneActive
+    // warm both plans once (JIT/codegen steady state); the decision is
+    // read from the construction that made it, not a JVM-global
+    val (warmDf, pruneActive) =
+      analytics.Basket.basketPairsOverWithDecision(li, allowPrune = true)
+    warmDf.collect()
     analytics.Basket.basketPairsOver(li, allowPrune = false).collect()
 
     val (tPruned, nPruned) =

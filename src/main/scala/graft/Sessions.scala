@@ -26,9 +26,16 @@ object Sessions {
     * exactly the small-rung overhead this profile removes; 16 MB
     * advisory size keeps a few partitions alive on compute-heavy
     * medium shuffles). Skew-join splitting rides along — the same
-    * machinery a real cluster run enables ([[clusterDefaults]]). */
+    * machinery a real cluster run enables ([[clusterDefaults]]).
+    *
+    * Under `adaptive = true` the `shufflePartitions` argument is the
+    * FLOOR of the initial (pre-coalesce) partition count — AQE needs
+    * headroom to coalesce DOWN from, so a small static value is raised
+    * to 256, while a caller sizing for a bigger box can pass more and
+    * be honored (previously the argument was silently ignored). */
   def local(cores: Int = 4, shufflePartitions: Int = 8,
             adaptive: Boolean = false): SparkSession = {
+    val initialPartitions = math.max(shufflePartitions, 256)
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.shuffle.compress", "false")
@@ -43,10 +50,10 @@ object Sessions {
       .config("spark.ui.enabled", "false")
     val tuned =
       if (adaptive) b
-        .config("spark.sql.shuffle.partitions", "256")
+        .config("spark.sql.shuffle.partitions", initialPartitions.toString)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initialPartitions.toString)
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

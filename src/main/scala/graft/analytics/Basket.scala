@@ -75,7 +75,16 @@ object Basket {
     * against the plain plan on identical input (output is bit-identical
     * either way, so only cost differs). */
   private[graft] def basketPairsOver(li: DataFrame,
-                                     allowPrune: Boolean = true): DataFrame = {
+                                     allowPrune: Boolean = true): DataFrame =
+    basketPairsOverWithDecision(li, allowPrune)._1
+
+  /** Internal variant that also RETURNS whether the pruned plan was
+    * taken — the skew A/B bench and the spec read the decision from the
+    * construction that made it, instead of a JVM-global flag that
+    * concurrent constructions (parallel tests, multi-query sessions)
+    * could interleave on. */
+  private[graft] def basketPairsOverWithDecision(
+      li: DataFrame, allowPrune: Boolean = true): (DataFrame, Boolean) = {
     // raw OCCURRENCE counts per item (not distinct supports): a cheap
     // partial-combined aggregate used only to choose pass-1 candidates
     // and the prune set. Valid for both because occurrences ≥ distinct
@@ -89,15 +98,8 @@ object Basket {
     finally occ.unpersist(false)
   }
 
-  /** Diagnostic: whether the last [[basketPairsOver]] construction on
-    * this JVM took the pruned plan — read by the skew A/B bench so the
-    * committed artifact can PROVE the guard activated rather than
-    * asserting it (best-effort under concurrency; bench runs are
-    * single-query). */
-  @volatile private[graft] var lastPruneActive: Boolean = false
-
   private def basketPairsPruned(li: DataFrame, occ: DataFrame,
-                                allowPrune: Boolean): DataFrame = {
+                                allowPrune: Boolean): (DataFrame, Boolean) = {
     // ONE order-key shuffle builds each basket's sorted distinct item
     // array; pairs materialize INSIDE the array via a combination HOF
     // (quadratic only in basket size — measured faster here than a
@@ -144,7 +146,6 @@ object Basket {
     val nFreq = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val usePrune = allowPrune && bound > 1L && nFreq <= MaxBroadcastItems &&
       nFreq * PruneSelectivity <= nItems
-    lastPruneActive = usePrune
     val cnt =
       if (usePrune)
         pairsOf(li.join(
@@ -181,7 +182,7 @@ object Basket {
     val withA = broadcast(top)
       .join(itemN.withColumnRenamed("l_partkey", "part_a")
         .withColumnRenamed("item_orders", "orders_a"), "part_a")
-    broadcast(withA)
+    val result = broadcast(withA)
       .join(itemN.withColumnRenamed("l_partkey", "part_b")
         .withColumnRenamed("item_orders", "orders_b"), "part_b")
       .crossJoin(broadcast(nOrders))
@@ -193,6 +194,7 @@ object Basket {
           / (col("orders_a").cast(DoubleType) * col("orders_b").cast(DoubleType)))
           .as("lift"))
       .orderBy(col("pair_orders").desc, col("part_a").asc, col("part_b").asc)
+    (result, usePrune)
   }
 
   val basketPairsSql: String = """

@@ -44,10 +44,12 @@ import java.nio.file.Paths
   * default FS is not the driver's local disk keeps marker and data on
   * the SAME filesystem. A build writes tables into a fresh temp
   * directory, writes the manifest there LAST, then swaps the temp dir
-  * into place with a delete + atomic-per-directory rename — a reader
-  * in another process sees either the complete old vintage, nothing
-  * (rebuilds), or the complete new vintage, never a half-overwritten
-  * table. In-JVM builds additionally serialize on a per-path lock.
+  * into place with a rename-aside (old vintage parked under a unique
+  * name, temp renamed in, parked copy deleted) — a reader in another
+  * process sees either the complete old vintage, nothing (rebuilds),
+  * or the complete new vintage, never a half-overwritten table, and
+  * the destination is unoccupied only between the two renames.
+  * In-JVM builds additionally serialize on a per-path lock.
   *
   * Location: `GRAFT_INDEX_DIR` (default: a `graft-indexes` directory
   * under java.io.tmpdir), keyed by the canonical data directory — the
@@ -95,13 +97,23 @@ object IndexStore {
     if (!fs.exists(p)) s"$table:absent"
     else {
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      // entries key on the path RELATIVE to the table root, not the
+      // basename: in a partitioned layout two files in different
+      // subdirectories with equal (name, length, mtime) could swap
+      // without a basename-keyed fingerprint noticing
+      val rootUri = p.toUri.getPath
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val s = it.next()
         // _SUCCESS/.crc markers churn without data meaning; data files
         // (part-*.parquet) are what the scan reads
-        if (!s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-          entries += s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}"
+        if (!s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")) {
+          val full = s.getPath.toUri.getPath
+          val rel =
+            if (full.startsWith(rootUri)) full.drop(rootUri.length).stripPrefix("/")
+            else full
+          entries += s"$rel|${s.getLen}|${s.getModificationTime}"
+        }
       }
       val md = java.security.MessageDigest.getInstance("MD5")
       entries.sorted.foreach(e => md.update(e.getBytes(StandardCharsets.UTF_8)))
@@ -169,10 +181,22 @@ object IndexStore {
           built(t).write.mode("overwrite").parquet(new HPath(tmpP, t).toString))
         val out = fs.create(new HPath(tmpP, "_manifest"), true)
         try out.write(want.getBytes(StandardCharsets.UTF_8)) finally out.close()
-        if (fs.exists(dirP)) fs.delete(dirP, true)
+        // rename-ASIDE commit (not delete-then-rename): park the old
+        // vintage under a unique .old name, swap the temp dir in, then
+        // delete the parked copy — the destination is unoccupied for
+        // only the instant between two renames, so a concurrent builder
+        // in another process recreating it mid-commit (which would make
+        // Hadoop rename NEST tmp inside it) has the narrowest possible
+        // window, and a failed swap restores the old vintage instead of
+        // leaving nothing
         fs.mkdirs(dirP.getParent)
-        if (!fs.rename(tmpP, dirP))
+        val oldP = new HPath(s"$dir.old-${java.util.UUID.randomUUID().toString.take(8)}")
+        val parked = fs.exists(dirP) && fs.rename(dirP, oldP)
+        if (!fs.rename(tmpP, dirP)) {
+          if (parked) fs.rename(oldP, dirP) // best-effort restore
           throw new java.io.IOException(s"could not commit index build: rename $tmpP -> $dirP failed")
+        }
+        if (parked) fs.delete(oldP, true)
       }
       tables.map(t => t -> spark.read.parquet(new HPath(dirP, t).toString)).toMap
     }

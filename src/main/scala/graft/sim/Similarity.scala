@@ -702,13 +702,27 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
     * deeper than the cliques they replace, so the propagation budget
     * gets headroom over the default. */
   private[graft] def annDedupRepsOver(e: DataFrame): DataFrame = {
-    val rows = adaptiveLshRowsByMass(e, e.count())
+    val n = e.count()
+    val rows = adaptiveLshRowsByMass(e, n)
     val edges = annLshStarEdgesOver(e, 64 / rows, rows, 0.8, LshBucketCap)
     graft.text.DedupClusters
       .connectedComponents(e.select(col("vec_id").as("id")), edges,
-        maxRounds = 30)
+        maxRounds = ccRoundBudget(n))
       .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
         col("is_keeper"))
+  }
+
+  /** Label-propagation round budget scaled to the corpus: star forests
+    * roughly double worst-case propagation depth vs the cliques they
+    * replace, and a fixed 30 would turn a long cross-cell chain corpus
+    * that previously converged into a loud abort. Budget = 2·⌈log2 n⌉
+    * + 10, floored at 30 — min-label propagation over any graph whose
+    * diameter grows no faster than logarithmically in n (every corpus
+    * family the specs drive, including chains of piles) converges well
+    * inside it, and the IllegalStateException backstop stays loud. */
+  private[graft] def ccRoundBudget(n: Long): Int = {
+    val log2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+    math.max(30, 2 * log2 + 10)
   }
 
   /** Recursive-CTE twin over the SAME pair SQL the ann_lsh_dedup_pairs

@@ -44,8 +44,9 @@ class BasketRfmSpec extends SparkSpec {
       (0 until 10).map(k => (1000L + j, 100000L + j * 10 + k))
     }
     val li = (frequent ++ rare).toDF("l_orderkey", "l_partkey")
-    val rows = Basket.basketPairsOver(li).collect()
-    assert(Basket.lastPruneActive, "the prune should take the pruned plan here")
+    val (df, pruneActive) = Basket.basketPairsOverWithDecision(li)
+    val rows = df.collect()
+    assert(pruneActive, "the prune should take the pruned plan here")
     assert(rows.length == Basket.TopPairs)
     assert(rows.forall(_.getAs[Long]("pair_orders") == 3L))
     // top-20 under (count desc, part_a, part_b): the 20 smallest pairs
@@ -66,8 +67,9 @@ class BasketRfmSpec extends SparkSpec {
     val li = (0 until 200).flatMap { o =>
       Seq((o.toLong, (o % 40).toLong), (o.toLong, (o % 40 + 40).toLong))
     }.toDF("l_orderkey", "l_partkey")
-    Basket.basketPairsOver(li).collect()
-    assert(!Basket.lastPruneActive)
+    val (df, pruneActive) = Basket.basketPairsOverWithDecision(li)
+    df.collect()
+    assert(!pruneActive)
   }
 
   test("basket pairs plan: co-partitioned self-join plus a top-k") {
