@@ -746,20 +746,157 @@ FROM rch r JOIN sizes s ON r.label = s.cluster_id"""
   /** Output-BOUNDED rollup of the dedup-grade pair stream — what a
     * 100 TB run reports instead of LISTING pairs (the pair list is
     * quadratic in clone multiplicity; its global statistics are five
-    * numbers). Runs the exact registered [[annLshDedupPairs]] plan and
-    * aggregates it in-stream: nothing pair-shaped ever reaches the
-    * driver, so THIS row is the dedup family's ladder representative
-    * at rungs where the listing op's collect() is the bottleneck.
-    * MIN/MAX over cross-engine-identical cosines need no decimal snap
-    * (no summation), and both engines agree COUNT over the empty
-    * stream is 0 with NULL extrema. */
-  def annDedupPairStats(spark: SparkSession, dir: String): DataFrame =
-    annLshDedupPairs(spark, dir)
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("vec_a")).as("n_vec_a"),
-        countDistinct(col("vec_b")).as("n_vec_b"),
-        min(col("cosine")).as("min_cosine"),
-        max(col("cosine")).as("max_cosine"))
+    * numbers). Since round 12 the rollup aggregates IN-PASS inside the
+    * per-cell scan ([[annDedupPairStatsOver]]): nothing pair-shaped is
+    * ever materialized — not even as shuffle state, which is what kept
+    * the previous pairs-plan-then-agg form on the 300× skip list (the
+    * candidate self-join held ~76 GB of live state there). MIN/MAX over
+    * cross-engine-identical cosines need no decimal snap (no
+    * summation), and both engines agree COUNT over the empty stream is
+    * 0 with NULL extrema. Oracle unchanged: it still nests the full
+    * pair SQL, pinning once-per-unordered-pair counting. */
+  def annDedupPairStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val rows = adaptiveLshRowsByMass(e, e.count())
+    annDedupPairStatsOver(e, 64 / rows, rows, 0.8, LshBucketCap)
+  }
+
+  /** In-pass pair statistics over the banded-LSH candidate stream —
+    * the five global numbers of [[annLshDedupPairsAt]]'s output without
+    * materializing any pair, as one shuffle (the banded groupByKey) +
+    * bounded per-cell work + one global aggregate.
+    *
+    * The once-per-pair contract: the join form counts each unordered
+    * qualifying pair once because candidates are `.distinct()`ed across
+    * bands before the rescore. Here a pair is instead ATTRIBUTED to its
+    * minimal kept colliding band — for members i, j of cell (b, k),
+    * both full 64-bit signatures are in hand, so every band b' where
+    * they co-bucket is computable in-cell, and the hot-cell set (cells
+    * with occupancy > cap — at most n·bands/cap entries, collected once
+    * and broadcast; 2.4k entries at the 300× rung) tells which of those
+    * collisions the anti-join would have kept. The pair is scored ONLY
+    * in the first kept colliding band, so exactly one cell in the whole
+    * corpus owns it — same pair set as the distinct-join, no shuffle of
+    * pair-shaped anything. Each owned pair is exactly rescored with the
+    * [[graft.functions.QDot]] integer semantics, so min/max cosine are
+    * bit-identical to the join form's.
+    *
+    * Distinct endpoint counts don't decompose as per-cell scalars, so
+    * cells emit their distinct qualifying endpoints as rows (≤ 2·cap
+    * per cell, ≤ 2·n·bands globally — the star-edge bound, linear not
+    * quadratic) and one `countDistinct` per side merges them; the pair
+    * count and extrema ride along as one partial row per cell. */
+  private[graft] def annDedupPairStatsOver(e: DataFrame,
+                                           bands: Int, rows: Int,
+                                           threshold: Double,
+                                           bucketCap: Int): DataFrame = {
+    require(bands >= 1 && rows >= 1 && bands * rows <= 64,
+      s"need bands >= 1, rows >= 1, bands*rows <= 64; got $bands x $rows")
+    val spark = e.sparkSession
+    import spark.implicits._
+    val mask = if (rows == 64) -1L else (1L << rows) - 1
+    val ein = e.repartition(spark.sparkContext.defaultParallelism)
+    val banded = ein
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.SrpSig64.of(col("embedding")).as("sig"))
+      .select(col("vec_id"), col("embedding"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .selectExpr("vec_id", "embedding", "sig", "band",
+        s"cast(shiftright(sig, band * $rows) & $mask as bigint) as bucket")
+    // hot cells collected ONCE: ≤ n·bands/cap entries (each holds > cap
+    // of the n·bands banded rows) — bounded driver state in the
+    // codebook/centroid class, reused for both the kept-filter and the
+    // in-cell attribution
+    val hotSet: Set[(Int, Long)] = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > bucketCap)
+      .select("band", "bucket")
+      .as[(Int, Long)].collect().toSet
+    val hotB = spark.sparkContext.broadcast(hotSet)
+    val kept =
+      if (hotSet.isEmpty) banded
+      else banded.join(
+        broadcast(hotSet.toSeq.toDF("band", "bucket")),
+        Seq("band", "bucket"), "left_anti")
+    kept.select(col("band"), col("bucket"), col("vec_id"), col("embedding"),
+        col("sig"))
+      .as[(Int, Long, Long, Array[Float], Long)]
+      .groupByKey { case (band, bucket, _, _, _) => (band, bucket) }
+      .flatMapGroups { (key: (Int, Long),
+                        it: Iterator[(Int, Long, Long, Array[Float], Long)]) =>
+        val myBand = key._1
+        val hot = hotB.value
+        val ms = it.map { case (_, _, id, emb, sig) => (id, emb, sig) }
+          .toArray.sortBy(_._1)
+        val n = ms.length
+        if (n < 2) Iterator.empty
+        else {
+          // per-member sub-bucket per band, from the full signature
+          val sub = Array.tabulate(n, bands)((i, b) =>
+            (ms(i)._3 >>> (b * rows)) & mask)
+          val q = ms.map { case (_, emb, _) =>
+            val a = new Array[Long](emb.length)
+            var i = 0
+            while (i < emb.length) {
+              a(i) = math.floor(emb(i).toDouble * 1e7).toLong; i += 1
+            }
+            a
+          }
+          def dot(a: Array[Long], b: Array[Long]): Long = {
+            var acc = 0L; var i = 0
+            while (i < a.length) { acc += a(i) * b(i); i += 1 }
+            acc
+          }
+          val nrm = q.map(a => math.sqrt(dot(a, a).toDouble))
+          var nPairs = 0L
+          var minC = Double.NaN
+          var maxC = Double.NaN
+          val aSet = scala.collection.mutable.LongMap.empty[Unit]
+          val bSet = scala.collection.mutable.LongMap.empty[Unit]
+          var j = 1
+          while (j < n) {
+            var i = 0
+            while (i < j) {
+              // owner = first band where the pair co-buckets in a KEPT
+              // cell; guaranteed ≤ myBand (this cell is one of them)
+              var owner = -1
+              var b = 0
+              while (owner < 0 && b <= myBand) {
+                if (sub(i)(b) == sub(j)(b) && !hot.contains((b, sub(i)(b))))
+                  owner = b
+                b += 1
+              }
+              if (owner == myBand) {
+                // same IEEE expression tree as the join form's rescore
+                val cos = dot(q(i), q(j)).toDouble / (nrm(i) * nrm(j))
+                if (cos >= threshold) {
+                  nPairs += 1
+                  if (minC.isNaN || cos < minC) minC = cos
+                  if (maxC.isNaN || cos > maxC) maxC = cos
+                  aSet.update(ms(i)._1, ())
+                  bSet.update(ms(j)._1, ())
+                }
+              }
+              i += 1
+            }
+            j += 1
+          }
+          if (nPairs == 0L) Iterator.empty
+          else Iterator.single(
+              (0, 0L, nPairs, Option(minC), Option(maxC))) ++
+            aSet.keysIterator.map(id => (1, id, 0L, Option.empty[Double], Option.empty[Double])) ++
+            bSet.keysIterator.map(id => (2, id, 0L, Option.empty[Double], Option.empty[Double]))
+        }
+      }
+      .toDF("kind", "id", "cnt", "minc", "maxc")
+      .agg(
+        coalesce(sum(when(col("kind") === 0, col("cnt"))), lit(0L))
+          .as("n_pairs"),
+        countDistinct(when(col("kind") === 1, col("id"))).as("n_vec_a"),
+        countDistinct(when(col("kind") === 2, col("id"))).as("n_vec_b"),
+        min(when(col("kind") === 0, col("minc"))).as("min_cosine"),
+        max(when(col("kind") === 0, col("maxc"))).as("max_cosine"))
+  }
 
   val annDedupPairStatsSql: String = s"""
 SELECT COUNT(*) AS n_pairs,

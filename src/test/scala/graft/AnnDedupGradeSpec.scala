@@ -165,6 +165,63 @@ class AnnDedupGradeSpec extends SparkSpec {
     assert(ccOverStarEdges(e, 64 / rows, rows) == ccOverFullPairs(e, 64 / rows, rows))
   }
 
+  /** Ground truth for the in-pass stats: the same five aggregates over
+    * the materialized distinct-candidate join at identical parameters. */
+  private def joinFormStats(frame: org.apache.spark.sql.DataFrame,
+                            bands: Int, rows: Int, thr: Double,
+                            cap: Int): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.functions._
+    Similarity.annLshNearDupPairsOver(frame, bands, rows, thr, cap)
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("vec_a")).as("n_vec_a"),
+        countDistinct(col("vec_b")).as("n_vec_b"),
+        min(col("cosine")).as("min_cosine"),
+        max(col("cosine")).as("max_cosine"))
+      .head()
+  }
+
+  private def assertStatsEqual(inPass: org.apache.spark.sql.Row,
+                               join: org.apache.spark.sql.Row): Unit = {
+    assert(inPass.getLong(0) == join.getLong(0),
+      s"n_pairs: in-pass ${inPass.getLong(0)} vs join ${join.getLong(0)}")
+    assert(inPass.getLong(1) == join.getLong(1), "n_vec_a diverged")
+    assert(inPass.getLong(2) == join.getLong(2), "n_vec_b diverged")
+    assert(inPass.isNullAt(3) == join.isNullAt(3), "min_cosine nullability")
+    if (!join.isNullAt(3)) {
+      // bit-equality expected: both sides run the identical QDot
+      // integer rescore and IEEE divide
+      assert(inPass.getDouble(3) == join.getDouble(3), "min_cosine diverged")
+      assert(inPass.getDouble(4) == join.getDouble(4), "max_cosine diverged")
+    }
+  }
+
+  test("in-pass pair stats equal the join-form stats on the clone-pile corpus") {
+    val e = corpus.toDF("vec_id", "embedding")
+    assertStatsEqual(
+      Similarity.annDedupPairStatsOver(e, 8, 8, 0.8, Similarity.LshBucketCap).head(),
+      joinFormStats(e, 8, 8, 0.8, Similarity.LshBucketCap))
+  }
+
+  test("in-pass pair stats survive hot-cell attribution under a tiny cap") {
+    // shallow 16x4 banding + cap 25 on the 250-vector corpus: average
+    // cell occupancy ~15 with piles pushing many cells over the cap, so
+    // plenty of pairs have their EARLIEST colliding band dropped as hot
+    // and must be attributed to a later kept band — exactly the case a
+    // hotness-blind min-band attribution double-drops. Threshold 0.45
+    // keeps the qualifying set output-bearing across random pairs.
+    val e = corpus.toDF("vec_id", "embedding")
+    assertStatsEqual(
+      Similarity.annDedupPairStatsOver(e, 16, 4, 0.45, 25).head(),
+      joinFormStats(e, 16, 4, 0.45, 25))
+  }
+
+  test("in-pass pair stats on an empty qualifying set: zero counts, null extrema") {
+    val e = noise.toDF("vec_id", "embedding")
+    val r = Similarity.annDedupPairStatsOver(e, 8, 8, 0.8, Similarity.LshBucketCap).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
   test("deep bands pass few random pairs as candidates; shallow bands cannot") {
     val e = noise.toDF("vec_id", "embedding")
     val allPairs = 150 * 149 / 2.0
