@@ -602,60 +602,75 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
       .as[(Int, Long, Long, Array[Float])]
       .groupByKey { case (band, bucket, _, _) => (band, bucket) }
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Array[Float])]) =>
-        val ms = it.map { case (_, _, id, emb) => (id, emb) }
-          .toArray.sortBy(_._1)
-        val n = ms.length
-        if (n < 2) Iterator.empty
-        else {
-          // exact QDot quantization: floor(x·1e7) as long, per component
-          val q = ms.map { case (_, emb) =>
-            val a = new Array[Long](emb.length)
-            var i = 0
-            while (i < emb.length) {
-              a(i) = math.floor(emb(i).toDouble * 1e7).toLong; i += 1
-            }
-            a
-          }
-          def dot(a: Array[Long], b: Array[Long]): Long = {
-            var acc = 0L; var i = 0
-            while (i < a.length) { acc += a(i) * b(i); i += 1 }
-            acc
-          }
-          val nrm = q.map(a => math.sqrt(dot(a, a).toDouble))
-          val parent = Array.tabulate(n)(identity)
-          def find(x: Int): Int = {
-            var r = x
-            while (parent(r) != r) r = parent(r)
-            var c = x
-            while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-            r
-          }
-          var j = 1
-          while (j < n) {
-            var i = 0
-            while (i < j) {
-              val ri = find(i); val rj = find(j)
-              if (ri != rj) {
-                val cos = dot(q(i), q(j)).toDouble / (nrm(i) * nrm(j))
-                // same IEEE expression tree as the join form's rescore
-                if (cos >= threshold) parent(math.max(ri, rj)) = math.min(ri, rj)
-              }
-              i += 1
-            }
-            j += 1
-          }
-          // members sorted by vec_id ⇒ a component's min INDEX is its
-          // min vec_id — the star center
-          val byRoot = (0 until n).groupBy(find)
-          byRoot.valuesIterator.flatMap { idxs =>
-            val center = ms(idxs.min)._1
-            idxs.iterator.filter(_ != idxs.min)
-              .map(i => (center, ms(i)._1))
-          }
-        }
+        starEdgesOf(it.map { case (_, _, id, emb) => (id, emb) }.toArray,
+          threshold)
       }
       .toDF("vec_a", "vec_b")
       .distinct()
+  }
+
+  /** The bounded union-find spanning-star kernel over ONE group's
+    * members — shared by the banded-LSH cells above and the semantic
+    * dedup cells below (one blocking function is hash bands, the other
+    * a trained quantizer; the within-group machinery is identical).
+    * Members are scanned in vec_id order; each (i, j) pair is exactly
+    * rescored with the [[graft.functions.QDot]] integer semantics ONLY
+    * while still in different local components (skipping a comparison
+    * of already-connected members cannot change connectivity; on a
+    * clone pile it collapses C(m,2) rescores to O(m)); each local
+    * component emits its members star-linked to its min vec_id. */
+  private def starEdgesOf(members: Array[(Long, Array[Float])],
+                          threshold: Double): Iterator[(Long, Long)] = {
+    val ms = members.sortBy(_._1)
+    val n = ms.length
+    if (n < 2) Iterator.empty
+    else {
+      // exact QDot quantization: floor(x·1e7) as long, per component
+      val q = ms.map { case (_, emb) =>
+        val a = new Array[Long](emb.length)
+        var i = 0
+        while (i < emb.length) {
+          a(i) = math.floor(emb(i).toDouble * 1e7).toLong; i += 1
+        }
+        a
+      }
+      def dot(a: Array[Long], b: Array[Long]): Long = {
+        var acc = 0L; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val nrm = q.map(a => math.sqrt(dot(a, a).toDouble))
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      var j = 1
+      while (j < n) {
+        var i = 0
+        while (i < j) {
+          val ri = find(i); val rj = find(j)
+          if (ri != rj) {
+            val cos = dot(q(i), q(j)).toDouble / (nrm(i) * nrm(j))
+            // same IEEE expression tree as the join form's rescore
+            if (cos >= threshold) parent(math.max(ri, rj)) = math.min(ri, rj)
+          }
+          i += 1
+        }
+        j += 1
+      }
+      // members sorted by vec_id ⇒ a component's min INDEX is its
+      // min vec_id — the star center
+      val byRoot = (0 until n).groupBy(find)
+      byRoot.valuesIterator.flatMap { idxs =>
+        val center = ms(idxs.min)._1
+        idxs.iterator.filter(_ != idxs.min)
+          .map(i => (center, ms(i)._1))
+      }
+    }
   }
 
   /** One materialized CC run per (session, dir) — the iterative label
@@ -941,30 +956,105 @@ ORDER BY cluster_size"""
   val SemanticCellCap = 4096
 
   /** SemDeDup-style semantic deduplication (Abbas et al., 2023): assign
-    * every vector to its cell under the FROZEN IVF coarse quantizer
+    * every vector to cells under the FROZEN IVF coarse quantizer
     * ([[Ivf.index]] — the same persisted index `ivf_search` serves
     * from; one build feeds search AND dedup), then within each cell
-    * collapse cosine ≥ [[SemanticDedupThreshold]] neighborhoods to
-    * their min-vec_id representative. Components never span cells —
-    * that is the SemDeDup contract (the quantizer IS the blocking
-    * function) — so no global connected components is needed: the
-    * whole op is ONE lazy plan, one shuffle (groupByKey on cell), and
-    * a bounded per-group union-find (the [[annLshStarEdgesOver]]
-    * machinery: members in vec_id order, pairs rescored with exact
-    * QDot semantics ONLY while still in different local components —
-    * O(m) rescores on a clone pile, ≤ C(cap, 2) worst case). Cells
-    * over [[SemanticCellCap]] stream through as singletons (embeddings
-    * dropped, ids only) — bounded memory per group however degenerate
-    * the corpus. Differs from [[annDedupReps]] in blocking semantics:
-    * LSH bands approximate the FULL similarity graph (components can
-    * chain across buckets); the semantic op partitions by a TRAINED
-    * quantizer first — the shape used to thin web-scale embedding
-    * corpora where cross-cluster duplicates are, by construction of
-    * the clustering, not near-dups. */
-  def semanticDedupReps(spark: SparkSession, dir: String): DataFrame =
-    semanticDedupRepsOver(Ivf.index(spark, dir).assignments, SemanticCellCap)
+    * collapse cosine ≥ [[SemanticDedupThreshold]] neighborhoods and
+    * elect the min-vec_id representative per component.
+    *
+    * MULTI-PROBE blocking (round 12): each vector blocks into its TOP-2
+    * nearest centroids ([[graft.functions.QRunnerUpCell]] computes the
+    * runner-up from the stored centroids at serve time — the dedup
+    * twin of IVF search's nprobe > 1). Single-probe assignment loses
+    * every near-dup pair the quantizer splits across a cell boundary —
+    * the blocking-loss eval below MEASURED that loss at 0.57/0.69 of
+    * all eval-grade pairs on the driver corpora — and top-2 probing
+    * recovers the pairs whose members sit near a shared boundary, the
+    * geometrically common split. The search path is unchanged; only
+    * dedup blocking gains the second probe.
+    *
+    * Execution stays bounded: probe rows (2 per vector) group by cell,
+    * cells over [[SemanticCellCap]] contribute NO edges (their members
+    * surface as singletons unless another probe cell links them), each
+    * eligible cell runs the shared [[starEdgesOf]] union-find kernel
+    * (O(m) rescores on a clone pile, ≤ C(cap, 2) worst case), and the
+    * per-cell star edges feed one global min-label CC — needed now
+    * that a vector's two probe cells can CHAIN components across cells
+    * (the single-probe form's no-global-CC shortcut no longer applies;
+    * state is still ≤ 2n edge rows, never pair-shaped). Differs from
+    * [[annDedupReps]] in blocking semantics: LSH bands approximate the
+    * FULL similarity graph; the semantic op blocks by a TRAINED
+    * quantizer — the shape used to thin web-scale embedding corpora. */
+  def semanticDedupReps(spark: SparkSession, dir: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    semRepsCache.keys.filter(_._1 != appId).foreach(semRepsCache.remove)
+    semRepsCache.getOrElseUpdate((appId, dir),
+      semanticDedupRepsMultiOver(
+        multiProbeAssignments(Ivf.index(spark, dir)), SemanticCellCap))
+  }
 
-  /** Core over any (vec_id, embedding, cell) assignment frame. */
+  /** One materialized multi-probe CC run per (session, dir) — the
+    * [[annDedupReps]] caching rationale: iterative label propagation
+    * executes eagerly at construction, so re-running per bench pass
+    * would stack abandoned cache entries. */
+  private val semRepsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Top-2 probe assignment under a frozen index: the stored `cell`
+    * (nearest centroid, persisted with the index) plus `cell2` (the
+    * runner-up, one codegen'd k·dim pass over the stored centroids —
+    * k ≤ a few thousand rows of driver state, the same bound the
+    * argmin itself rides on). Null embeddings route to -1 on both
+    * probes, exactly like the primary assignment. */
+  private[graft] def multiProbeAssignments(idx: Ivf.IvfIndex): DataFrame = {
+    val cents: Array[(Int, Array[Long])] = idx.centroids.collect().map(r =>
+      (r.getAs[Number]("cell").intValue,
+        r.getAs[Seq[Long]]("centroid").toArray))
+    idx.assignments.withColumn("cell2",
+      when(col("embedding").isNull, lit(-1))
+        .otherwise(coalesce(
+          graft.functions.QRunnerUpCell.of("embedding", cents), lit(-1))))
+  }
+
+  /** Multi-probe core over any (vec_id, embedding, cell, cell2) frame:
+    * probe rows → cap-eligible cells → per-cell star edges
+    * ([[starEdgesOf]]) → global min-label CC → primary cell joined
+    * back. Output one row per vector, schema identical to the
+    * single-probe core's. */
+  private[graft] def semanticDedupRepsMultiOver(assign2: DataFrame,
+                                                cellCap: Int): DataFrame = {
+    val spark = assign2.sparkSession
+    import spark.implicits._
+    val base = assign2.select(col("vec_id"), col("embedding"),
+      col("cell").cast("int").as("cell"), col("cell2").cast("int").as("cell2"))
+    val probes = base.select(col("cell"), col("vec_id"), col("embedding"))
+      .unionAll(base.filter(col("cell2") =!= col("cell"))
+        .select(col("cell2").as("cell"), col("vec_id"), col("embedding")))
+      .filter(col("cell") >= 0)
+    val big = probes.groupBy("cell").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cellCap).select("cell")
+    val elig = probes.join(broadcast(big), Seq("cell"), "left_anti")
+    val edges = elig.as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+        starEdgesOf(it.map(t => (t._2, t._3)).toArray, SemanticDedupThreshold)
+      }
+      .toDF("vec_a", "vec_b").distinct()
+    graft.text.DedupClusters
+      .connectedComponents(base.select(col("vec_id").as("id")), edges,
+        maxRounds = ccRoundBudget(assign2.count()))
+      .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("is_keeper"))
+      .join(base.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("cluster_id"),
+        col("cluster_size"), col("is_keeper"))
+  }
+
+  /** Single-probe SemDeDup core (the original no-global-CC shape, kept
+    * as the spec surface for the strict within-cell contract: one lazy
+    * plan, one shuffle, components never span cells, over-cap cells
+    * stream through as singletons). Takes any (vec_id, embedding,
+    * cell) assignment frame. */
   private[graft] def semanticDedupRepsOver(assignments: DataFrame,
                                            cellCap: Int): DataFrame = {
     val spark = assignments.sparkSession
@@ -1050,8 +1140,12 @@ ORDER BY cluster_size"""
     * nothing else registers: how much duplicate mass the trained
     * blocking function gives up for its no-global-CC scale shape. */
   def semanticDedupCaptureT45(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Ivf.index(spark, dir).assignments
-      .select(col("vec_id"), col("cell"))
+    // the probe SETS (top-2 cells per vector) — captured means the two
+    // vectors share at least one probe cell, i.e. some eligible cell's
+    // within-cell pass can see the pair
+    val cells = multiProbeAssignments(Ivf.index(spark, dir))
+      .select(col("vec_id"),
+        array(col("cell").cast("int"), col("cell2").cast("int")).as("cells"))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), normN("embedding").as("nrm"))
     val pairs = e.repartition(spark.sparkContext.defaultParallelism).as("a")
@@ -1061,11 +1155,11 @@ ORDER BY cluster_size"""
           / (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= 0.45)
     pairs
-      .join(cells.toDF("va", "cell_a"), "va")
-      .join(cells.toDF("vb", "cell_b"), "vb")
+      .join(cells.toDF("va", "cells_a"), "va")
+      .join(cells.toDF("vb", "cells_b"), "vb")
       .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("cell_a") === col("cell_b"), 1L).otherwise(0L))
-          .as("n_captured"))
+        sum(when(arrays_overlap(col("cells_a"), col("cells_b")), 1L)
+          .otherwise(0L)).as("n_captured"))
       .select(col("n_pairs"), col("n_captured"),
         (col("n_captured").cast("double") / col("n_pairs").cast("double"))
           .as("capture_rate"))
@@ -1073,30 +1167,54 @@ ORDER BY cluster_size"""
 
   val semanticDedupCaptureT45Sql: String = s"""
 WITH ${Ivf.ivfCommonCtes},
+${ivfRunnerUpCte},
+probes AS (SELECT vec_id, cell FROM afin UNION ALL SELECT vec_id, cell FROM a2nd),
 n AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
 prs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
   FROM n a JOIN n b ON a.vec_id < b.vec_id
   WHERE CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
                i -> ${duckQz("a.embedding[i]")} * ${duckQz("b.embedding[i]")})) AS DOUBLE)
-          / (a.nrm * b.nrm) >= 0.45)
-SELECT COUNT(*) AS n_pairs,
-       CAST(SUM(CASE WHEN x.cell = y.cell THEN 1 ELSE 0 END) AS BIGINT) AS n_captured,
-       CAST(SUM(CASE WHEN x.cell = y.cell THEN 1 ELSE 0 END) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE) AS capture_rate
-FROM prs JOIN afin x ON prs.va = x.vec_id JOIN afin y ON prs.vb = y.vec_id"""
+          / (a.nrm * b.nrm) >= 0.45),
+cap AS (
+  SELECT DISTINCT p.va, p.vb
+  FROM prs p
+  JOIN probes x ON x.vec_id = p.va
+  JOIN probes y ON y.vec_id = p.vb AND y.cell = x.cell)
+SELECT np.n_pairs, nc.n_captured,
+       CAST(nc.n_captured AS DOUBLE) / CAST(np.n_pairs AS DOUBLE) AS capture_rate
+FROM (SELECT COUNT(*) AS n_pairs FROM prs) np
+CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_captured FROM cap) nc"""
 
-  /** DuckDB replay: deterministic Lloyd (the ivf_cells contract) →
-    * within-cell qualifying pairs (cap-eligible cells only) → min-label
-    * reachability fixpoint — the same recursive-CTE machinery as
-    * [[annDedupRepsSql]], which is connectivity-equivalent to the
+  /** The runner-up assignment CTE (`a2nd`) — the rn = 2 row of the
+    * exact d2-then-cell ordering `afin` takes rn = 1 from; the oracle
+    * face of [[graft.functions.QRunnerUpCell]]. Shared by the semantic
+    * reps and capture oracles so the probe arithmetic cannot drift. */
+  // lazy: interpolated by vals declared both before and after this
+  // point in the object body (strict init order would null-interpolate)
+  private lazy val ivfRunnerUpCte: String = s"""a2nd AS (
+  SELECT vec_id, qe, cell FROM (
+    SELECT q.vec_id, q.qe, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ${Ivf.d2("q.qe", "c.centroid")}, c.cell) AS rn
+    FROM q CROSS JOIN c${Ivf.Iterations} c) WHERE rn = 2)"""
+
+  /** DuckDB replay: deterministic Lloyd (the ivf_cells contract) → the
+    * TOP-2 probe assignment (afin ∪ the rn = 2 runner-up) → within-cell
+    * qualifying pairs over cap-eligible probe cells, each unordered
+    * pair once (DISTINCT — a pair can share both probe cells) →
+    * min-label reachability fixpoint — the same recursive-CTE machinery
+    * as [[annDedupRepsSql]], which is connectivity-equivalent to the
     * union-find's rescore-while-separate shortcut. */
   val semanticDedupRepsSql: String = s"""
 WITH RECURSIVE ${Ivf.ivfCommonCtes},
-big AS (SELECT cell FROM afin GROUP BY cell HAVING COUNT(*) > $SemanticCellCap),
-elig AS (SELECT * FROM afin ANTI JOIN big USING (cell)),
+${ivfRunnerUpCte},
+probes AS (SELECT vec_id, qe, cell FROM afin
+           UNION ALL SELECT vec_id, qe, cell FROM a2nd),
+big AS (SELECT cell FROM probes GROUP BY cell HAVING COUNT(*) > $SemanticCellCap),
+elig AS (SELECT * FROM probes ANTI JOIN big USING (cell)),
 prs AS (
-  SELECT a.vec_id AS a, b.vec_id AS b
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
   FROM elig a JOIN elig b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE CAST(list_sum(list_transform(generate_series(1, len(a.qe)),
                j -> a.qe[j] * b.qe[j])) AS DOUBLE)
