@@ -40,7 +40,12 @@ object BenchExt {
     // quiet sf0.1 probes: containment ~3 s warm (the jaccard-join cost
     // class), semantic reps ~0.7 s warm on the served IVF assignment)
     "dedup_containment_pairs", "semantic_dedup_reps",
-    "semantic_dedup_capture_t45")
+    "semantic_dedup_capture_t45",
+    // round-12 addition: the DOULION-sampled census — the scale-path
+    // twin of triangle_count_copurchase (its check row runs BOTH
+    // censuses and stays a driver-SF verification surface, not a
+    // ladder op)
+    "triangle_doulion_copurchase")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

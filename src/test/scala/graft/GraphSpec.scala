@@ -71,4 +71,41 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") == 0L)
     assert(r.isNullAt(r.fieldIndex("transitivity")))
   }
+
+  test("doulion sampled edges are exactly the md5-coin subset of the exact edges") {
+    // a dense 12-item basket: 66 edges; the coin keeps ~1/3, and every
+    // kept edge must appear in the exact edge set (sampling the edge
+    // SET, deterministic under repartitioning)
+    val li = (1 to 12).map(p => (1L, p.toLong)).toDF("l_orderkey", "l_partkey")
+    val exact = Graph.undirectedEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled = Graph.sampledUndirectedEdges(li, Graph.DoulionK).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sampled.subsetOf(exact))
+    assert(sampled.nonEmpty && sampled.size < exact.size,
+      s"coin should keep a strict nonempty subset: ${sampled.size}/${exact.size}")
+    val again = Graph.sampledUndirectedEdges(li.repartition(5), Graph.DoulionK)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == sampled, "the md5 coin must be layout-invariant")
+  }
+
+  test("doulion estimator honors its error contract across generated corpora") {
+    // sweep three deterministic basket corpora of different density;
+    // the check op's in_bounds must hold on each (the contract the
+    // oracle pins as literal TRUE on the driver corpus)
+    val k3 = Graph.DoulionK.toLong * Graph.DoulionK * Graph.DoulionK
+    Seq(400, 900, 1600).foreach { nOrders =>
+      val li = (0 until nOrders).flatMap { o =>
+        // 4-item baskets over a 60-part catalog: triangle-rich overlap
+        (0 until 4).map(s => (o.toLong, ((o * 7 + s * 13) % 60).toLong))
+      }.toDF("l_orderkey", "l_partkey")
+      val exact = Graph.triangleCountOver(li).head().getAs[Long]("n_triangles")
+      val ts = Graph.trianglesOfEdges(
+        Graph.sampledUndirectedEdges(li, Graph.DoulionK))
+      val est = ts * k3
+      assert(math.abs(est - exact).toDouble <=
+        5.0 * math.sqrt((exact + 1).toDouble * k3),
+        s"contract broken at $nOrders orders: est $est vs exact $exact")
+    }
+  }
 }
