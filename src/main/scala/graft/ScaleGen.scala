@@ -22,6 +22,32 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleGen <srcDir> <outDir> <factor>
   */
 object ScaleGen {
+
+  /** Deterministic hour-of-week spike injection — the clone-pile
+    * precedent applied to the monitor family: QUADRUPLE the hour-13
+    * event count on the ~1/29 of dates an md5 coin on the DATE selects
+    * (3 extra copies per event, ids offset into a reserved range far
+    * above any replica key). The driver corpora have no seasonal
+    * spikes, so `monitor_seasonal_anomaly`'s ladder rows exercised its
+    * cost but never its output (ext_rows 0 at every rung through round
+    * 11); a quadrupled cell clears the detector's strict
+    * `cnt·n_dates > 2·cell_total` gate even on a 4-date day-of-week
+    * column (ratio 16/7 ≈ 2.3), so the planted set — and nothing else
+    * by construction of uniform replication — surfaces as 'high'
+    * anomalies at every factor. Deterministic: the coin is a pure
+    * function of the calendar date, so any run, factor, or cluster
+    * layout plants the identical spikes (spec-pinned). */
+  private[graft] def withPlantedSeasonality(ev: DataFrame): DataFrame = {
+    val SpikeIdOffset = 400000000000L
+    val spiked = ev.filter(expr(
+      """pmod(cast(conv(substr(md5(concat('spike:',
+        |cast(cast(ts as date) as string))), 1, 8), 16, 10) as bigint), 29) = 0
+        |and hour(ts) = 13""".stripMargin.replace("\n", " ")))
+    (1 to 3).map(m =>
+      spiked.withColumn("event_id", col("event_id") + lit(m * SpikeIdOffset)))
+      .foldLeft(ev)(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args
     val factor = factorS.toInt
@@ -48,8 +74,11 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     // events.ts is TIMESTAMP(NANOS) parquet, unreadable by vanilla Spark;
     // Tables.events normalizes it to a microsecond timestamp (the same
-    // truncation every consumer of the table applies)
-    replicate(Tables.events(spark, src), Seq("event_id"))
+    // truncation every consumer of the table applies). Seasonality is
+    // PLANTED on the replicated stream (see withPlantedSeasonality) so
+    // the monitor family's ladder rows are output-bearing — uniform N×
+    // replication alone never moves a cell past the ±2× ratio gates.
+    withPlantedSeasonality(replicate(Tables.events(spark, src), Seq("event_id")))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     // documents scale via GENERATION (same shape, fresh random text),
     // not replication: exact clones would hand every doc N-1 dupes and

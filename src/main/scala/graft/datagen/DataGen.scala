@@ -97,7 +97,13 @@ object DataGen {
     * [b, b+5) for every b ≡ 0 mod 50) — each member reuses its BASE
     * doc's token stream with one GUARANTEED token substitution plus 2%
     * per-position edits, the text twin of ScaleGen's jittered embedding
-    * replicas. A real corpus is neither dup-free (fresh random text —
+    * replicas. A further 6% form MEDIA piles of 3 (ids [b+10, b+13)):
+    * members perturb the base by 1-2 single-character substitutions —
+    * length-preserving, so each member's 60-bit dHash sits within
+    * Hamming ≤ 4 of its base and the multimodal phash near-dup family
+    * has PLANTED image-like near-dups at every generated scale rung
+    * (through round 11 its scale output came only from incidental
+    * payload collisions). A real corpus is neither dup-free (fresh random text —
     * scaled text-dedup rungs measured cost against ~zero output) nor
     * fully degenerate (exact replication — every doc gains N-1 clones);
     * piles at ~1-3 token edits sit where the dedup family actually
@@ -139,9 +145,12 @@ object DataGen {
     }
     val vocab = baseVocab ++ composed
     val vArr = vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
-    // pile base: members of a pile draw their token stream from the
-    // base id, everyone else from themselves (base = own id)
-    val baseE = "(CASE WHEN id % 50 < 5 THEN id - (id % 50) ELSE id END)"
+    // pile base: members of a TEXT pile (id % 50 < 5) or a MEDIA pile
+    // (id % 50 in [10, 13)) draw their token stream from the pile-base
+    // id, everyone else from themselves (base = own id)
+    val baseE = "(CASE WHEN id % 50 < 5 THEN id - (id % 50) " +
+      "WHEN id % 50 >= 10 AND id % 50 < 13 THEN id - (id % 50) + 10 " +
+      "ELSE id END)"
     // uniform in [0,1) from (seed, key expr, position) — 48 bits of md5
     def up(tag: String, idE: String, pos: String) =
       s"cast(conv(substr(md5(concat('$seed', ':$tag:', cast($idE as string), ':', cast($pos as string))), 1, 12), 16, 10) as double) / 281474976710656.0"
@@ -166,6 +175,25 @@ object DataGen {
              AND (p = 1 + cast(id % 15 as int) OR ${up("edit", "id", "p")} < 0.02),
            element_at($vArr, 1 + cast(${up("etok", "id", "p")} * ${vocab.size} as int)),
            $baseTokE)"""
+    // MEDIA-PILE PERTURBATION (the dHash analogue of ScaleGen's ±1%
+    // embedding jitter): members 11/12 of each media pile apply 1 resp.
+    // 2 single-CHARACTER substitutions to the base text at
+    // deterministic positions in [1, 29] (every generated doc is ≥ 29
+    // chars: 15 tokens + 14 spaces minimum). Length is preserved, so
+    // the 61-byte dHash sampling grid is unchanged and each edit flips
+    // ≤ 2 of the 60 gradient bits — members sit within Hamming ≤
+    // 2·edits of their base, inside the phash pair detector's ≤ 4
+    // banding guarantee. A substitution landing on a SPACE is a no-op
+    // (the member degrades to an exact dup — itself realistic, found
+    // at Hamming 0) so token boundaries never shift; a 'q' flips to
+    // 'z' so a real edit never equals the original char.
+    def mpos(tag: String) = s"(1 + cast(${up(tag, "doc_id", "'0'")} * 29 as int))"
+    def msub(member: Long, posE: String) = s"""
+      CASE WHEN doc_id % 50 = $member AND substr(text, $posE, 1) <> ' '
+           THEN concat(substr(text, 1, $posE - 1),
+                       if(substr(text, $posE, 1) = 'q', 'z', 'q'),
+                       substr(text, $posE + 1))
+           ELSE text END"""
     spark.range(n)
       .select(
         col("id").as("doc_id"),
@@ -174,6 +202,11 @@ object DataGen {
           .as("text"),
         pick(seed, "lang", "id", Seq("en", "en", "zh", "fr", "es", "de")).as("lang"),
         concat(lit("src"), (u(seed, "src", "id") * 20).cast("int").cast("string")).as("source"))
+      // member 11: one edit; member 12: two edits (chained CASEs — the
+      // conditions gate evaluation, so non-members never pay them)
+      .withColumn("text", expr(msub(11L, mpos("mp1"))))
+      .withColumn("text", expr(msub(12L, mpos("mp1"))))
+      .withColumn("text", expr(msub(12L, mpos("mp2"))))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 }

@@ -333,8 +333,14 @@ FROM c"""
     * the single reported double ratio — so both engines agree bit-for-
     * bit. Scale posture: ONE shuffle over raw events down to (date,
     * hour) grain; the baseline frames are ≤168 and ≤7 rows, broadcast. */
-  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val obs = Tables.events(spark, dir)
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
+    seasonalAnomalyOver(Tables.events(spark, dir))
+
+  /** Core over any frame with a `ts` column (spec surface — drives the
+    * planted-seasonality ScaleGen corpus through the detector without a
+    * parquet round-trip). */
+  private[graft] def seasonalAnomalyOver(events: DataFrame): DataFrame = {
+    val obs = events
       .select(col("ts").cast(DateType).as("d"),
         dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
       .groupBy("d", "dow", "hod").agg(count(lit(1)).as("cnt"))

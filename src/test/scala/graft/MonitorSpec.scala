@@ -75,4 +75,38 @@ class MonitorSpec extends SparkSpec {
     val keys = rows.map(r => (r.getAs[String]("event_date"), r.getAs[Int]("hod")))
     assert(keys.distinct.length == keys.length)
   }
+
+  test("ScaleGen's planted seasonality surfaces as exactly the coin-selected high cells") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // uniform synthetic stream: 28 days x 24 hours x 3 events — no cell
+    // can trip the ±2x gates before planting
+    val uniform = (0 until 28).flatMap { d =>
+      (0 until 24).flatMap { h =>
+        (0 until 3).map(k =>
+          ((d * 24L + h) * 3 + k, f"2024-01-${d + 1}%02d $h%02d:15:00"))
+      }
+    }.toDF("event_id", "s")
+      .select(col("event_id"), to_timestamp(col("s")).as("ts"))
+    assert(Monitor.seasonalAnomalyOver(uniform).count() == 0,
+      "the uniform stream must be anomaly-free before planting")
+    val planted = ScaleGen.withPlantedSeasonality(uniform)
+    // expected spike set: the SAME md5 date coin the injector uses,
+    // evaluated independently here
+    val expected = (0 until 28).map(d => f"2024-01-${d + 1}%02d")
+      .filter { ds =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"spike:$ds".getBytes("UTF-8"))
+        val v = java.lang.Long.parseLong(
+          h.take(4).map("%02x".format(_)).mkString, 16)
+        v % 29 == 0
+      }.map(ds => (ds, 13)).toSet
+    assert(expected.nonEmpty, "the 28-day window should contain >= 1 coin date")
+    val flagged = Monitor.seasonalAnomalyOver(planted).collect()
+      .map(r => (r.getAs[String]("event_date"), r.getAs[Int]("hod"),
+        r.getAs[String]("flag")))
+    assert(flagged.forall(_._3 == "high"))
+    assert(flagged.map(t => (t._1, t._2)).toSet == expected,
+      s"flagged ${flagged.toSeq} vs planted $expected")
+  }
 }

@@ -87,4 +87,30 @@ class PhashSpec extends SparkSpec {
       r.getLong(0) == 301L && r.getLong(1) == 302L && r.getLong(2) == 0L),
       "the non-hot duplicate pair must still be found")
   }
+
+  test("generated media piles land within Hamming 4 and the pair detector recalls them") {
+    // the planted-near-dup contract of DataGen's media piles (ids
+    // [b+10, b+13) per 50): each member's dHash sits within Hamming <=
+    // 2*edits of its base, and every eligible (base, member) pair
+    // surfaces in the registered detector's output — measured recall
+    // 1.0 on the planted structure, not incidental collisions
+    val docs = graft.datagen.DataGen.documents(spark, 500)
+      .select("doc_id", "text")
+    val hashes = Multimodal.phashOver(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Multimodal.phashPairsOver(
+      Multimodal.phashOver(docs), Multimodal.PhashBucketCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 10).flatMap { p =>
+      val b = p * 50L + 10
+      Seq(11, 12).map(o => (b, p * 50L + o))
+    }.filter { case (b, m) => hashes.contains(b) && hashes.contains(m) }
+    assert(planted.size >= 15,
+      s"most media-pile members should be phash-eligible, got ${planted.size}/20")
+    planted.foreach { case (b, m) =>
+      val ham = java.lang.Long.bitCount(hashes(b) ^ hashes(m))
+      assert(ham <= 4, s"pile base $b member $m at Hamming $ham")
+      assert(pairs.contains((b, m)), s"planted pair ($b, $m) not recalled")
+    }
+  }
 }
