@@ -1,22 +1,26 @@
 #!/usr/bin/env bash
-# Round-11 scale ladder: 1x/10x/30x/100x/300x replicas of sf0.1, full
-# Bench per rung (headline + ext ops incl. the round-11 roster), detail
+# Round-12 scale ladder: 1x/10x/30x/100x/300x replicas of sf0.1, full
+# Bench per rung (headline + ext ops incl. the round-12 roster), detail
 # JSON per rung. ONE session config at every rung: SPARK_GRAFT_AQE=1
-# (AQE coalescing from a high initial partition count) replaces the
-# per-rung SPARK_GRAFT_SHUFFLE guesswork.
+# (AQE coalescing from a high initial partition count).
 #
-# Rung ORDER is by value density, not size: 1x first (quiet box, it is
-# the rung compared to the driver artifact), then 300x (the round's
-# headline deliverable: ann_dedup_reps unskipped), then 100x/30x/10x.
-# Each rung is its own JVM, so order does not affect comparability.
+# Corpora are REGENERATED this round: ScaleGen now plants hour-of-week
+# seasonality spikes (monitor family output-bearing at every rung) and
+# the generated documents carry media piles (phash near-dups by
+# construction) — each rung's gen step runs right before its bench.
+#
+# Rung ORDER is by value density, not size: 1x first (quiet box, the
+# rung compared to the driver artifact), then 300x (the round's
+# headline deliverable: ann_dedup_pair_stats unskipped), then
+# 100x/30x/10x. Each rung is its own JVM, so order does not affect
+# comparability.
 #
 # 300x recipe (round-10 lessons): -Xmx100g, periodic cleaner GC 3min,
-# 4g driver result cap. Skip ONLY the two intrinsically
-# replication-quadratic pair-GRAIN ops (the LISTING op whose collect is
-# ~87M rows x 7 passes, and the stats rollup over the same pair compute,
-# probed at 352 s/run this round — 7 bench passes would add ~41 min for
-# one number already committed as a single-run probe). ann_dedup_reps
-# and ann_dedup_cluster_hist run UNSKIPPED at 300x — the round-11 fix.
+# 4g driver result cap. Skip ONLY the intrinsically
+# replication-quadratic pair-LISTING op (its collect is ~87M rows x 7
+# passes); ann_dedup_pair_stats now aggregates IN-PASS inside the
+# per-cell scan (round-12 fix) and runs UNSKIPPED, alongside
+# ann_dedup_reps and ann_dedup_cluster_hist (the round-11 fixes).
 set -uo pipefail
 cd /root/repo
 
@@ -29,30 +33,42 @@ done
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 JAVA="java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"
 
-log() { echo "[ladder11 $(date +%H:%M:%S)] $*"; }
+log() { echo "[ladder12 $(date +%H:%M:%S)] $*"; }
+
+gen() { # factor dir mem
+  local factor="$1" dir="$2" mem="$3"
+  log "scalegen ${factor}x -> $dir"
+  $JAVA "-Xmx$mem" graft.ScaleGen /root/testdata/sf0.1 "$dir" "$factor" \
+    > "/root/scale/r12_gen_${factor}x.log" 2>&1
+  log "scalegen ${factor}x rc=$?"
+}
 
 bench() { # dir label mem extra_jvm...
   local dir="$1" label="$2" mem="$3"; shift 3
   log "bench $label (mem $mem)"
   SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_AQE=1 \
-  SPARK_GRAFT_BENCH_OUT="/root/scale/r11_bench_$label.json" \
-    $JAVA "-Xmx$mem" "$@" graft.Bench > "/root/scale/r11_bench_$label.log" 2>&1
-  log "bench $label rc=$? tail: $(tail -c 300 /root/scale/r11_bench_$label.json 2>/dev/null)"
+  SPARK_GRAFT_BENCH_OUT="/root/scale/r12_bench_$label.json" \
+    $JAVA "-Xmx$mem" "$@" graft.Bench > "/root/scale/r12_bench_$label.log" 2>&1
+  log "bench $label rc=$? tail: $(tail -c 300 /root/scale/r12_bench_$label.json 2>/dev/null)"
 }
 
 bench /root/testdata/sf0.1 1x 8g
 
-export SPARK_GRAFT_BENCH_SKIP=ann_lsh_dedup_pairs,ann_dedup_pair_stats
+gen 300 /root/scale/x300 32g
+export SPARK_GRAFT_BENCH_SKIP=ann_lsh_dedup_pairs
 bench /root/scale/x300 300x 100g -Dspark.cleaner.periodicGC.interval=3min -Dspark.driver.maxResultSize=4g
 unset SPARK_GRAFT_BENCH_SKIP
 
+gen 100 /root/scale/x100 24g
 bench /root/scale/x100 100x 48g
+gen 30 /root/scale/x30 16g
 bench /root/scale/x30  30x  24g
+gen 10 /root/scale/x10 16g
 bench /root/scale/x10  10x  16g
 
 log "assembling docs/BENCH_SCALE.json"
 : > docs/BENCH_SCALE.json
 for r in 1x 10x 30x 100x 300x; do
-  [ -f "/root/scale/r11_bench_$r.json" ] && cat "/root/scale/r11_bench_$r.json" >> docs/BENCH_SCALE.json
+  [ -f "/root/scale/r12_bench_$r.json" ] && cat "/root/scale/r12_bench_$r.json" >> docs/BENCH_SCALE.json
 done
 log "DONE"
