@@ -30,21 +30,20 @@ object BenchExt {
     "monitor_seasonal_anomaly",
     // round-10 additions (joined the roster AFTER the round-10 ladder
     // completed — the op list stays frozen across a ladder)
-    "triangle_count_copurchase", "ivf_delta_assign", "hybrid_rrf_search",
+    "ivf_delta_assign", "hybrid_rrf_search",
     "stratified_sample_exact", "pii_referential_rollup",
     // round-11 additions: the output-bounded dedup-family rollups (the
     // rows a 300× rung runs where the pair LISTING's collect can't)
     "ann_dedup_pair_stats", "ann_dedup_cluster_hist",
     "multimodal_phash_pairs",
-    // joined AFTER the round-11 ladder froze (next ladder measures them;
-    // quiet sf0.1 probes: containment ~3 s warm (the jaccard-join cost
-    // class), semantic reps ~0.7 s warm on the served IVF assignment)
+    // joined AFTER the round-11 ladder froze (first measured by the
+    // round-13 ladder)
     "dedup_containment_pairs", "semantic_dedup_reps",
-    "semantic_dedup_capture_t45",
     // round-12 addition: the DOULION-sampled census — the scale-path
-    // twin of triangle_count_copurchase (its check row runs BOTH
-    // censuses and stays a driver-SF verification surface, not a
-    // ladder op)
+    // twin of the exact census (which moved to the eval class in round
+    // 13, alongside semantic_dedup_capture_t45: the Θ(n²) capture eval
+    // stalled round 12's 300× rung for ~6 h — see SparkEntry.evalOnly,
+    // the mechanized policy that keeps eval rows off every rung)
     "triangle_doulion_copurchase")
 
   private val WarmPasses = 2

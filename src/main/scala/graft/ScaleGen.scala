@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
+  /** Per-replica PK shift — comfortably above any real key at driver
+    * SFs. */
+  private[graft] val Offset = 1000000000L
+
+  /** Reserved id range for planted-seasonality event copies — must sit
+    * ABOVE every replica key, i.e. `factor * Offset <= SpikeIdOffset`
+    * (enforced loudly in [[main]]): a factor ≥ 400 would otherwise
+    * silently collide spiked event_ids with replica event_ids. */
+  private[graft] val SpikeIdOffset = 400000000000L
+
   /** Deterministic hour-of-week spike injection — the clone-pile
     * precedent applied to the monitor family: QUADRUPLE the hour-13
     * event count on the ~1/29 of dates an md5 coin on the DATE selects
@@ -38,7 +48,6 @@ object ScaleGen {
     * function of the calendar date, so any run, factor, or cluster
     * layout plants the identical spikes (spec-pinned). */
   private[graft] def withPlantedSeasonality(ev: DataFrame): DataFrame = {
-    val SpikeIdOffset = 400000000000L
     val spiked = ev.filter(expr(
       """pmod(cast(conv(substr(md5(concat('spike:',
         |cast(cast(ts as date) as string))), 1, 8), 16, 10) as bigint), 29) = 0
@@ -52,14 +61,17 @@ object ScaleGen {
     val Array(src, out, factorS) = args
     val factor = factorS.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    require(factor.toLong * Offset <= SpikeIdOffset,
+      s"factor $factor would push replica keys (factor * $Offset) past the " +
+        s"reserved seasonality-spike id range ($SpikeIdOffset) — raise " +
+        "SpikeIdOffset before generating past 400x")
     val spark = Sessions.local(cores = 32, shufflePartitions = 32)
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 
     // replicate with a per-replica key offset comfortably above any real
-    // key: explode a replica-index array, shift PKs by r * OFFSET
-    val Offset = 1000000000L
+    // key: explode a replica-index array, shift PKs by r * [[Offset]]
     def replicate(df: DataFrame, pkCols: Seq[String]): DataFrame =
       df.withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
         .select(df.columns.toIndexedSeq.map { c =>

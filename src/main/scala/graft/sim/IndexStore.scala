@@ -165,6 +165,22 @@ object IndexStore {
     lock.synchronized {
       val fs = fsOf(spark, dir)
       val dirP = new HPath(dir)
+      // sweep vintages stranded by a crash mid-commit: a `.tmp-*` whose
+      // build never swapped in, or a `.old-*` parked copy whose final
+      // delete (or best-effort restore) failed — both are dead weight
+      // that would otherwise accumulate on disk indefinitely. Under the
+      // per-path lock, and only siblings of THIS index's directory.
+      val parent = dirP.getParent
+      if (parent != null && fs.exists(parent)) {
+        val base = dirP.getName
+        fs.listStatus(parent).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(base + ".tmp-") || n.startsWith(base + ".old-")) {
+            if (!fs.delete(st.getPath, true))
+              System.err.println(s"[indexstore] could not sweep stale vintage ${st.getPath}")
+          }
+        }
+      }
       val manifest = new HPath(dirP, "_manifest")
       val want = s"version=$version\nfingerprint=$fingerprint\ntables=${tables.mkString(",")}"
       val hit = readManifest(fs, manifest).contains(want)
@@ -193,10 +209,19 @@ object IndexStore {
         val oldP = new HPath(s"$dir.old-${java.util.UUID.randomUUID().toString.take(8)}")
         val parked = fs.exists(dirP) && fs.rename(dirP, oldP)
         if (!fs.rename(tmpP, dirP)) {
-          if (parked) fs.rename(oldP, dirP) // best-effort restore
-          throw new java.io.IOException(s"could not commit index build: rename $tmpP -> $dirP failed")
+          // restore the parked vintage; a failed restore must be LOUD —
+          // silently losing it would leave no committed index at all
+          // (the stranded .old-* is swept at next loadOrBuild entry)
+          val restored = parked && fs.rename(oldP, dirP)
+          throw new java.io.IOException(
+            s"could not commit index build: rename $tmpP -> $dirP failed" +
+              (if (parked && !restored)
+                s"; restore of parked vintage $oldP ALSO failed — old index stranded aside"
+              else if (restored) "; old vintage restored"
+              else ""))
         }
-        if (parked) fs.delete(oldP, true)
+        if (parked && !fs.delete(oldP, true))
+          System.err.println(s"[indexstore] could not delete parked vintage $oldP (swept at next entry)")
       }
       tables.map(t => t -> spark.read.parquet(new HPath(dirP, t).toString)).toMap
     }

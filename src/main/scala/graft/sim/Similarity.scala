@@ -703,7 +703,12 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(x.embedding)),
   def annDedupReps(spark: SparkSession, dir: String): DataFrame = {
     val appId = spark.sparkContext.applicationId
     repsCache.keys.filter(_._1 != appId).foreach(repsCache.remove)
-    repsCache.getOrElseUpdate((appId, dir),
+    // key includes the collection fingerprint (an O(#files) metadata
+    // listing, the IndexStore invalidation currency): a regenerated
+    // corpus under the same path within one session must not serve the
+    // stale materialized CC result
+    repsCache.getOrElseUpdate(
+      (appId, dir + "#" + IndexStore.embeddingsFingerprint(spark, dir)),
       annDedupRepsOver(Tables.embeddings(spark, dir)))
   }
 
@@ -988,7 +993,12 @@ ORDER BY cluster_size"""
   def semanticDedupReps(spark: SparkSession, dir: String): DataFrame = {
     val appId = spark.sparkContext.applicationId
     semRepsCache.keys.filter(_._1 != appId).foreach(semRepsCache.remove)
-    semRepsCache.getOrElseUpdate((appId, dir),
+    // the fingerprint in the key is the same string that keys the
+    // persisted IVF index: a regenerated corpus (or a rebuilt index
+    // vintage, which the fingerprint also forces) within one session
+    // invalidates the materialized CC result instead of serving stale
+    semRepsCache.getOrElseUpdate(
+      (appId, dir + "#" + IndexStore.embeddingsFingerprint(spark, dir)),
       semanticDedupRepsMultiOver(
         multiProbeAssignments(Ivf.index(spark, dir)), SemanticCellCap))
   }
@@ -1010,10 +1020,16 @@ ORDER BY cluster_size"""
     val cents: Array[(Int, Array[Long])] = idx.centroids.collect().map(r =>
       (r.getAs[Number]("cell").intValue,
         r.getAs[Seq[Long]]("centroid").toArray))
-    idx.assignments.withColumn("cell2",
-      when(col("embedding").isNull, lit(-1))
+    // a degenerate corpus can train fewer than 2 centroids (Ivf init
+    // takes LIMIT k of the available vectors) — a 1-cell quantizer has
+    // no runner-up, so degrade to single-probe (cell2 = -1) instead of
+    // letting QRunnerUpCell's arity require throw at plan construction
+    val cell2 =
+      if (cents.length < 2) lit(-1)
+      else when(col("embedding").isNull, lit(-1))
         .otherwise(coalesce(
-          graft.functions.QRunnerUpCell.of("embedding", cents), lit(-1))))
+          graft.functions.QRunnerUpCell.of("embedding", cents), lit(-1)))
+    idx.assignments.withColumn("cell2", cell2)
   }
 
   /** Multi-probe core over any (vec_id, embedding, cell, cell2) frame:
