@@ -44,7 +44,12 @@ object BenchExt {
     // 13, alongside semantic_dedup_capture_t45: the Θ(n²) capture eval
     // stalled round 12's 300× rung for ~6 h — see SparkEntry.evalOnly,
     // the mechanized policy that keeps eval rows off every rung)
-    "triangle_doulion_copurchase")
+    "triangle_doulion_copurchase",
+    // round-13 additions (joined AFTER the round-13 ladder's classpath
+    // snapshot froze — first measured by the next ladder): the
+    // cross-encoder-slot rerank over the fused shortlist and the batch
+    // twin of the streaming perceptual-hash ingest dedup
+    "hybrid_rerank_search", "dedup_stream_phash")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

@@ -208,7 +208,7 @@ FROM documents"""
           |           shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""
           .stripMargin).as("phash60"))
 
-  private val phashCte: String = """
+  private[graft] val phashCte: String = """
 ph AS (
   SELECT doc_id,
          CAST(list_sum(list_transform(generate_series(0, 59), j ->

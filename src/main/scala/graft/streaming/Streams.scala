@@ -339,6 +339,52 @@ GROUP BY user_id, session_seq"""
 SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_doc_id
 FROM documents GROUP BY md5(text)"""
 
+  /** Streaming IMAGE dedup — [[dedupContentStream]]'s multimodal twin,
+    * keyed on the perceptual hash instead of the byte hash: incoming
+    * media whose 60-bit dHash ([[graft.functions.DHash60]], the same
+    * codegen expression `multimodal_phash` registers) already arrived
+    * within the watermark horizon is suppressed at ingest time — the
+    * re-upload/re-crawl torrent of IDENTICALLY-fingerprinted media
+    * (re-encodes that preserve the thumbnail grid) never reaches the
+    * lake. Deliberately EXACT-key: Hamming ≤ 4 near-dup pairing needs
+    * the banding join and stays the batch op
+    * (`multimodal_phash_pairs`) — a keyed state store can only evict
+    * by equality, so the honest streaming contract is the equality
+    * slice of the near-dup relation, stated and spec-pinned. Payloads
+    * shorter than the 64-sample grid pass through un-keyed (the same
+    * eligibility rule every phash op shares). */
+  def phashDedupStream(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= 64)
+      .withColumn("phash60", graft.functions.DHash60.of(col("text")))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("phash60")
+      .select(col("phash60"), col("doc_id").as("keeper_doc_id"))
+
+  /** [[phashDedupStream]] over the corpus ingest view (one fixed
+    * ingest timestamp — a bounded replay arrives "at once"), so the
+    * emitted key set must equal the batch twin's exactly —
+    * StreamingSpec asserts it. */
+  def phashDedupDocsStream(spark: SparkSession, dir: String): DataFrame =
+    phashDedupStream(
+      docsStream(spark, dir)
+        .withColumn("ingest_ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+
+  /** Oracle-checkable batch twin of [[phashDedupDocsStream]]: one
+    * keeper per distinct perceptual hash, `min(doc_id)` pinning the
+    * keeper deterministically for the DuckDB hash-compare (the stream
+    * keeps first-arrival; the spec asserts key-set parity and
+    * keeper-membership). Composes the registered
+    * [[graft.multimodal.Multimodal.phash]] grain. */
+  def phashDedupBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.phashOver(Tables.documents(spark, dir))
+      .groupBy("phash60").agg(min("doc_id").as("keeper_doc_id"))
+
+  val phashDedupBatchSql: String =
+    s"""WITH ${graft.multimodal.Multimodal.phashCte}
+SELECT phash60, MIN(doc_id) AS keeper_doc_id FROM ph GROUP BY phash60"""
+
   /** Streaming ANN ingest — the arrival half of [[graft.sim.Ivf
     * .deltaAssign]] as a stream: vectors map STATELESSLY through the
     * codegen'd argmin against the frozen base-trained coarse
@@ -409,11 +455,13 @@ FROM documents GROUP BY md5(text)"""
     "events_hourly_windows"  -> (eventsHourly _),
     "events_sliding_windows" -> (eventsSliding _),
     "events_sessionization"  -> (eventsSessions _),
-    "dedup_stream_content_hash" -> (dedupContentBatch _))
+    "dedup_stream_content_hash" -> (dedupContentBatch _),
+    "dedup_stream_phash" -> (phashDedupBatch _))
 
   val oracle: Map[String, String] = Map(
     "events_hourly_windows"  -> eventsHourlySql,
     "events_sliding_windows" -> eventsSlidingSql,
     "events_sessionization"  -> eventsSessionsSql,
-    "dedup_stream_content_hash" -> dedupContentBatchSql)
+    "dedup_stream_content_hash" -> dedupContentBatchSql,
+    "dedup_stream_phash" -> phashDedupBatchSql)
 }

@@ -387,15 +387,91 @@ WHERE rrf_rank <= 10
 ORDER BY query_id, rrf_rank"""
   }
 
+  /** Second-stage rerank of the fused shortlist — the cross-encoder
+    * slot of a production retrieval stack (retrieve cheap and wide,
+    * then spend an expensive exact scorer on the tiny shortlist; the
+    * [[graft.sim.Pq.searchRerank]] shortlist pattern applied to the
+    * FUSED ranking). The expensive scorer here is the exact quantized
+    * cosine between the query's embedding and each shortlisted
+    * document's embedding ([[graft.functions.QDot]] — the
+    * deterministic stand-in for a model-served cross-encoder score;
+    * the plumbing, not the model, is the operator): a real deployment
+    * swaps one `withColumn` for its model call and keeps the whole
+    * plan.
+    *
+    * Scale posture: corpus-sized work lives entirely inside the two
+    * audited input rankings; the rerank itself joins the ≤ 10-per-query
+    * fused shortlist (broadcast) and the ≤ |queries| query-embedding
+    * rows (broadcast) against ONE column-pruned pass over the
+    * embeddings table — per-query cost is bounded by the shortlist
+    * width, never the corpus. Both ranks ride along so the reorder is
+    * observable (`rrf_rank` = first-stage position, `rerank` = final).
+    *
+    * Determinism: one quantized-integer dot and two correctly-rounded
+    * sqrt/divides per pair — identical IEEE ops in both engines (the
+    * [[graft.sim.Similarity.annCosineTopK]] convention); ties break on
+    * doc_id. */
+  def hybridRerankSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = HybridQueryMap.toDF("query_id", "ann_qid")
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.join(broadcast(m), col("vec_id") === col("ann_qid"))
+      .select(col("query_id"), col("embedding").as("q"))
+    val shortlist = hybridRrfSearch(spark, dir)
+      .select("query_id", "doc_id", "rrf_rank")
+    e.select(col("vec_id").as("doc_id"), col("embedding").as("d"))
+      .join(broadcast(shortlist), "doc_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("doc_id"), col("rrf_rank"),
+        (graft.functions.QDot.of("q", "d").cast("double")
+          / (sqrt(graft.functions.QDot.of("q", "q").cast("double"))
+            * sqrt(graft.functions.QDot.of("d", "d").cast("double"))))
+          .as("ce_score"))
+      .withColumn("rerank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("ce_score").desc, col("doc_id").asc))
+        .cast(LongType))
+      .select("query_id", "rerank", "doc_id", "ce_score", "rrf_rank")
+      .orderBy("query_id", "rerank")
+  }
+
+  lazy val hybridRerankSearchSql: String = {
+    val values = HybridQueryMap.map { case (q, v) => s"('$q', $v)" }.mkString(", ")
+    def qz(x: String) = s"CAST(floor(CAST($x AS DOUBLE) * 1e7) AS BIGINT)"
+    val dot =
+      s"""list_sum(list_transform(generate_series(1, len(q)),
+         i -> ${qz("q[i]")} * ${qz("d[i]")}))"""
+    def nrm(a: String) =
+      s"""sqrt(CAST(list_sum(list_transform($a, x -> ${qz("x")} * ${qz("x")})) AS DOUBLE))"""
+    s"""
+WITH m(query_id, ann_qid) AS (VALUES $values),
+qe AS (SELECT m.query_id, e.embedding AS q
+       FROM m JOIN embeddings e ON e.vec_id = m.ann_qid),
+de AS (SELECT vec_id AS doc_id, embedding AS d FROM embeddings),
+scored AS (
+  SELECT f.query_id, f.doc_id, f.rrf_rank,
+         CAST($dot AS DOUBLE) / (${nrm("q")} * ${nrm("d")}) AS ce_score
+  FROM ($hybridRrfSearchSql) f
+  JOIN qe ON f.query_id = qe.query_id
+  JOIN de ON f.doc_id = de.doc_id)
+SELECT query_id, rerank, doc_id, ce_score, rrf_rank FROM (
+  SELECT query_id, doc_id, rrf_rank, ce_score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ce_score DESC, doc_id ASC) AS BIGINT) AS rerank
+  FROM scored)
+ORDER BY query_id, rerank"""
+  }
+
   val inventory: Map[String, Q] = Map(
     "tfidf_top_terms"  -> (tfidfTopTerms _),
     "lm_quality_score" -> (lmQualityScore _),
     "bm25_search"      -> (bm25Search _),
-    "hybrid_rrf_search" -> (hybridRrfSearch _))
+    "hybrid_rrf_search" -> (hybridRrfSearch _),
+    "hybrid_rerank_search" -> (hybridRerankSearch _))
 
   val oracle: Map[String, String] = Map(
     "tfidf_top_terms"  -> tfidfTopTermsSql,
     "lm_quality_score" -> lmQualityScoreSql,
     "bm25_search"      -> bm25SearchSql,
-    "hybrid_rrf_search" -> hybridRrfSearchSql)
+    "hybrid_rrf_search" -> hybridRrfSearchSql,
+    "hybrid_rerank_search" -> hybridRerankSearchSql)
 }

@@ -139,4 +139,43 @@ class RelevanceSpec extends SparkSpec {
     assert(both.nonEmpty, "fusion never saw a doc in both rankings — " +
       "the spec corpus should overlap; weaken only with evidence")
   }
+
+  test("hybrid rerank: permutes exactly the fused shortlist, scores recomputable from raw embeddings") {
+    import org.apache.spark.sql.functions._
+    val out = Relevance.hybridRerankSearch(spark, sf).collect()
+    val fused = Relevance.hybridRrfSearch(spark, sf).collect()
+    // same (query, doc) set as the first stage — rerank reorders, never
+    // adds or drops a shortlist member
+    val outSet = out.map(r => (r.getAs[String]("query_id"), r.getAs[Long]("doc_id"))).toSet
+    val fusedSet = fused.map(r => (r.getAs[String]("query_id"), r.getAs[Long]("doc_id"))).toSet
+    assert(outSet == fusedSet)
+    // the carried first-stage rank is the fused one
+    val fusedRank = fused.map(r => (r.getAs[String]("query_id"), r.getAs[Long]("doc_id")) ->
+      r.getAs[Long]("rrf_rank")).toMap
+    out.foreach(r => assert(r.getAs[Long]("rrf_rank") ==
+      fusedRank((r.getAs[String]("query_id"), r.getAs[Long]("doc_id")))))
+    // rerank is 1..n per query, ce_score descending along it
+    out.groupBy(_.getAs[String]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rerank"))
+      assert(sorted.map(_.getAs[Long]("rerank")).toSeq == (1L to rs.length).toSeq)
+      val scores = sorted.map(_.getAs[Double]("ce_score")).toSeq
+      assert(scores == scores.sorted(Ordering[Double].reverse))
+    }
+    // recompute one score per query from the raw embeddings with the
+    // registered quantized-cosine arithmetic
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray).toMap
+    val qmap = Relevance.HybridQueryMap.toMap
+    def qz(x: Float): Long = math.floor(x.toDouble * 1e7).toLong
+    def dot(a: Array[Float], b: Array[Float]): Long =
+      a.indices.map(i => qz(a(i)) * qz(b(i))).sum
+    out.groupBy(_.getAs[String]("query_id")).foreach { case (qid, rs) =>
+      val r = rs.minBy(_.getAs[Long]("rerank"))
+      val q = emb(qmap(qid))
+      val d = emb(r.getAs[Long]("doc_id"))
+      val expected = dot(q, d).toDouble /
+        (math.sqrt(dot(q, q).toDouble) * math.sqrt(dot(d, d).toDouble))
+      assert(r.getAs[Double]("ce_score") == expected, s"score mismatch at $qid")
+    }
+  }
 }

@@ -192,6 +192,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming phash dedup emits exactly the batch twin's key set") {
+    val q = Streams.phashDedupDocsStream(spark, sf).writeStream
+      .format("memory").queryName("phash_dedup_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("phash_dedup_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // one emission per distinct fingerprint, never more
+    assert(streamed.length == streamed.map(_._1).distinct.length)
+    val twinKeys = Streams.phashDedupBatch(spark, sf)
+      .select("phash60").collect().map(_.getLong(0)).toSet
+    assert(twinKeys == streamed.map(_._1).toSet)
+    // the kept doc must fingerprint to its key (the registered phash
+    // grain re-derives it)
+    val byId = graft.multimodal.Multimodal
+      .phashOver(Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    streamed.foreach { case (h, keeper) =>
+      assert(byId(keeper) == h, s"keeper $keeper does not fingerprint to $h")
+    }
+  }
+
+  test("streaming phash dedup collapses identical payloads across micro-batches, passes distinct ones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val base = "a" * 40 + "b" * 40   // flat-then-step gradient: hash 0
+    val other = "ab" * 42            // alternating gradient: hash != 0
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val q = Streams.phashDedupStream(
+        mem.toDF().toDF("doc_id", "text", "ingest_ts"))
+      .writeStream.format("memory").queryName("phash_mem_stream")
+      .outputMode("append").start()
+    mem.addData((1L, base, t), (2L, base, t), (3L, other, t))
+    q.processAllAvailable()
+    // redelivery in a later micro-batch, same watermark horizon
+    mem.addData((4L, base, t))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("phash_mem_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 2, s"expected 2 distinct fingerprints, got $rows")
+    // the identical payloads (1, 2, 4) collapse to one first-batch
+    // arrival; the distinct payload passes
+    assert(rows.values.toSet.intersect(Set(1L, 2L)).nonEmpty)
+    assert(rows.values.exists(_ == 3L))
+  }
+
   test("streaming ANN ingest equals the batch frozen-centroid delta path") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
