@@ -49,7 +49,7 @@ object BenchExt {
     // snapshot froze — first measured by the next ladder): the
     // cross-encoder-slot rerank over the fused shortlist and the batch
     // twin of the streaming perceptual-hash ingest dedup
-    "hybrid_rerank_search", "dedup_stream_phash")
+    "hybrid_rerank_search", "dedup_stream_phash", "bpe_merge_pairs")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

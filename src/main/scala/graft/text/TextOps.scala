@@ -2,7 +2,9 @@ package graft.text
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Text-analysis and deduplication operators over the `documents` table —
   * the training-data-pipeline surface beyond the reference's own scope
@@ -1013,6 +1015,75 @@ WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 4"""
   val dedupSimhashPairsSql: String =
     dedupSimhashPairsSqlRaw.replace("__SIMHASH_CAP__", SimhashBucketCap.toString)
 
+  // -------------------------------------------- BPE merge-pair mining
+
+  /** How many top merge candidates the registered query emits. */
+  val BpeTopMerges = 20
+
+  /** The first scoring pass of BPE tokenizer training (Sennrich et al.,
+    * 2016): count adjacent-symbol pairs across the corpus, weighted by
+    * word frequency, and emit the top merge candidates — at initial
+    * state the symbols are characters, so this is exactly the pair
+    * table the trainer's first merge is argmax of.
+    *
+    * Scale posture — the reason this is Spark-shaped: the corpus
+    * compresses to its VOCABULARY first (one word-keyed aggregation
+    * with map-side partial combine; output is vocab-bounded, not
+    * corpus-bounded), and every later stage runs over distinct words ×
+    * their lengths. The pair key space after lowercasing letter-run
+    * tokens is ≤ 26² = 676, so the second aggregation and the global
+    * top-k window are constant-sized no matter the corpus. An
+    * industrial BPE trainer at 100 TB does precisely this: one
+    * corpus-sized pass to the word-frequency table, then merge
+    * iterations over the vocabulary alone — the registered query IS
+    * that first iteration's scoring step.
+    *
+    * Words are the lowercased letter-run tokens (the `[A-Za-z]+` slice
+    * of the shared BPE-ish regex); pairs count per adjacent POSITION
+    * ("aaa" contributes "aa" twice), the standard BPE statistic.
+    * `n_words` = distinct vocabulary entries containing the pair.
+    * Ties break on the pair string, so the top-k is deterministic. */
+  def bpeMergePairs(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = docs(spark, dir)
+      .select(explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("w"))
+      .select(lower(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    vocab
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("cnt"),
+        explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("cnt")).cast(LongType).as("merge_count"),
+        countDistinct(col("word")).as("n_words"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("merge_count").desc, col("pair").asc)).cast(LongType))
+      .filter(col("rank") <= BpeTopMerges)
+      .select(col("rank"), col("pair"), col("merge_count"), col("n_words"))
+      .orderBy("rank")
+  }
+
+  val bpeMergePairsSql: String = s"""
+WITH w AS (
+  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word
+  FROM documents),
+v AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+p AS (
+  SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                i -> substr(word, i, 2))) AS pair, cnt, word
+  FROM v WHERE length(word) >= 2),
+a AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS merge_count,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+  FROM p GROUP BY pair)
+SELECT rank, pair, merge_count, n_words FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY merge_count DESC, pair ASC) AS BIGINT) AS rank,
+         pair, merge_count, n_words
+  FROM a)
+WHERE rank <= $BpeTopMerges
+ORDER BY rank"""
+
   val inventory: Map[String, Q] = Map(
     "text_stats"           -> (textStats _),
     "text_lang_id"         -> (langId _),
@@ -1029,7 +1100,8 @@ WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 4"""
     "text_repetition"      -> (textRepetition _),
     "doc_fingerprint_winnow" -> (docFingerprintWinnow _),
     "winnow_overlap_pairs" -> (winnowOverlapPairs _),
-    "winnow_decontamination" -> (winnowDecontamination _))
+    "winnow_decontamination" -> (winnowDecontamination _),
+    "bpe_merge_pairs"      -> (bpeMergePairs _))
 
   val oracle: Map[String, String] = Map(
     "text_stats"           -> textStatsSql,
@@ -1047,5 +1119,6 @@ WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 4"""
     "text_repetition"      -> textRepetitionSql,
     "doc_fingerprint_winnow" -> docFingerprintWinnowSql,
     "winnow_overlap_pairs" -> winnowOverlapPairsSql,
-    "winnow_decontamination" -> winnowDecontaminationSql)
+    "winnow_decontamination" -> winnowDecontaminationSql,
+    "bpe_merge_pairs"      -> bpeMergePairsSql)
 }
