@@ -49,7 +49,11 @@ object BenchExt {
     // snapshot froze — first measured by the next ladder): the
     // cross-encoder-slot rerank over the fused shortlist and the batch
     // twin of the streaming perceptual-hash ingest dedup
-    "hybrid_rerank_search", "dedup_stream_phash", "bpe_merge_pairs")
+    "hybrid_rerank_search", "dedup_stream_phash", "bpe_merge_pairs",
+    // the full tokenizer-training loop (8 argmax+re-segment iterations
+    // over the cached vocabulary) and the trained-tokenizer corpus
+    // histogram — corpus touched once each, iterations vocab-bounded
+    "bpe_train_merges", "bpe_token_histogram")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

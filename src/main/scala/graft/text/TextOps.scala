@@ -1084,6 +1084,182 @@ SELECT rank, pair, merge_count, n_words FROM (
 WHERE rank <= $BpeTopMerges
 ORDER BY rank"""
 
+  // -------------------------------------------- BPE iterative training
+
+  /** How many merge ITERATIONS the trained tokenizer runs. Small enough
+    * that the unrolled oracle CTE chain stays readable; large enough
+    * that later merges demonstrably consume earlier merges' output
+    * symbols (at the driver SFs merge 8 already pairs a previous
+    * merge's token with a raw character). */
+  val BpeTrainIters = 8
+
+  /** Top-k rows the trained-tokenizer histogram emits. */
+  val BpeTopTokens = 30
+
+  /** Initial segmentation: the word as space-joined characters. */
+  private val bpeCharSegE =
+    "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"
+
+  /** One BPE merge rule (a, b) applied to a space-joined symbol string
+    * as a single left fold — the standard greedy left-to-right apply.
+    * The accumulator is the already-merged prefix (space-joined); a
+    * merge fires when the prefix's LAST symbol is exactly `a` (checked
+    * via the `' ' || a` suffix so `xa` never false-matches `a`) and the
+    * incoming symbol is `b`. A left fold is equivalent to the textbook
+    * "merge the leftmost occurrence, repeat" loop for any single rule:
+    * the merged symbol `ab` can never re-form the pair's left element
+    * with the NEXT token (its name differs from `a`), so one pass
+    * suffices — BpeTrainSpec pins this against a from-scratch
+    * repeat-leftmost implementation on adversarial runs (`aaaaaa`,
+    * `ababab`). Symbols are lowercase letter-runs, so inlining them in
+    * single quotes is safe. */
+  private def bpeFoldE(segE: String, a: String, b: String): String = {
+    val la = a.length
+    s"""aggregate(split($segE, ' '), '', (acc, x) ->
+       |  CASE WHEN acc = '' THEN x
+       |       WHEN (acc = '$a' OR right(acc, ${la + 1}) = ' $a') AND x = '$b'
+       |         THEN concat(substring(acc, 1, length(acc) - $la), '${a + b}')
+       |       ELSE concat(acc, ' ', x) END)""".stripMargin
+  }
+
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("w"))
+      .select(lower(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Run [[BpeTrainIters]] iterations of real BPE TRAINING (Sennrich et
+    * al., 2016) and return the learned merge table as driver constants:
+    * each iteration recounts adjacent-symbol pairs over the CURRENT
+    * vocabulary segmentation (so later merges build on earlier merges'
+    * output symbols — unlike [[bpeMergePairs]], which is the first
+    * iteration's scoring table alone), picks the deterministic argmax
+    * (count desc, then pair lexicographically), and re-segments.
+    *
+    * Scale posture: the corpus is touched ONCE (the word-frequency
+    * aggregation, map-side partial combine, vocab-bounded output —
+    * persisted across the loop and released before returning, the
+    * [[graft.sim.Pq]] trainedCodebook discipline); every iteration is
+    * an argmax over exploded adjacent pairs of the CACHED vocab — work
+    * bounded by Σ|word| over DISTINCT words, independent of corpus row
+    * count — and collects exactly one row. This is precisely how an
+    * industrial BPE trainer runs at 100 TB: one pass to the
+    * word-frequency table, merge iterations over the vocabulary alone. */
+  private[text] def bpeTrainedMerges(
+      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+    val vocab = bpeVocab(spark, dir).persist()
+    try {
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      var segE = bpeCharSegE
+      var k = 1
+      var exhausted = false
+      while (k <= BpeTrainIters && !exhausted) {
+        val best = vocab
+          .select(col("cnt"), split(expr(segE), " ").as("l"))
+          .filter(size(col("l")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(l) - 1), " +
+              "i -> struct(element_at(l, i) AS a, element_at(l, i + 1) AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).cast(LongType).as("c"))
+          .orderBy(col("c").desc, col("a").asc, col("b").asc)
+          .limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((k.toLong, a, b, c))
+          segE = bpeFoldE(segE, a, b)
+          k += 1
+        }
+      }
+      merges.result()
+    } finally { vocab.unpersist(); () }
+  }
+
+  /** The learned merge table — rank, the two merged symbols, and the
+    * pair count that won the iteration. Registered so the oracle
+    * replays the ENTIRE training loop (all [[BpeTrainIters]] argmax +
+    * re-segment rounds) in DuckDB and must agree bit-for-bit. */
+  def bpeTrainMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrainedMerges(spark, dir)
+      .toDF("rank", "merge_a", "merge_b", "merge_count")
+      .orderBy("rank")
+  }
+
+  /** Corpus subword-token histogram under the trained tokenizer: apply
+    * the [[bpeTrainedMerges]] rules (as chained literal folds — the
+    * merges are driver constants, the broadcast-free analogue of a
+    * broadcast join against an 8-row table) to the vocabulary, explode
+    * the resulting symbols, and weight by word frequency. The second
+    * corpus-sized fact — how many tokens the trained tokenizer yields
+    * per subword — again computed over DISTINCT words only. */
+  def bpeTokenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val segE = bpeTrainedMerges(spark, dir)
+      .foldLeft(bpeCharSegE) { case (e, (_, a, b, _)) => bpeFoldE(e, a, b) }
+    bpeVocab(spark, dir)
+      .select(col("word"), col("cnt"), explode(split(expr(segE), " ")).as("token"))
+      .groupBy("token")
+      .agg(sum(col("cnt")).cast(LongType).as("token_count"),
+        countDistinct(col("word")).as("n_words"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("token_count").desc, col("token").asc)).cast(LongType))
+      .filter(col("rank") <= BpeTopTokens)
+      .select(col("rank"), col("token"), col("token_count"), col("n_words"))
+      .orderBy("rank")
+  }
+
+  /** The unrolled training replay shared by both BPE-training oracles:
+    * CTEs seg0..segN carry the evolving vocabulary segmentation, each
+    * m<k> is that iteration's argmax, and the fold inside seg<k> is the
+    * same greedy left-to-right apply as [[bpeFoldE]] (string
+    * accumulator via list_reduce with a prepended '' sentinel, since
+    * DuckDB's reduce has no explicit zero). */
+  private def bpeTrainCtes: String = {
+    val head = """WITH w AS (
+  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word FROM documents),
+v AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+seg0 AS (SELECT word, cnt,
+  array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), ' ') AS seg
+  FROM v)"""
+    val iters = (1 to BpeTrainIters).map { k =>
+      val p = k - 1
+      s"""
+p$k AS (SELECT cnt, string_split(seg, ' ') AS l,
+        unnest(generate_series(1, len(string_split(seg, ' ')) - 1)) AS i
+        FROM seg$p),
+m$k AS (SELECT a, b, c FROM (
+    SELECT l[i] AS a, l[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+    FROM p$k GROUP BY 1, 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1)),
+seg$k AS (SELECT word, cnt,
+  list_reduce(list_prepend('', string_split(seg, ' ')), (acc, x) ->
+    CASE WHEN acc = '' THEN x
+         WHEN (acc = m.a OR right(acc, length(m.a) + 1) = ' ' || m.a) AND x = m.b
+           THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
+         ELSE acc || ' ' || x END) AS seg
+  FROM seg$p LEFT JOIN m$k m ON TRUE)"""
+    }
+    (head +: iters).mkString(",")
+  }
+
+  val bpeTrainMergesSql: String = {
+    val union = (1 to BpeTrainIters).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, a AS merge_a, b AS merge_b, c AS merge_count FROM m$k"
+    }.mkString(" UNION ALL ")
+    s"$bpeTrainCtes\nSELECT * FROM ($union) ORDER BY rank"
+  }
+
+  val bpeTokenHistogramSql: String = s"""$bpeTrainCtes,
+tok AS (SELECT word, cnt, unnest(string_split(seg, ' ')) AS token FROM seg$BpeTrainIters)
+SELECT rank, token, token_count, n_words FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY token_count DESC, token ASC) AS BIGINT) AS rank,
+         token, token_count, n_words
+  FROM (SELECT token, CAST(SUM(cnt) AS BIGINT) AS token_count,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+        FROM tok GROUP BY token))
+WHERE rank <= $BpeTopTokens ORDER BY rank"""
+
   val inventory: Map[String, Q] = Map(
     "text_stats"           -> (textStats _),
     "text_lang_id"         -> (langId _),
@@ -1101,7 +1277,9 @@ ORDER BY rank"""
     "doc_fingerprint_winnow" -> (docFingerprintWinnow _),
     "winnow_overlap_pairs" -> (winnowOverlapPairs _),
     "winnow_decontamination" -> (winnowDecontamination _),
-    "bpe_merge_pairs"      -> (bpeMergePairs _))
+    "bpe_merge_pairs"      -> (bpeMergePairs _),
+    "bpe_train_merges"     -> (bpeTrainMerges _),
+    "bpe_token_histogram"  -> (bpeTokenHistogram _))
 
   val oracle: Map[String, String] = Map(
     "text_stats"           -> textStatsSql,
@@ -1120,5 +1298,7 @@ ORDER BY rank"""
     "doc_fingerprint_winnow" -> docFingerprintWinnowSql,
     "winnow_overlap_pairs" -> winnowOverlapPairsSql,
     "winnow_decontamination" -> winnowDecontaminationSql,
-    "bpe_merge_pairs"      -> bpeMergePairsSql)
+    "bpe_merge_pairs"      -> bpeMergePairsSql,
+    "bpe_train_merges"     -> bpeTrainMergesSql,
+    "bpe_token_histogram"  -> bpeTokenHistogramSql)
 }
