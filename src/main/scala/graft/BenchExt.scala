@@ -53,7 +53,10 @@ object BenchExt {
     // the full tokenizer-training loop (8 argmax+re-segment iterations
     // over the cached vocabulary) and the trained-tokenizer corpus
     // histogram — corpus touched once each, iterations vocab-bounded
-    "bpe_train_merges", "bpe_token_histogram")
+    "bpe_train_merges", "bpe_token_histogram",
+    // exact per-source token accounting under the trained tokenizer,
+    // next to the ceil(chars/4) estimate the pipeline budgets with
+    "bpe_source_token_accounting")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

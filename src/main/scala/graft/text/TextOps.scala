@@ -1260,6 +1260,57 @@ SELECT rank, token, token_count, n_words FROM (
         FROM tok GROUP BY token))
 WHERE rank <= $BpeTopTokens ORDER BY rank"""
 
+  /** Exact per-source token accounting under the TRAINED tokenizer —
+    * the mixture-weighting fact an LLM-data pipeline actually needs
+    * (how many tokens each feed contributes), next to the ceil(chars/4)
+    * ESTIMATE ([[estBpeTokens]]) the rest of the pipeline budgets with,
+    * so the estimator's per-source bias is observable in one frame.
+    *
+    * Shape: one (source, word)-keyed aggregation over the corpus
+    * (map-side combine; output vocab × sources, not corpus rows), the
+    * trained rules applied per distinct (source, word) as chained
+    * literal folds, one source-grain re-aggregation, and a source-grain
+    * join against the per-doc estimate rollup. All emitted measures are
+    * exact integers — nothing float-shaped to drift vs the oracle. */
+  def bpeSourceTokenAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val segE = bpeTrainedMerges(spark, dir)
+      .foldLeft(bpeCharSegE) { case (e, (_, a, b, _)) => bpeFoldE(e, a, b) }
+    val perWord = docs(spark, dir)
+      .select(col("source"),
+        explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("w"))
+      .select(col("source"), lower(col("w")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("n_tok", size(split(expr(segE), " ")).cast(LongType))
+      .groupBy("source")
+      .agg(sum(col("cnt") * col("n_tok")).cast(LongType).as("exact_tokens"),
+        sum(col("cnt")).cast(LongType).as("n_words"),
+        countDistinct(col("word")).as("n_distinct_words"))
+    val perDoc = docs(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(estBpeTokens).cast(LongType).as("est_tokens"))
+    perWord.join(perDoc, "source")
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_distinct_words"), col("exact_tokens"), col("est_tokens"))
+      .orderBy("source")
+  }
+
+  val bpeSourceTokenAccountingSql: String = s"""$bpeTrainCtes,
+sw AS (SELECT source, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word
+       FROM documents),
+swc AS (SELECT source, word, COUNT(*) AS cnt FROM sw GROUP BY 1, 2),
+vt AS (SELECT word, len(string_split(seg, ' ')) AS n_tok FROM seg$BpeTrainIters),
+per AS (SELECT source,
+          CAST(SUM(cnt * n_tok) AS BIGINT) AS exact_tokens,
+          CAST(SUM(cnt) AS BIGINT) AS n_words,
+          CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words
+        FROM swc JOIN vt USING (word) GROUP BY source),
+est AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM($estBpeTokensSqlE) AS BIGINT) AS est_tokens
+        FROM documents GROUP BY source)
+SELECT source, n_docs, n_words, n_distinct_words, exact_tokens, est_tokens
+FROM per JOIN est USING (source) ORDER BY source"""
+
   val inventory: Map[String, Q] = Map(
     "text_stats"           -> (textStats _),
     "text_lang_id"         -> (langId _),
@@ -1279,7 +1330,8 @@ WHERE rank <= $BpeTopTokens ORDER BY rank"""
     "winnow_decontamination" -> (winnowDecontamination _),
     "bpe_merge_pairs"      -> (bpeMergePairs _),
     "bpe_train_merges"     -> (bpeTrainMerges _),
-    "bpe_token_histogram"  -> (bpeTokenHistogram _))
+    "bpe_token_histogram"  -> (bpeTokenHistogram _),
+    "bpe_source_token_accounting" -> (bpeSourceTokenAccounting _))
 
   val oracle: Map[String, String] = Map(
     "text_stats"           -> textStatsSql,
@@ -1300,5 +1352,6 @@ WHERE rank <= $BpeTopTokens ORDER BY rank"""
     "winnow_decontamination" -> winnowDecontaminationSql,
     "bpe_merge_pairs"      -> bpeMergePairsSql,
     "bpe_train_merges"     -> bpeTrainMergesSql,
-    "bpe_token_histogram"  -> bpeTokenHistogramSql)
+    "bpe_token_histogram"  -> bpeTokenHistogramSql,
+    "bpe_source_token_accounting" -> bpeSourceTokenAccountingSql)
 }

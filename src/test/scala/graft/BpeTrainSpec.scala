@@ -140,6 +140,31 @@ class BpeTrainSpec extends SparkSpec {
     assert(TextOps.bpeTokenHistogramSql.contains(s"rank <= ${TextOps.BpeTopTokens}"))
   }
 
+  test("per-source exact token accounting matches the reference segmentation") {
+    val got = TextOps.bpeSourceTokenAccounting(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_distinct_words"),
+        r.getAs[Long]("exact_tokens"), r.getAs[Long]("est_tokens")))
+      .toSeq
+    val (_, segs) = referenceTrain(corpusVocab(), TextOps.BpeTrainIters)
+    val nTok = segs.map { case (w, s) => w -> s.length.toLong }
+    val wordRe = "[A-Za-z]+".r
+    val rows = Tables.documents(spark, sf).select("source", "text").collect()
+    val want = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (src, rs) =>
+      val words = rs.iterator
+        .flatMap(r => wordRe.findAllIn(r.getString(1)))
+        .map(_.toLowerCase).toSeq
+      val est = rs.iterator
+        .map(r => math.ceil(r.getString(1).length.toDouble / 4.0).toLong).sum
+      (src, rs.length.toLong, words.length.toLong, words.distinct.length.toLong,
+        words.iterator.map(nTok).sum, est)
+    }
+    assert(got == want)
+    // the trained tokenizer compresses: exact subword tokens per source
+    // must be strictly fewer than raw characters' worth of words
+    assert(got.forall { case (_, _, nw, _, ex, _) => ex >= nw })
+  }
+
   test("trainer is deterministic across runs") {
     val a = TextOps.bpeTrainMerges(spark, sf).collect().map(_.toSeq).toSeq
     val b = TextOps.bpeTrainMerges(spark, sf).collect().map(_.toSeq).toSeq
