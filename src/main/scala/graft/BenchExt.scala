@@ -56,7 +56,11 @@ object BenchExt {
     "bpe_train_merges", "bpe_token_histogram",
     // exact per-source token accounting under the trained tokenizer,
     // next to the ceil(chars/4) estimate the pipeline budgets with
-    "bpe_source_token_accounting")
+    "bpe_source_token_accounting",
+    // contrastive training-pair mining: positives + ANN-assisted hard
+    // negatives from the anchor's own IVF cell (serve-path join
+    // against the stored inverted lists; anchors a bounded batch)
+    "contrastive_triples")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

@@ -50,6 +50,7 @@ object SparkEntry {
     monitor.Drift.inventory,
     etl.Cdc.inventory,
     sim.EmbeddingDrift.inventory,
+    sim.Contrastive.inventory,
     analytics.Stats.inventory,
     analytics.Basket.inventory,
     analytics.Rfm.inventory,
@@ -140,6 +141,7 @@ object SparkEntry {
       monitor.Drift.oracle ++
       etl.Cdc.oracle ++
       sim.EmbeddingDrift.oracle ++
+      sim.Contrastive.oracle ++
       analytics.Stats.oracle ++
       analytics.Basket.oracle ++
       analytics.Rfm.oracle ++
