@@ -56,7 +56,10 @@ object Contrastive {
         col("cell"), col("label").as("anchor_label"))
     val cands = idx.assignments.join(labels, "vec_id")
 
-    anchors.join(cands, "cell")
+    // the anchor batch is bounded by contract — broadcast it so the
+    // candidate side streams through one cell-keyed hash join (the
+    // plan-audited shape; without the hint the 8-row side sort-merges)
+    broadcast(anchors).join(cands, "cell")
       .filter(col("vec_id") =!= col("anchor_id"))
       .withColumn("role",
         when(col("label") === col("anchor_label"), lit("pos")).otherwise(lit("neg")))
