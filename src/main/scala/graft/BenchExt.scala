@@ -60,7 +60,10 @@ object BenchExt {
     // contrastive training-pair mining: positives + ANN-assisted hard
     // negatives from the anchor's own IVF cell (serve-path join
     // against the stored inverted lists; anchors a bounded batch)
-    "contrastive_triples")
+    "contrastive_triples",
+    // padded-batch geometry accounting: length-sorted batching within
+    // (bucket, md5-shard) — windows bounded by a shard's bucket slice
+    "length_bucket_batches")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

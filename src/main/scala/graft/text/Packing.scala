@@ -116,11 +116,87 @@ SELECT doc_id, chunk_seq,
 FROM s
 ORDER BY doc_id, chunk_seq"""
 
+  /** Length-bucket width (tokens) for padded batching. */
+  val BucketTokens = 64L
+
+  /** Sequences per padded batch. */
+  val PadBatchSize = 16L
+
+  /** Deterministic shard count — the parallelism knob: batching runs
+    * independently per (bucket, shard), so no window partition is ever
+    * wider than a shard's slice of one bucket. At 100 TB you raise
+    * this with the cluster; the padding statistics are
+    * shard-decomposable (each batch lives entirely inside one shard). */
+  val PadShards = 8
+
+  /** Padding-efficiency accounting for PADDED batching — the
+    * encoder/seq2seq counterpart of [[packSequences]]' concat-packing:
+    * documents are length-bucketed ([[BucketTokens]]-wide buckets),
+    * length-SORTED within each (bucket, md5-shard), and cut into
+    * [[PadBatchSize]]-sequence batches; every sequence in a batch pads
+    * to the batch max. Emits per bucket: docs, batches, padded vs real
+    * token totals and the waste — the report that decides bucket/batch
+    * geometry before a training run burns the FLOPs.
+    *
+    * Scale shape: one narrow projection, one shuffle to (bucket,
+    * shard) with SORT on (tok desc, doc_id) — windows never see more
+    * than a shard's slice of a bucket — then two hash aggregations
+    * whose outputs are batch- and bucket-bounded. The md5 shard coin
+    * (the [[graft.analytics.Graph]] doulion idiom) breaks any
+    * id↔length correlation, and all emitted measures are exact
+    * BIGINTs, so the oracle replays the batching bit-for-bit. */
+  def lengthBucketBatches(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.estBpeTokens.as("tok"))
+      .withColumn("bucket", expr(s"tok div $BucketTokens"))
+      .withColumn("shard", expr(
+        s"""pmod(cast(conv(substr(md5(concat('lbb:', cast(doc_id as string))),
+           |1, 8), 16, 10) as bigint), $PadShards)""".stripMargin))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bucket", "shard").orderBy(desc("tok"), asc("doc_id"))))
+      .withColumn("batch", expr(s"(rn - 1) div $PadBatchSize"))
+      .groupBy("bucket", "shard", "batch")
+      .agg(count(lit(1)).as("n_in_batch"), max("tok").as("mx_tok"),
+        sum("tok").as("sum_tok"))
+      .groupBy("bucket")
+      .agg(sum(col("n_in_batch")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_batches"),
+        sum(col("mx_tok") * col("n_in_batch")).cast("long").as("padded_tokens"),
+        sum(col("sum_tok")).cast("long").as("real_tokens"))
+      .withColumn("wasted_tokens",
+        (col("padded_tokens") - col("real_tokens")).cast("long"))
+      .orderBy("bucket")
+  }
+
+  val lengthBucketBatchesSql: String = s"""
+WITH d AS (SELECT doc_id, ${TextOps.estBpeTokensSqlE} AS tok FROM documents),
+b AS (SELECT doc_id, tok, tok // $BucketTokens AS bucket,
+             CAST(('0x' || substr(md5('lbb:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               AS BIGINT) % $PadShards AS shard
+      FROM d),
+r AS (SELECT bucket, shard, tok,
+             ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                                ORDER BY tok DESC, doc_id) AS rn
+      FROM b),
+g AS (SELECT bucket, shard, (rn - 1) // $PadBatchSize AS batch,
+             COUNT(*) AS n_in_batch, MAX(tok) AS mx_tok, SUM(tok) AS sum_tok
+      FROM r GROUP BY 1, 2, 3)
+SELECT bucket,
+       CAST(SUM(n_in_batch) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(mx_tok * n_in_batch) AS BIGINT) AS padded_tokens,
+       CAST(SUM(sum_tok) AS BIGINT) AS real_tokens,
+       CAST(SUM(mx_tok * n_in_batch) - SUM(sum_tok) AS BIGINT) AS wasted_tokens
+FROM g GROUP BY bucket ORDER BY bucket"""
+
   val inventory: Map[String, Q] = Map(
     "pack_sequences"  -> (packSequences _),
-    "chunk_documents" -> (chunkDocuments _))
+    "chunk_documents" -> (chunkDocuments _),
+    "length_bucket_batches" -> (lengthBucketBatches _))
 
   val oracle: Map[String, String] = Map(
     "pack_sequences"  -> packSequencesSql,
-    "chunk_documents" -> chunkDocumentsSql)
+    "chunk_documents" -> chunkDocumentsSql,
+    "length_bucket_batches" -> lengthBucketBatchesSql)
 }

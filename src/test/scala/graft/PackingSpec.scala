@@ -47,6 +47,38 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("length-bucket batching equals a from-scratch recomputation") {
+    val got = Packing.lengthBucketBatches(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_batches"), r.getAs[Long]("padded_tokens"),
+        r.getAs[Long]("real_tokens"), r.getAs[Long]("wasted_tokens")))
+      .toSeq
+
+    // from scratch: tok = ceil(chars/4), bucket = tok/64, shard = the
+    // md5 coin, length-sorted 16-deep batches within (bucket, shard)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val tok = math.ceil(r.getString(1).length.toDouble / 4.0).toLong
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"lbb:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val shard = java.lang.Long.parseLong(md5.take(8), 16) % Packing.PadShards
+        (id, tok, tok / Packing.BucketTokens, shard)
+      }
+    val want = docs.groupBy(_._3).toSeq.sortBy(_._1).map { case (bucket, ds) =>
+      val batches = ds.groupBy(_._4).values.flatMap { sh =>
+        sh.sortBy { case (id, tok, _, _) => (-tok, id) }
+          .grouped(Packing.PadBatchSize.toInt).toSeq
+      }.toSeq
+      val padded = batches.map(b => b.map(_._2).max * b.length).sum
+      val real = ds.map(_._2).sum
+      (bucket, ds.length.toLong, batches.length.toLong, padded, real, padded - real)
+    }
+    assert(got == want)
+    assert(got.forall { case (_, _, _, p, r, w) => w == p - r && w >= 0 })
+  }
+
   test("cumsum helper is stable across repeated runs and input layouts") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, i % 7 + 1)).toDF("k", "v")
