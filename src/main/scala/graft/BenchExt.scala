@@ -63,7 +63,10 @@ object BenchExt {
     "contrastive_triples",
     // padded-batch geometry accounting: length-sorted batching within
     // (bucket, md5-shard) — windows bounded by a shard's bucket slice
-    "length_bucket_batches")
+    "length_bucket_batches",
+    // diversity-preserving downsample: deterministic per-IVF-cell cap
+    // over the stored inverted lists (output bounded by cells x cap)
+    "cluster_balanced_sample")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

@@ -108,9 +108,63 @@ WHERE (role = 'pos' AND rank <= 1) OR (role = 'neg' AND rank <= $NNegatives)
 ORDER BY anchor_id, role, rank"""
   }
 
+  /** Per-cell keep cap for [[clusterBalancedSample]]. */
+  val CellCap = 4
+
+  /** Cluster-balanced downsampling — the diversity-preserving curation
+    * step (the SemDeDup-adjacent complement of
+    * [[graft.text.Curation]]'s label-STRATIFIED samplers): keep at most
+    * [[CellCap]] vectors per LEARNED cluster, chosen by a deterministic
+    * md5 coin, so dense semantic regions are capped and sparse ones
+    * survive intact. Where stratified sampling balances a KNOWN
+    * categorical axis, this balances the learned semantic axis — the
+    * knob a pre-training corpus uses against topic monoculture.
+    *
+    * Emits kept rows only: (cell, keep_rank, vec_id, label,
+    * cell_size) — output bounded by cells × cap regardless of corpus
+    * size; `cell_size` rides along so the downsample ratio per region
+    * is observable. Scale shape: one window per cell partition over
+    * the stored inverted lists (same join key the serving tier
+    * already uses), no corpus-wide ordering anywhere. */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    Ivf.index(spark, dir).assignments
+      .select(col("vec_id"), col("cell"))
+      .join(labels, "vec_id")
+      .withColumn("coin", expr(
+        "cast(conv(substr(md5(concat('cbs:', cast(vec_id as string))), 1, 14), 16, 10) as bigint)"))
+      .withColumn("cell_size",
+        count(lit(1)).over(Window.partitionBy("cell")).cast("long"))
+      .withColumn("keep_rank", row_number().over(
+        Window.partitionBy("cell").orderBy(asc("coin"), asc("vec_id"))).cast("int"))
+      .filter(col("keep_rank") <= CellCap)
+      .select(col("cell").cast("int").as("cell"), col("keep_rank"),
+        col("vec_id"), col("label"), col("cell_size"))
+      .orderBy("cell", "keep_rank")
+  }
+
+  val clusterBalancedSampleSql: String = s"""
+WITH ${Ivf.ivfCommonCtes},
+lab AS (SELECT vec_id, label FROM embeddings),
+sized AS (
+  SELECT f.cell, f.vec_id, l.label,
+         CAST(('0x' || substr(md5('cbs:' || CAST(f.vec_id AS VARCHAR)), 1, 14))::UBIGINT
+           AS BIGINT) AS coin,
+         CAST(COUNT(*) OVER (PARTITION BY f.cell) AS BIGINT) AS cell_size
+  FROM afin f JOIN lab l USING (vec_id)),
+ranked AS (
+  SELECT cell, vec_id, label, cell_size,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY coin, vec_id) AS keep_rank
+  FROM sized)
+SELECT cell, keep_rank, vec_id, label, cell_size
+FROM ranked WHERE keep_rank <= $CellCap
+ORDER BY cell, keep_rank"""
+
   val inventory: Map[String, Q] = Map(
-    "contrastive_triples" -> (contrastiveTriples _))
+    "contrastive_triples" -> (contrastiveTriples _),
+    "cluster_balanced_sample" -> (clusterBalancedSample _))
 
   val oracle: Map[String, String] = Map(
-    "contrastive_triples" -> contrastiveTriplesSql)
+    "contrastive_triples" -> contrastiveTriplesSql,
+    "cluster_balanced_sample" -> clusterBalancedSampleSql)
 }

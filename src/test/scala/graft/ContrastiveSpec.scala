@@ -68,6 +68,37 @@ class ContrastiveSpec extends SparkSpec {
     }
   }
 
+  test("cluster-balanced sample equals a from-scratch recomputation") {
+    val asg = Ivf.index(spark, sf).assignments.select("vec_id", "cell").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell")))
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    def coin(vid: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cbs:$vid".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(14), 16)
+    }
+    val want = asg.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (cell, vs) =>
+      vs.sortBy { case (vid, _) => (coin(vid), vid) }
+        .take(Contrastive.CellCap).zipWithIndex
+        .map { case ((vid, _), i) =>
+          (cell, i + 1, vid, labels(vid), vs.length.toLong)
+        }
+    }
+    val got = Contrastive.clusterBalancedSample(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("keep_rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Long]("cell_size")))
+      .toSeq
+    assert(got == want)
+    // every cell contributes at most CellCap rows and small cells
+    // survive intact (keep_rank count == min(cell_size, cap))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sz = rows.head._5
+      assert(rows.length == math.min(sz, Contrastive.CellCap.toLong))
+    }
+  }
+
   test("miner is deterministic across runs") {
     val a = Contrastive.contrastiveTriples(spark, sf).collect().map(_.toSeq).toSeq
     val b = Contrastive.contrastiveTriples(spark, sf).collect().map(_.toSeq).toSeq

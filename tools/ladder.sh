@@ -55,10 +55,16 @@ assemble_and_commit() { # label
   log "committed rung ${1}"
 }
 
+# Heap discipline (round-13 finding): PIN the heap (-Xms == -Xmx,
+# AlwaysPreTouch). A growable G1 heap under allocation-heavy stages
+# (explode/regexp corpus passes) spends 40-70% CPU in the KERNEL
+# re-zeroing pages as G1 uncommits and re-grows — probed run times
+# swung 4s..48s on identical work at the 100x corpus; pinned+pre-
+# touched heap: stable 4.2-5.9s. See PERF_NOTES "heap churn".
 gen() { # factor dir mem
   local factor="$1" dir="$2" mem="$3"
   log "scalegen ${factor}x -> $dir"
-  $JAVA "-Xmx$mem" graft.ScaleGen /root/testdata/sf0.1 "$dir" "$factor" \
+  $JAVA "-Xms$mem" "-Xmx$mem" -XX:+AlwaysPreTouch graft.ScaleGen /root/testdata/sf0.1 "$dir" "$factor" \
     > "/root/scale/r13_gen_${factor}x.log" 2>&1
   log "scalegen ${factor}x rc=$?"
 }
@@ -68,7 +74,7 @@ bench() { # dir label mem extra_jvm...
   log "bench $label (mem $mem)"
   SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_AQE=1 \
   SPARK_GRAFT_BENCH_OUT="/root/scale/r13_bench_$label.json" \
-    $JAVA "-Xmx$mem" "$@" graft.Bench > "/root/scale/r13_bench_$label.log" 2>&1
+    $JAVA "-Xms$mem" "-Xmx$mem" -XX:+AlwaysPreTouch "$@" graft.Bench > "/root/scale/r13_bench_$label.log" 2>&1
   log "bench $label rc=$? tail: $(tail -c 300 /root/scale/r13_bench_$label.json 2>/dev/null)"
   assemble_and_commit "$label"
 }
