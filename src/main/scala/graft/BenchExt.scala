@@ -66,7 +66,10 @@ object BenchExt {
     "length_bucket_batches",
     // diversity-preserving downsample: deterministic per-IVF-cell cap
     // over the stored inverted lists (output bounded by cells x cap)
-    "cluster_balanced_sample")
+    "cluster_balanced_sample",
+    // which-feeds-copy-each-other: sources^2-bounded rollup of the
+    // LSH near-dup pairs (df-capped pair set, co-partitioned lookups)
+    "dedup_source_matrix")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

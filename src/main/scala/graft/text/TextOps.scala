@@ -903,6 +903,53 @@ FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id"""
   val dedupMinhashLshSql: String =
     dedupMinhashLshSqlRaw.replace("__MINHASH_CAP__", MinhashBandCap.toString)
 
+  /** Pairs at or above this estimated Jaccard count as near-dups in the
+    * cross-source matrix (8 of 16 minhashes agreeing). */
+  val SourceMatrixJaccard = 0.5
+
+  /** Cross-source near-duplication matrix — the provenance rollup a
+    * multi-feed corpus needs before mixture weighting: for every
+    * (source, source) pair, how many near-dup document pairs
+    * ([[dedupMinhashLsh]] candidates at est_jaccard ≥
+    * [[SourceMatrixJaccard]]) cross them. Off-diagonal cells mean two
+    * feeds crawl the same upstream (dedup BEFORE weighing them
+    * separately); diagonal cells are intra-feed duplication — the
+    * per-pair refinement of `source_accounting`'s per-feed dup rate.
+    *
+    * Exactness: est_jaccard is k/16 (dyadic — exact in a double), so
+    * `matched_hashes` = Σk emitted as BIGINT is reproducible. Scale:
+    * the pair set is already LSH-banded and df-capped; the two source
+    * lookups are doc_id equi-joins (co-partitionable, no broadcast of
+    * corpus-sized sides needed); the rollup output is bounded by
+    * sources². */
+  def dedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    dedupMinhashLsh(spark, dir)
+      .filter(col("est_jaccard") >= SourceMatrixJaccard)
+      .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"),
+        (col("est_jaccard") * 16.0).cast("long").as("k"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("k")).cast(LongType).as("matched_hashes"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val dedupSourceMatrixSql: String = s"""
+WITH pairs AS ($dedupMinhashLshSql),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(x.source, y.source) AS source_a,
+       greatest(x.source, y.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(est_jaccard * 16.0 AS BIGINT)) AS BIGINT) AS matched_hashes
+FROM pairs JOIN src x ON pairs.doc_a = x.doc_id
+           JOIN src y ON pairs.doc_b = y.doc_id
+WHERE est_jaccard >= $SourceMatrixJaccard
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // ------------------------------------------------------------- SimHash
 
   /** 60-bit SimHash per document (md5-derived hashes of the
@@ -1321,6 +1368,7 @@ FROM per JOIN est USING (source) ORDER BY source"""
     "dedup_jaccard_pairs"  -> (dedupJaccardPairs _),
     "dedup_containment_pairs" -> (dedupContainmentPairs _),
     "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
+    "dedup_source_matrix"  -> (dedupSourceMatrix _),
     "dedup_simhash_pairs"  -> (dedupSimhashPairs _),
     "text_decontamination" -> (decontamination _),
     "bloom_decontamination" -> (bloomDecontamination _),
@@ -1343,6 +1391,7 @@ FROM per JOIN est USING (source) ORDER BY source"""
     "dedup_jaccard_pairs"  -> dedupJaccardPairsSql,
     "dedup_containment_pairs" -> dedupContainmentPairsSql,
     "dedup_minhash_lsh"    -> dedupMinhashLshSql,
+    "dedup_source_matrix"  -> dedupSourceMatrixSql,
     "dedup_simhash_pairs"  -> dedupSimhashPairsSql,
     "text_decontamination" -> decontaminationSql,
     "bloom_decontamination" -> bloomDecontaminationSql,
