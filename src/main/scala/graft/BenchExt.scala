@@ -69,7 +69,10 @@ object BenchExt {
     "cluster_balanced_sample",
     // which-feeds-copy-each-other: sources^2-bounded rollup of the
     // LSH near-dup pairs (df-capped pair set, co-partitioned lookups)
-    "dedup_source_matrix")
+    "dedup_source_matrix",
+    // packing under the TRAINED tokenizer's exact counts (the end of
+    // the tokenizer story: mine -> train -> account -> pack)
+    "pack_sequences_bpe")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

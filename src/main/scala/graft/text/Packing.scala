@@ -116,6 +116,59 @@ SELECT doc_id, chunk_seq,
 FROM s
 ORDER BY doc_id, chunk_seq"""
 
+  /** [[packSequences]] under the TRAINED tokenizer — the end of the
+    * tokenizer story (mine → train → account → PACK): per-document
+    * token counts are the exact subword counts of the 8-rule trained
+    * tokenizer (per DISTINCT (doc, word), joined against the
+    * vocab-grain segmentation — the word-join is vocab-bounded on the
+    * build side), documents with no letter-run words keep a 0-token
+    * row (they still occupy their position in the canonical doc_id
+    * packing order), and the same two-pass distributed exclusive
+    * cumsum cuts the stream into [[SeqLen]]-token sequences. Replaces
+    * the ceil(chars/4) ESTIMATE with the number the training run
+    * actually pays. */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame = {
+    val segE = TextOps.bpeTrainedSegE(spark, dir)
+    val docWords = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("w"))
+      .select(col("doc_id"), lower(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val vocabTok = docWords.select("word").distinct()
+      .withColumn("n_tok", size(split(expr(segE), " ")).cast("long"))
+    val docTok = docWords.join(vocabTok, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("n_tok")).cast("long").as("bpe_tokens"))
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(docTok, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bpe_tokens"), lit(0L)).cast("long").as("bpe_tokens"))
+    exclusiveCumsum(d, "doc_id", "bpe_tokens", "start_token")
+      .select(
+        col("doc_id"), col("bpe_tokens"), col("start_token"),
+        expr(s"start_token div $SeqLen").as("seq_id"),
+        expr(s"start_token % $SeqLen").as("seq_offset"))
+  }
+
+  val packSequencesBpeSql: String = s"""
+${TextOps.bpeTrainCtes},
+${TextOps.bpeVocabTokSqlCte},
+sw AS (SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word
+       FROM documents),
+swc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM sw GROUP BY 1, 2),
+dt AS (SELECT doc_id, CAST(SUM(cnt * n_tok) AS BIGINT) AS t
+       FROM swc JOIN vt USING (word) GROUP BY doc_id),
+d AS (SELECT doc_id, CAST(COALESCE(t, 0) AS BIGINT) AS bpe_tokens
+      FROM documents LEFT JOIN dt USING (doc_id)),
+c AS (SELECT doc_id, bpe_tokens,
+             CAST(COALESCE(SUM(bpe_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+      FROM d)
+SELECT doc_id, bpe_tokens, start_token,
+       start_token // $SeqLen AS seq_id,
+       start_token % $SeqLen AS seq_offset
+FROM c"""
+
   /** Length-bucket width (tokens) for padded batching. */
   val BucketTokens = 64L
 
@@ -192,11 +245,13 @@ FROM g GROUP BY bucket ORDER BY bucket"""
 
   val inventory: Map[String, Q] = Map(
     "pack_sequences"  -> (packSequences _),
+    "pack_sequences_bpe" -> (packSequencesBpe _),
     "chunk_documents" -> (chunkDocuments _),
     "length_bucket_batches" -> (lengthBucketBatches _))
 
   val oracle: Map[String, String] = Map(
     "pack_sequences"  -> packSequencesSql,
+    "pack_sequences_bpe" -> packSequencesBpeSql,
     "chunk_documents" -> chunkDocumentsSql,
     "length_bucket_batches" -> lengthBucketBatchesSql)
 }

@@ -1243,8 +1243,7 @@ ORDER BY rank"""
     * corpus-sized fact — how many tokens the trained tokenizer yields
     * per subword — again computed over DISTINCT words only. */
   def bpeTokenHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val segE = bpeTrainedMerges(spark, dir)
-      .foldLeft(bpeCharSegE) { case (e, (_, a, b, _)) => bpeFoldE(e, a, b) }
+    val segE = bpeTrainedSegE(spark, dir)
     bpeVocab(spark, dir)
       .select(col("word"), col("cnt"), explode(split(expr(segE), " ")).as("token"))
       .groupBy("token")
@@ -1263,7 +1262,7 @@ ORDER BY rank"""
     * same greedy left-to-right apply as [[bpeFoldE]] (string
     * accumulator via list_reduce with a prepended '' sentinel, since
     * DuckDB's reduce has no explicit zero). */
-  private def bpeTrainCtes: String = {
+  private[text] def bpeTrainCtes: String = {
     val head = """WITH w AS (
   SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word FROM documents),
 v AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
@@ -1307,6 +1306,21 @@ SELECT rank, token, token_count, n_words FROM (
         FROM tok GROUP BY token))
 WHERE rank <= $BpeTopTokens ORDER BY rank"""
 
+  /** The trained tokenizer as ONE segmentation expression: the 8
+    * learned rules (driver constants after [[bpeTrainedMerges]]'s
+    * bounded collects) chained as literal folds over the initial
+    * char segmentation — the expression every apply-side op
+    * (histogram, accounting, exact packing) evaluates per DISTINCT
+    * word. */
+  private[text] def bpeTrainedSegE(spark: SparkSession, dir: String): String =
+    bpeTrainedMerges(spark, dir)
+      .foldLeft(bpeCharSegE) { case (e, (_, a, b, _)) => bpeFoldE(e, a, b) }
+
+  /** Shared oracle tail for apply-side ops: per-word token counts of
+    * the trained tokenizer (vocab grain, from the final seg CTE). */
+  private[text] val bpeVocabTokSqlCte: String =
+    s"vt AS (SELECT word, len(string_split(seg, ' ')) AS n_tok FROM seg$BpeTrainIters)"
+
   /** Exact per-source token accounting under the TRAINED tokenizer —
     * the mixture-weighting fact an LLM-data pipeline actually needs
     * (how many tokens each feed contributes), next to the ceil(chars/4)
@@ -1320,8 +1334,7 @@ WHERE rank <= $BpeTopTokens ORDER BY rank"""
     * join against the per-doc estimate rollup. All emitted measures are
     * exact integers — nothing float-shaped to drift vs the oracle. */
   def bpeSourceTokenAccounting(spark: SparkSession, dir: String): DataFrame = {
-    val segE = bpeTrainedMerges(spark, dir)
-      .foldLeft(bpeCharSegE) { case (e, (_, a, b, _)) => bpeFoldE(e, a, b) }
+    val segE = bpeTrainedSegE(spark, dir)
     val perWord = docs(spark, dir)
       .select(col("source"),
         explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("w"))
@@ -1346,7 +1359,7 @@ WHERE rank <= $BpeTopTokens ORDER BY rank"""
 sw AS (SELECT source, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word
        FROM documents),
 swc AS (SELECT source, word, COUNT(*) AS cnt FROM sw GROUP BY 1, 2),
-vt AS (SELECT word, len(string_split(seg, ' ')) AS n_tok FROM seg$BpeTrainIters),
+$bpeVocabTokSqlCte,
 per AS (SELECT source,
           CAST(SUM(cnt * n_tok) AS BIGINT) AS exact_tokens,
           CAST(SUM(cnt) AS BIGINT) AS n_words,

@@ -47,6 +47,35 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("BPE packing is gapless and agrees with the accounting op's totals") {
+    val rows = Packing.packSequencesBpe(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bpe_tokens"),
+        r.getAs[Long]("start_token"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("seq_offset")))
+      .sortBy(_._1)
+
+    // one row per document, including zero-word ones
+    assert(rows.length == Tables.documents(spark, sf).count())
+
+    // gapless: each start is the previous start + previous tokens, and
+    // seq_id/seq_offset are the div/mod of the start
+    rows.sliding(2).foreach {
+      case Array((_, t0, s0, _, _), (_, _, s1, _, _)) => assert(s1 == s0 + t0)
+      case _ =>
+    }
+    rows.foreach { case (_, _, s, q, o) =>
+      assert(q == s / Packing.SeqLen && o == s % Packing.SeqLen)
+    }
+
+    // cross-op invariant: total packed tokens == the per-source exact
+    // accounting's total (two independent plans over the same trained
+    // tokenizer must price the corpus identically)
+    val packedTotal = rows.map(_._2).sum
+    val accountedTotal = graft.text.TextOps.bpeSourceTokenAccounting(spark, sf)
+      .agg(sum("exact_tokens")).collect()(0).getLong(0)
+    assert(packedTotal == accountedTotal)
+  }
+
   test("length-bucket batching equals a from-scratch recomputation") {
     val got = Packing.lengthBucketBatches(spark, sf).collect()
       .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
