@@ -72,7 +72,10 @@ object BenchExt {
     "dedup_source_matrix",
     // packing under the TRAINED tokenizer's exact counts (the end of
     // the tokenizer story: mine -> train -> account -> pack)
-    "pack_sequences_bpe")
+    "pack_sequences_bpe",
+    // tokenizer-training stability: the same 8 merges trained on each
+    // doc_id-parity half, lined up by rank (two vocab-bounded loops)
+    "bpe_merge_drift")
 
   private val WarmPasses = 2
   private val TimedRuns = 5

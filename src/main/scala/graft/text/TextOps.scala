@@ -1170,8 +1170,10 @@ ORDER BY rank"""
   }
 
   private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("w"))
+    bpeVocabOver(docs(spark, dir))
+
+  private def bpeVocabOver(d: DataFrame): DataFrame =
+    d.select(explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("w"))
       .select(lower(col("w")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
@@ -1193,8 +1195,14 @@ ORDER BY rank"""
     * industrial BPE trainer runs at 100 TB: one pass to the
     * word-frequency table, merge iterations over the vocabulary alone. */
   private[text] def bpeTrainedMerges(
-      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
-    val vocab = bpeVocab(spark, dir).persist()
+      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    bpeTrainedMergesOver(bpeVocab(spark, dir))
+
+  /** Parameterized trainer core over any (word, cnt) vocabulary frame
+    * — the drift diagnostic trains it on corpus halves. */
+  private[text] def bpeTrainedMergesOver(
+      vocabDf: DataFrame): Seq[(Long, String, String, Long)] = {
+    val vocab = vocabDf.persist()
     try {
       val merges = Seq.newBuilder[(Long, String, String, Long)]
       var segE = bpeCharSegE
@@ -1262,38 +1270,90 @@ ORDER BY rank"""
     * same greedy left-to-right apply as [[bpeFoldE]] (string
     * accumulator via list_reduce with a prepended '' sentinel, since
     * DuckDB's reduce has no explicit zero). */
-  private[text] def bpeTrainCtes: String = {
-    val head = """WITH w AS (
-  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word FROM documents),
-v AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
-seg0 AS (SELECT word, cnt,
+  /** The CTE list (no WITH keyword) for one training replay, with a
+    * TRAINING-collection restriction and a CTE-name prefix so two
+    * chains can coexist in one statement (the
+    * [[graft.sim.Ivf.ivfCommonCtesOver]] pattern). */
+  private[text] def bpeTrainCteList(trainWhere: String, pfx: String): String = {
+    val head = s"""${pfx}w AS (
+  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word FROM documents$trainWhere),
+${pfx}v AS (SELECT word, COUNT(*) AS cnt FROM ${pfx}w GROUP BY word),
+${pfx}seg0 AS (SELECT word, cnt,
   array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), ' ') AS seg
-  FROM v)"""
+  FROM ${pfx}v)"""
     val iters = (1 to BpeTrainIters).map { k =>
       val p = k - 1
       s"""
-p$k AS (SELECT cnt, string_split(seg, ' ') AS l,
+${pfx}p$k AS (SELECT cnt, string_split(seg, ' ') AS l,
         unnest(generate_series(1, len(string_split(seg, ' ')) - 1)) AS i
-        FROM seg$p),
-m$k AS (SELECT a, b, c FROM (
+        FROM ${pfx}seg$p),
+${pfx}m$k AS (SELECT a, b, c FROM (
     SELECT l[i] AS a, l[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS c
-    FROM p$k GROUP BY 1, 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1)),
-seg$k AS (SELECT word, cnt,
+    FROM ${pfx}p$k GROUP BY 1, 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1)),
+${pfx}seg$k AS (SELECT word, cnt,
   list_reduce(list_prepend('', string_split(seg, ' ')), (acc, x) ->
     CASE WHEN acc = '' THEN x
          WHEN (acc = m.a OR right(acc, length(m.a) + 1) = ' ' || m.a) AND x = m.b
            THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
          ELSE acc || ' ' || x END) AS seg
-  FROM seg$p LEFT JOIN m$k m ON TRUE)"""
+  FROM ${pfx}seg$p LEFT JOIN ${pfx}m$k m ON TRUE)"""
     }
     (head +: iters).mkString(",")
   }
+
+  private[text] def bpeTrainCtes: String = "WITH " + bpeTrainCteList("", "")
 
   val bpeTrainMergesSql: String = {
     val union = (1 to BpeTrainIters).map { k =>
       s"SELECT CAST($k AS BIGINT) AS rank, a AS merge_a, b AS merge_b, c AS merge_count FROM m$k"
     }.mkString(" UNION ALL ")
     s"$bpeTrainCtes\nSELECT * FROM ($union) ORDER BY rank"
+  }
+
+  /** Tokenizer-training STABILITY diagnostic — train the same 8-merge
+    * BPE independently on the two doc_id-parity halves of the corpus
+    * and line the learned rules up by rank: a tokenizer whose early
+    * merges flip between halves is being trained on too little (or too
+    * skewed) data to freeze, the question every subsampled tokenizer
+    * run has to answer before committing a vocab. Same split
+    * convention as [[graft.sim.EmbeddingDrift]] / `ivf_delta_assign`
+    * (parity = yesterday's batch vs today's). `agree` is
+    * COALESCE(..., FALSE) so an early-exhausted half compares as
+    * drift, not NULL. Cost: two vocab-bounded training loops — the
+    * corpus is still touched once per half. */
+  def bpeMergeDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val even = bpeTrainedMergesOver(bpeVocabOver(d.filter(col("doc_id") % 2 === 0)))
+      .map { case (r, a, b, _) => r -> (a, b) }.toMap
+    val odd = bpeTrainedMergesOver(bpeVocabOver(d.filter(col("doc_id") % 2 === 1)))
+      .map { case (r, a, b, _) => r -> (a, b) }.toMap
+    val ranks = (even.keySet ++ odd.keySet).toSeq.sorted
+    ranks.map { r =>
+      val e = even.get(r); val o = odd.get(r)
+      (r, e.map(_._1).orNull, e.map(_._2).orNull,
+        o.map(_._1).orNull, o.map(_._2).orNull,
+        e.nonEmpty && e == o)
+    }.toDF("rank", "merge_a_even", "merge_b_even",
+      "merge_a_odd", "merge_b_odd", "agree")
+      .orderBy("rank")
+  }
+
+  val bpeMergeDriftSql: String = {
+    def union(pfx: String) = (1 to BpeTrainIters).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, a, b FROM ${pfx}m$k"
+    }.mkString(" UNION ALL ")
+    s"""
+WITH ${bpeTrainCteList(" WHERE doc_id % 2 = 0", "e")},
+${bpeTrainCteList(" WHERE doc_id % 2 = 1", "o")},
+em AS (${union("e")}),
+om AS (${union("o")})
+SELECT rank,
+       em.a AS merge_a_even, em.b AS merge_b_even,
+       om.a AS merge_a_odd,  om.b AS merge_b_odd,
+       COALESCE(em.a = om.a AND em.b = om.b, FALSE) AS agree
+FROM em FULL JOIN om USING (rank)
+ORDER BY rank"""
   }
 
   val bpeTokenHistogramSql: String = s"""$bpeTrainCtes,
@@ -1392,7 +1452,8 @@ FROM per JOIN est USING (source) ORDER BY source"""
     "bpe_merge_pairs"      -> (bpeMergePairs _),
     "bpe_train_merges"     -> (bpeTrainMerges _),
     "bpe_token_histogram"  -> (bpeTokenHistogram _),
-    "bpe_source_token_accounting" -> (bpeSourceTokenAccounting _))
+    "bpe_source_token_accounting" -> (bpeSourceTokenAccounting _),
+    "bpe_merge_drift"      -> (bpeMergeDrift _))
 
   val oracle: Map[String, String] = Map(
     "text_stats"           -> textStatsSql,
@@ -1415,5 +1476,6 @@ FROM per JOIN est USING (source) ORDER BY source"""
     "bpe_merge_pairs"      -> bpeMergePairsSql,
     "bpe_train_merges"     -> bpeTrainMergesSql,
     "bpe_token_histogram"  -> bpeTokenHistogramSql,
-    "bpe_source_token_accounting" -> bpeSourceTokenAccountingSql)
+    "bpe_source_token_accounting" -> bpeSourceTokenAccountingSql,
+    "bpe_merge_drift"      -> bpeMergeDriftSql)
 }

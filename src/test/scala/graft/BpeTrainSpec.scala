@@ -57,11 +57,12 @@ class BpeTrainSpec extends SparkSpec {
     (merges.result(), segs.toMap)
   }
 
-  private def corpusVocab(): Map[String, Long] = {
+  private def corpusVocab(keep: Long => Boolean = _ => true): Map[String, Long] = {
     val wordRe = "[A-Za-z]+".r
-    Tables.documents(spark, sf).select("text").collect()
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
       .iterator
-      .flatMap(r => wordRe.findAllIn(r.getString(0)))
+      .filter(r => keep(r.getAs[Long]("doc_id")))
+      .flatMap(r => wordRe.findAllIn(r.getString(1)))
       .map(_.toLowerCase)
       .foldLeft(Map.empty[String, Long]) { (m, w) =>
         m.updated(w, m.getOrElse(w, 0L) + 1L)
@@ -163,6 +164,25 @@ class BpeTrainSpec extends SparkSpec {
     // the trained tokenizer compresses: exact subword tokens per source
     // must be strictly fewer than raw characters' worth of words
     assert(got.forall { case (_, _, nw, _, ex, _) => ex >= nw })
+  }
+
+  test("merge drift equals two independent half-corpus trainings") {
+    val (evenM, _) = referenceTrain(corpusVocab(_ % 2 == 0), TextOps.BpeTrainIters)
+    val (oddM, _) = referenceTrain(corpusVocab(_ % 2 == 1), TextOps.BpeTrainIters)
+    val em = evenM.map { case (r, a, b, _) => r -> (a, b) }.toMap
+    val om = oddM.map { case (r, a, b, _) => r -> (a, b) }.toMap
+    val want = (em.keySet ++ om.keySet).toSeq.sorted.map { r =>
+      (r, em.get(r).map(_._1).orNull, em.get(r).map(_._2).orNull,
+        om.get(r).map(_._1).orNull, om.get(r).map(_._2).orNull,
+        em.contains(r) && em.get(r) == om.get(r))
+    }
+    val got = TextOps.bpeMergeDrift(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"),
+        r.getAs[String]("merge_a_even"), r.getAs[String]("merge_b_even"),
+        r.getAs[String]("merge_a_odd"), r.getAs[String]("merge_b_odd"),
+        r.getAs[Boolean]("agree")))
+      .toSeq
+    assert(got == want)
   }
 
   test("trainer is deterministic across runs") {
