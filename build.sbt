@@ -32,12 +32,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // PINNED heap (Xms == Xmx, pre-touched): a growable G1 heap under
-  // allocation-heavy stages spends 40-74% CPU in the kernel re-zeroing
-  // pages as it uncommits and re-grows — identical timed runs swung
-  // 4s..82s at the 100x corpus until pinned (PERF_NOTES "heap churn").
-  // Benchmarked JVMs (graft.Bench / graft.BenchExt) fork through here.
+)
+// PINNED heap (Xms == Xmx, pre-touched): a growable G1 heap under
+// allocation-heavy stages spends 40-74% CPU in the kernel re-zeroing
+// pages as it uncommits and re-grows — identical timed runs swung
+// 4s..82s at the 100x corpus until pinned (PERF_NOTES "heap churn").
+// Scoped to `run` ONLY (graft.Bench / graft.BenchExt / Verify fork
+// through here): pre-touching 8 GB at startup is right for a timed
+// JVM but wrong for test forks and hosts with less free memory, so
+// Test forks keep a plain growable -Xmx.
+run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
 )
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

@@ -9,17 +9,32 @@ import org.apache.spark.sql.functions._
   * deserves a measured data point, not a guess).
   *
   * FACT tables (lineitem, orders, events) are replicated N times with
-  * key offsets so every replica keeps FK consistency against the SHARED
-  * dimension tables — realistic skew: facts grow, dims don't. Offsets
-  * shift only the PK spaces (order keys, event ids); foreign keys into
-  * the dims (custkey, partkey, suppkey, user_id) are left as-is so dim
-  * join selectivity is preserved. Dates are untouched, so date-grain
-  * aggregates see N× rows per group instead of more groups — the
-  * worst case for aggregation state, which is the interesting one.
+  * key offsets so every replica keeps FK consistency against the
+  * dimension tables. Dates are untouched, so date-grain aggregates see
+  * N× rows per group instead of more groups — the worst case for
+  * aggregation state, which is the interesting one.
   * documents/embeddings are copied unscaled (text ops would degenerate
   * under exact replication: every doc would gain N-1 clones).
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <factor>
+  * DIMENSION SCALING (`dimFactor`, default 1): customer/part/supplier
+  * replicate dimFactor times with the same PK-offset scheme, and the
+  * fact replicas' foreign keys into them (o_custkey, l_partkey,
+  * l_suppkey) shift by (replica % dimFactor)·Offset, so fact replica r
+  * references dim replica r mod dimFactor — FK consistency and join
+  * selectivity preserved while BOTH join sides grow. This is the
+  * TPC-H-realistic shape (customers and parts scale with SF) and the
+  * one that proves the fact build's join strategy survives a
+  * non-broadcastable build side: with shared dims (dimFactor 1) the
+  * broadcast side never grows and a hard broadcast hint is never
+  * tested at scale. nation/region stay fixed — genuinely bounded
+  * dimensions (25/5 rows at any SF). events.user_id is left unshifted:
+  * replica-0 customers exist at every dimFactor, and the events family
+  * never joins the customer dimension. Non-key dim attributes are
+  * copied verbatim; the one op keyed on a dim text column
+  * (fuzzy_name_pairs) runs at DISTINCT-name grain, so identical
+  * replica names collapse instead of exploding.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <factor> [dimFactor]
   */
 object ScaleGen {
 
@@ -58,31 +73,65 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(src, out, factorS) = args
-    val factor = factorS.toInt
+    val (src, out, factor, dimFactor) = args match {
+      case Array(s, o, f)     => (s, o, f.toInt, 1)
+      case Array(s, o, f, df) => (s, o, f.toInt, df.toInt)
+      case _ => sys.error("usage: ScaleGen <srcDir> <outDir> <factor> [dimFactor]")
+    }
+    val spark = Sessions.local(cores = 32, shufflePartitions = 32)
+    spark.sparkContext.setLogLevel("WARN")
+    val n = generate(spark, src, out, factor, dimFactor)
+    println(s"wrote ${factor}x replica of $src to $out " +
+      s"(dims ${dimFactor}x; lineitem rows: $n)")
+    spark.stop()
+  }
+
+  /** Generation body (session supplied by the caller — specs drive it
+    * through the shared test session). Returns the scaled lineitem
+    * count. */
+  private[graft] def generate(spark: SparkSession, src: String, out: String,
+                              factor: Int, dimFactor: Int = 1): Long = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    require(dimFactor >= 1 && dimFactor <= factor && factor % dimFactor == 0,
+      s"dimFactor must divide factor and sit in [1, factor]; got " +
+        s"factor=$factor dimFactor=$dimFactor (r mod dimFactor must cycle " +
+        "evenly so every dim replica carries the same fact mass)")
     require(factor.toLong * Offset <= SpikeIdOffset,
       s"factor $factor would push replica keys (factor * $Offset) past the " +
         s"reserved seasonality-spike id range ($SpikeIdOffset) — raise " +
         "SpikeIdOffset before generating past 400x")
-    val spark = Sessions.local(cores = 32, shufflePartitions = 32)
-    spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 
     // replicate with a per-replica key offset comfortably above any real
-    // key: explode a replica-index array, shift PKs by r * [[Offset]]
-    def replicate(df: DataFrame, pkCols: Seq[String]): DataFrame =
-      df.withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
+    // key: explode a replica-index array, shift PKs by r * [[Offset]];
+    // FKs into the scaled dims shift by (r % dimFactor) * [[Offset]] so
+    // fact replica r lands on dim replica r mod dimFactor
+    def replicateN(df: DataFrame, n: Int, pkCols: Seq[String],
+                   fkCols: Seq[String] = Seq.empty): DataFrame =
+      df.withColumn("_r", explode(sequence(lit(0), lit(n - 1))))
         .select(df.columns.toIndexedSeq.map { c =>
           if (pkCols.contains(c))
             (col(c) + col("_r").cast("long") * Offset).as(c)
+          else if (fkCols.contains(c))
+            (col(c) + (col("_r") % dimFactor).cast("long") * Offset).as(c)
           else col(c)
         }: _*)
+    def replicate(df: DataFrame, pkCols: Seq[String],
+                  fkCols: Seq[String] = Seq.empty): DataFrame =
+      replicateN(df, factor, pkCols, fkCols)
 
-    replicate(read("lineitem"), Seq("l_orderkey"))
+    val dimFks =
+      if (dimFactor > 1) Map(
+        "lineitem" -> Seq("l_partkey", "l_suppkey"),
+        "orders"   -> Seq("o_custkey"))
+      else Map.empty[String, Seq[String]].withDefaultValue(Seq.empty)
+
+    replicate(read("lineitem"), Seq("l_orderkey"),
+      dimFks.getOrElse("lineitem", Seq.empty))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    replicate(read("orders"), Seq("o_orderkey"))
+    replicate(read("orders"), Seq("o_orderkey"),
+      dimFks.getOrElse("orders", Seq.empty))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     // events.ts is TIMESTAMP(NANOS) parquet, unreadable by vanilla Spark;
     // Tables.events normalizes it to a microsecond timestamp (the same
@@ -119,11 +168,15 @@ object ScaleGen {
           .as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+    // bounded dims copy verbatim; scaling dims replicate dimFactor times
+    Seq("region", "nation").foreach { t =>
       read(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    val n = spark.read.parquet(s"$out/lineitem.parquet").count()
-    println(s"wrote ${factor}x replica of $src to $out (lineitem rows: $n)")
-    spark.stop()
+    Seq("customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey").foreach { case (t, pk) =>
+      replicateN(read(t), dimFactor, Seq(pk))
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    spark.read.parquet(s"$out/lineitem.parquet").count()
   }
 }

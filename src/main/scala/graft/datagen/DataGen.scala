@@ -97,7 +97,19 @@ object DataGen {
     * [b, b+5) for every b ≡ 0 mod 50) — each member reuses its BASE
     * doc's token stream with one GUARANTEED token substitution plus 2%
     * per-position edits, the text twin of ScaleGen's jittered embedding
-    * replicas. A further 6% form MEDIA piles of 3 (ids [b+10, b+13)):
+    * replicas. A further 6% form PASSAGE piles of 3 (ids [b+20, b+23)):
+    * members keep their own independent token streams but share an
+    * appended 16-token passage of md5-derived gibberish words UNIQUE to
+    * the pile — the copied-paragraph shape the winnowing family exists
+    * to find. The shared run is 143 chars ≥ 13·(k+w−1), so winnowing's
+    * guarantee hands every member pair ≥ 13 distinct shared
+    * fingerprints (> WinnowSharedMin = 10), and because the passage
+    * vocabulary is keyed on the PILE id its fingerprints have df = 3 at
+    * EVERY corpus size — they can never age past the df-cap the way
+    * common-vocabulary fingerprints do (through round 13 the scaled
+    * winnow rungs emitted 0 rows at 300× for exactly that reason:
+    * every fingerprint two docs shared was corpus boilerplate).
+    * A further 6% form MEDIA piles of 3 (ids [b+10, b+13)):
     * members perturb the base by 1-2 single-character substitutions —
     * length-preserving, so each member's 60-bit dHash sits within
     * Hamming ≤ 4 of its base and the multimodal phash near-dup family
@@ -187,6 +199,20 @@ object DataGen {
     // (the member degrades to an exact dup — itself realistic, found
     // at Hamming 0) so token boundaries never shift; a 'q' flips to
     // 'z' so a real edit never equals the original char.
+    // PASSAGE-PILE APPEND: members of a passage pile (doc_id % 50 in
+    // [20, 23)) append the same 16-token passage, keyed on the PILE id
+    // so it is unique to the pile: each token is the first 8 hex chars
+    // of an md5 over (seed, pile, position) with digits transliterated
+    // to letters — 16 random letter-words no other document can emit,
+    // so the pair's shared winnow fingerprints survive the df-cap at
+    // any corpus size while everything ELSE the pair shares (common
+    // vocabulary) ages out of the join exactly as it should.
+    val pasBaseE = "(doc_id - (doc_id % 50) + 20)"
+    val passageE =
+      s"""array_join(transform(sequence(1, 16), p ->
+            translate(substr(md5(concat('$seed', ':pas:',
+                               cast($pasBaseE as string), ':', cast(p as string))), 1, 8),
+                      '0123456789', 'ghijklmnop')), ' ')"""
     def mpos(tag: String) = s"(1 + cast(${up(tag, "doc_id", "'0'")} * 29 as int))"
     def msub(member: Long, posE: String) = s"""
       CASE WHEN doc_id % 50 = $member AND substr(text, $posE, 1) <> ' '
@@ -207,6 +233,9 @@ object DataGen {
       .withColumn("text", expr(msub(11L, mpos("mp1"))))
       .withColumn("text", expr(msub(12L, mpos("mp1"))))
       .withColumn("text", expr(msub(12L, mpos("mp2"))))
+      .withColumn("text", expr(
+        s"""CASE WHEN doc_id % 50 >= 20 AND doc_id % 50 < 23
+                 THEN concat(text, ' ', $passageE) ELSE text END"""))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 }

@@ -284,9 +284,13 @@ FROM documents"""
     * equi-join shape as the LSH families; no all-pairs work). */
   import graft.functions.WinnowFp
   def docFingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnowFpsOver(docs(spark, dir))
+
+  /** (doc_id, fp) exploded winnow fingerprints of any docs frame. */
+  private[graft] def winnowFpsOver(d: DataFrame): DataFrame =
     // repartition: the single-file documents input would otherwise run
     // every rolling-hash pass in one task (same guard as dedupMinhashLsh)
-    docs(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+    d.repartition(d.sparkSession.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         explode(graft.functions.WinnowFp.of(col("text"))).as("fp"))
@@ -355,8 +359,13 @@ SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins"""
     * `fp` (b·N join rows, no all-pairs), hot keys removed by the
     * broadcast df-cap anti-join, then one hash aggregation on the pair —
     * the same blocking discipline as the Jaccard/LSH families. */
-  def winnowOverlapPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fps = docFingerprintWinnow(spark, dir)
+  def winnowOverlapPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowOverlapPairsOver(docs(spark, dir))
+
+  /** Parameterized core over any docs frame — the planted-passage
+    * recall spec drives the REGISTERED detector through this. */
+  private[graft] def winnowOverlapPairsOver(d: DataFrame): DataFrame = {
+    val fps = winnowFpsOver(d)
     val hot = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > WinnowDfCap)
