@@ -29,21 +29,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
-  "-Dspark.ui.enabled=false",
-  "-Dspark.sql.session.timeZone=UTC",
-)
 // PINNED heap (Xms == Xmx, pre-touched): a growable G1 heap under
 // allocation-heavy stages spends 40-74% CPU in the kernel re-zeroing
 // pages as it uncommits and re-grows — identical timed runs swung
 // 4s..82s at the 100x corpus until pinned (PERF_NOTES "heap churn").
-// Scoped to `run` ONLY (graft.Bench / graft.BenchExt / Verify fork
-// through here): pre-touching 8 GB at startup is right for a timed
-// JVM but wrong for test forks and hosts with less free memory, so
-// Test forks keep a plain growable -Xmx.
-run / javaOptions ++= Seq(
+// Project-level so BOTH `run` and `runMain` forks (graft.Bench /
+// graft.BenchExt / Verify) get it — runMain does NOT read
+// `run / javaOptions`, so scoping it there silently un-pins every
+// benchmarked JVM (measured: ext_total 38 s → 51 s). Test forks strip
+// the pin below: pre-touching 8 GB at startup is right for a timed
+// JVM but wrong for test forks and hosts with less free memory.
+javaOptions ++= jdk17AddOpens ++ Seq(
+  "-Dspark.ui.enabled=false",
+  "-Dspark.sql.session.timeZone=UTC",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
 )
-Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+Test / javaOptions := javaOptions.value
+  .filterNot(o => o.startsWith("-Xms") || o == "-XX:+AlwaysPreTouch")

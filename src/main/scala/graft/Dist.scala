@@ -23,10 +23,18 @@ object Dist {
   /** Exclusive cumulative sum of `valueCol` (LongType) in `key` order,
     * appended as `out`. */
   def exclusiveCumsum(df: DataFrame, key: String, valueCol: String,
-                      out: String): DataFrame = {
+                      out: String): DataFrame =
+    exclusiveCumsumBy(df, Seq(key), valueCol, out)
+
+  /** Exclusive cumulative sum in lexicographic (key1, key2, …) order —
+    * the composite-key form ([[rankByKeys]] ranks ties-broken tuples
+    * through this). */
+  def exclusiveCumsumBy(df: DataFrame, keys: Seq[String], valueCol: String,
+                        out: String): DataFrame = {
     val spark = df.sparkSession
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
-    val ranged = df.repartitionByRange(parts, col(key)).sortWithinPartitions(key)
+    val ranged = df.repartitionByRange(parts, keys.map(col): _*)
+      .sortWithinPartitions(keys.head, keys.tail: _*)
     val schema = ranged.schema.add(out, LongType, nullable = false)
     val vIdx = ranged.schema.fieldIndex(valueCol)
     val rows = ranged.rdd // ONE materialization — see the class scaladoc
@@ -56,7 +64,14 @@ object Dist {
     * `row_number().over(Window.orderBy(key))` form because ranges are
     * ordered and the key is unique (RankByKeySpec). */
   def rankByUniqueKey(df: DataFrame, key: String, out: String): DataFrame =
-    exclusiveCumsum(df.withColumn("__one", lit(1L)), key, "__one", out)
+    rankByKeys(df, Seq(key), out)
+
+  /** Global 1-based rank in lexicographic order of a key TUPLE that is
+    * unique as a whole (e.g. a measure plus a tie-breaking id) — equal
+    * to `row_number().over(Window.orderBy(k1, k2, …))` without the
+    * single-partition window (RankByKeySpec pins the equivalence). */
+  def rankByKeys(df: DataFrame, keys: Seq[String], out: String): DataFrame =
+    exclusiveCumsumBy(df.withColumn("__one", lit(1L)), keys, "__one", out)
       .withColumn(out, col(out) + 1L)
       .drop("__one")
 }

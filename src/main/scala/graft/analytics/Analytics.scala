@@ -209,7 +209,7 @@ ORDER BY payment_method""")
   def q06(spark: SparkSession, dir: String): DataFrame = {
     val f = Warehouse.fact(spark, dir)
     val c = Warehouse.dimCustomer(spark, dir).select("customer_key", "nation", "region")
-    f.join(broadcast(c), "customer_key")
+    f.join(graft.Joins.broadcastIfSmall(c), "customer_key") // scaling dim: measured-size gate
       .groupBy("region", "nation")
       .agg(
         Det.msum(col("line_total")).as("total_revenue"),
@@ -237,7 +237,7 @@ ORDER BY total_revenue DESC, nation""")
   def q07(spark: SparkSession, dir: String): DataFrame = {
     val f = Warehouse.fact(spark, dir)
     val c = Warehouse.dimCustomer(spark, dir).select("customer_key", "c_custkey", "c_name")
-    f.join(broadcast(c), "customer_key")
+    f.join(graft.Joins.broadcastIfSmall(c), "customer_key") // scaling dim: measured-size gate
       .groupBy(col("c_custkey").as("customer_id"), col("c_name").as("full_name"))
       .agg(
         Det.msum(col("line_total")).as("total_spent"),

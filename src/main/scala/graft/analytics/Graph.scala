@@ -67,17 +67,21 @@ object Graph {
   }
 
   /** Customer-nation → supplier-nation edges weighted by lineitem
-    * count: one order-key shuffle, all four dims broadcast. */
+    * count: one order-key shuffle; dim join strategy is the planner's
+    * size-based choice (nation hinted — 25 rows at any SF). */
   private[graft] def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    // customer/supplier are scaling dims — no hard broadcast hint (the
+    // planner broadcasts them while they fit and shuffles when they
+    // don't); nation is 25 rows at any SF and stays hinted
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .join(graft.Joins.broadcastIfSmall(c), col("o_custkey") === c("c_custkey"))
       .join(broadcast(n).as("cn"), c("c_nationkey") === col("cn.n_nationkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(graft.Joins.broadcastIfSmall(s), li("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n).as("sn"), s("s_nationkey") === col("sn.n_nationkey"))
       .groupBy(col("cn.n_name").as("src"), col("sn.n_name").as("dst"))
       .agg(count(lit(1)).as("w"))

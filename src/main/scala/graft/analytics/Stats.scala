@@ -132,25 +132,32 @@ ORDER BY payment_method, bucket""")
     * before partitioning anything by product. Gini over the SORTED
     * per-product revenue xᵢ (rank i ascending):
     *   G = 2·Σ i·xᵢ / (n·Σxᵢ) − (n+1)/n.
-    * The rank window runs over the POST-AGGREGATION product frame —
-    * bounded by catalog size, not sales volume (same argument as
-    * [[graft.monitor.Monitor.madAnomaly]]'s daily frame); Σ i·xᵢ is an
-    * exact DECIMAL sum of long products, doubles only in the final
-    * divides. Revenue is the Det cents convention (exact long). */
+    * The rank runs over the POST-AGGREGATION product frame, and the
+    * CATALOG IS A SCALING TABLE — so the rank is the distributed
+    * partition-offset form ([[graft.Dist.rankByKeys]] on the unique
+    * (cents, product_key) tuple), never
+    * `row_number().over(Window.orderBy(...))`, which would
+    * single-partition the whole catalog through one task (the last
+    * data-scaling global window this registry carried, removed round
+    * 14). n and the top-20% threshold are one catalog-bounded count
+    * collected to the driver (`ceil` via the same IEEE double ops the
+    * previous in-plan expression used, so the oracle agreement is
+    * unchanged); Σ i·xᵢ is an exact DECIMAL sum of long products,
+    * doubles only in the final divides. Revenue is the Det cents
+    * convention (exact long). */
   def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
     val per = graft.warehouse.Warehouse.fact(spark, dir)
       .groupBy("product_key")
       .agg((graft.Det.msumDec(col("line_total")) * 100).cast(LongType).as("cents"))
-    val ranked = per.withColumn("i",
-      row_number().over(Window.orderBy(col("cents").asc, col("product_key").asc))
-        .cast(LongType))
+    val ranked = graft.Dist.rankByKeys(per, Seq("cents", "product_key"), "i")
+    val n = ranked.count() // catalog-bounded scalar, not a global window
+    val thresh = n - math.ceil(n.toDouble * 0.2).toLong
     val dec = DecimalType(38, 0)
-    val withN = ranked.withColumn("n", count(lit(1)).over(Window.partitionBy()))
-    val g = withN.agg(
+    val g = ranked.agg(
       count(lit(1)).as("n_products"),
       sum("cents").as("total_cents"),
       sum((col("i") * col("cents")).cast(dec)).as("sixi"),
-      sum(when(col("i") > col("n") - ceil(col("n") * 0.2), col("cents")))
+      sum(when(col("i") > thresh, col("cents")))
         .as("topk_cents"))
     def D(c: Column) = c.cast(DoubleType)
     g.select(
@@ -313,7 +320,8 @@ FROM m"""
   def olsByBrand(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val pts = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+      .join(graft.Joins.broadcastIfSmall(
+        Tables.part(spark, dir).select("p_partkey", "p_brand")), // scaling dim: measured-size gate
         col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"),
         round(col("l_discount") * 100).cast(LongType).as("x"),

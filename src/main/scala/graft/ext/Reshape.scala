@@ -32,7 +32,7 @@ object Reshape {
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
     val wide = o
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(graft.Joins.broadcastIfSmall(c), col("o_custkey") === col("c_custkey")) // measured-size gate
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .pivot("o_orderpriority", priorities)
@@ -65,7 +65,7 @@ ORDER BY nation"""
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey", "c_mktsegment")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
     val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(graft.Joins.broadcastIfSmall(c), col("o_custkey") === col("c_custkey")) // measured-size gate
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .cube(col("r_name").as("region"), col("c_mktsegment").as("segment"))

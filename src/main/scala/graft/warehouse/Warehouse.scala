@@ -14,10 +14,14 @@ import org.apache.spark.sql.types._
   * customers/geography, orders→transactions, lineitem→transaction_items,
   * o_orderpriority→payment_method analogue).
   *
-  * Scale posture (100 TB): every dimension is small and broadcast into the
-  * fact build, so the only shuffle is lineitem⋈orders on the order key —
-  * the unavoidable fact-to-fact co-partition join (bucket both by order key
-  * in a real deployment and it disappears too). Surrogate keys: dims rank
+  * Scale posture (100 TB): bounded dimensions (payment/nation/region —
+  * cardinality fixed by construction) broadcast unconditionally; SCALING
+  * dimensions (part, customer) go through the measured-size gate
+  * ([[graft.Joins.broadcastIfSmall]]) — broadcast while they fit, shuffle
+  * join when they grow past the budget — so the only unavoidable shuffle
+  * is lineitem⋈orders on the order key, the fact-to-fact co-partition
+  * join (bucket both by order key in a real deployment and it disappears
+  * too). Surrogate keys: dims rank
   * the natural key via partition-offset numbering ([[rankByUniqueKey]] —
   * deterministic run-to-run, SURVEY §7.4; never
   * monotonically_increasing_id, never a single-partition global window);
@@ -154,8 +158,8 @@ object Warehouse {
   /** fact_sales: one row per line item, all surrogate keys attached, derived
     * measures line_total / discount_amount / profit (reference:
     * load_warehouse.py:208-227, grain asserted by tests/test_warehouse.py
-    * test_fact_grain). All dim joins are broadcast; lineitem⋈orders is the
-    * single shuffle.
+    * test_fact_grain). Bounded dims broadcast, scaling dims go through the
+    * measured-size gate; lineitem⋈orders is the single mandatory shuffle.
     */
   def fact(spark: SparkSession, dir: String): DataFrame =
     materialized(spark, dir, "fact") { buildFact(spark, dir) }
@@ -179,10 +183,20 @@ object Warehouse {
         .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
           "l_extendedprice", "l_discount", "l_shipdate"))
 
+    // dimPart/dimCustomer joins carry NO broadcast hint: part and
+    // customer are SCALING dimensions (they grow with SF in TPC-H-shaped
+    // data), so the join strategy is the planner's size-based choice —
+    // statically below the autoBroadcastJoinThreshold they broadcast
+    // (the sub-GB regime every driver SF and small rung sits in), and
+    // past it AQE/SMJ takes over instead of a hard hint OOMing the
+    // driver at 100 TB. A hard hint here was the one untested scale
+    // assumption through round 13 (dims never grew on the ladder); the
+    // dim-scaled ScaleGen mode now exercises both regimes. dimPayment
+    // stays hinted: 5 rows by construction, bounded at any SF.
     li.withColumn("line_seq", lineSeq)
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dp), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(dc), col("o_custkey") === col("c_custkey"))
+      .join(graft.Joins.broadcastIfSmall(dp), col("l_partkey") === col("p_partkey"))
+      .join(graft.Joins.broadcastIfSmall(dc), col("o_custkey") === col("c_custkey"))
       .join(broadcast(pm), col("o_orderpriority") === col("payment_method"))
       .select(
         (col("l_orderkey") * 32 + col("line_seq")).as("sales_key"),

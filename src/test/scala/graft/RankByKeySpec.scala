@@ -37,6 +37,22 @@ class RankByKeySpec extends SparkSpec {
     check(Seq(7L))
   }
 
+  test("rankByKeys matches the composite-order global window, incl. heavy ties") {
+    // the revenue_concentration shape: rank by (measure, tiebreak id)
+    // where the measure carries heavy duplicate runs — range partitions
+    // split INSIDE a tie run, which is exactly where a composite-key
+    // bug would show
+    val rows = Seq((5L, 1L), (5L, 9L), (5L, 3L), (1L, 7L), (1L, 2L),
+      (9L, 1L), (0L, 0L), (5L, 2L), (1L, 1L), (5L, 11L), (5L, 4L))
+    val df = rows.toDF("m", "id").repartition(7)
+    val got = Dist.rankByKeys(df, Seq("m", "id"), "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = df.select(col("m"), col("id"),
+        row_number().over(Window.orderBy("m", "id")).cast("long").as("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
   test("exclusiveCumsum equals the single-partition running sum directly") {
     // the shared primitive under rankByUniqueKey AND Packing's offsets —
     // covered here on its own so neither caller's spec is its only net
