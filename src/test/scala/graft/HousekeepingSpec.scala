@@ -64,11 +64,14 @@ class HousekeepingSpec extends SparkSpec {
     assert(d.count() == 500)
     assert(d.columns.toSeq ==
       Seq("doc_id", "text", "lang", "source", "n_chars"))
-    // token lengths inside the generator's 15-60 band, vocab-only words
+    // token lengths inside the generator's 15-60 band (+16 passage
+    // tokens on passage-pile members, ids b+20..b+22 per 50-block)
     val stats = d.selectExpr(
       "min(size(split(text, ' '))) AS mn", "max(size(split(text, ' '))) AS mx",
+      "max(CASE WHEN doc_id % 50 < 20 OR doc_id % 50 >= 23 THEN size(split(text, ' ')) END) AS mx_plain",
       "count(distinct lang) AS langs", "count(distinct source) AS srcs").head()
-    assert(stats.getAs[Int]("mn") >= 15 && stats.getAs[Int]("mx") <= 61)
+    assert(stats.getAs[Int]("mn") >= 15 && stats.getAs[Int]("mx") <= 77)
+    assert(stats.getAs[Int]("mx_plain") <= 61)
     assert(stats.getAs[Long]("langs") == 5 && stats.getAs[Long]("srcs") == 20)
     // deterministic across regeneration, no exact-dup degeneracy
     assert(graft.datagen.DataGen.documents(spark, 500).except(d).count() == 0)
