@@ -1,36 +1,45 @@
 #!/usr/bin/env bash
-# Round-13 scale ladder: 1x/10x/30x/100x/300x replicas of sf0.1, full
+# Round-14 scale ladder: 1x/10x/30x/100x/300x replicas of sf0.1, full
 # Bench per rung, detail JSON per rung, ONE session config at every
 # rung: SPARK_GRAFT_AQE=1 (AQE coalescing from a high initial
 # partition count).
 #
-# Round-13 changes vs the round-12 script:
-#   - ROSTER BY TAG: eval/recall rows (incl. the Θ(n²)
-#     semantic_dedup_capture_t45 that stalled round 12's 300× rung for
-#     ~6 h, and the exact triangle census whose ladder representative
-#     is the doulion twin) are OFF BenchExt.ops entirely — enforced by
-#     RosterSpec, not by this script. The only rung-conditional skip
-#     left is the intrinsically output-quadratic pair-LISTING class at
-#     300×, derived from the in-code tags via
-#     SPARK_GRAFT_BENCH_SKIP_CLASS=listing.
-#   - FROZEN CLASSPATH: the compiled classes are snapshotted to
-#     /root/scale/classes_r13 before the first rung, so sbt work in the
-#     repo during a multi-hour ladder cannot change what later rungs
-#     load (each rung is its own JVM).
-#   - PROGRESSIVE COMMITS: each completed rung reassembles
-#     docs/BENCH_SCALE.json from the rungs on disk and commits — the
-#     judge-critical rungs are banked even if a later rung dies, and
-#     the 1 h stall detector stays fed during the 300× rung.
-#   - x300 is REUSED (generated 2026-08-15 11:37 by the identical
-#     generator — seasonality spikes + media piles); x10/x30/x100 are
-#     REGENERATED (their Aug-14 vintage predates both plants).
+# Round-14 changes vs the round-13 script:
+#   - DIM-SCALED RUNGS: every generated rung passes dimFactor=factor,
+#     so customer/part/supplier grow with the rung (TPC-H-realistic).
+#     This is the rung shape that actually tests the measured-size
+#     broadcast gate (graft.Joins.broadcastIfSmall): at 10x/30x the
+#     scaled dims still fit the 1M-row budget and broadcast; at 100x
+#     (1.5M customers, 2M parts) and 300x the gate degrades the fact
+#     build and q06/q07-class joins to shuffle joins — the r13 verdict
+#     called out that shared dims never tested this path.
+#   - FRESH CORPORA EVERYWHERE: the VM was reimaged; every rung is
+#     regenerated this round by the current generator (winnow passage
+#     piles + media piles + seasonality spikes), so
+#     winnow_overlap_pairs is output-bearing at every rung for the
+#     first time (r13's x300 predated the passage-pile plant).
+#   - x300 bench re-measures pq_search / embedding_drift on a quiet
+#     box (their committed r13 medians were polluted by that round's
+#     own foreground work — PERF_NOTES §r13 "honest blemish").
+#   - x10 is REUSED from this session's smoke generation (same
+#     generator build, dims 10x, generated 09:44 before the ladder).
+#
+# Carried r13 discipline: ROSTER BY TAG (eval/recall rows off
+# BenchExt.ops, enforced by RosterSpec; the only rung-conditional skip
+# is the output-quadratic pair-LISTING class at 300x via
+# SPARK_GRAFT_BENCH_SKIP_CLASS=listing), FROZEN CLASSPATH (classes
+# snapshotted before the first rung), PROGRESSIVE COMMITS (each rung
+# reassembles docs/BENCH_SCALE.json and commits), PINNED PRE-TOUCHED
+# HEAPS on every judged JVM (growable G1 spent 40-70% CPU in kernel
+# page re-zeroing — PERF_NOTES "heap churn"), and NOTHING ELSE RUNS
+# FOREGROUND while a judged rung executes.
 #
 # 300x recipe (round-10 lessons): -Xmx100g, periodic cleaner GC 3min,
 # 4g driver result cap.
 set -uo pipefail
 cd /root/repo
 
-SNAP=/root/scale/classes_r13
+SNAP=/root/scale/classes_r14
 rm -rf "$SNAP"
 cp -r /root/repo/target/scala-2.13/classes "$SNAP"
 
@@ -43,29 +52,23 @@ done
 CP="$SNAP:/opt/spark/jars/*"
 JAVA="java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"
 
-log() { echo "[ladder13 $(date +%H:%M:%S)] $*"; }
+log() { echo "[ladder14 $(date +%H:%M:%S)] $*"; }
 
 assemble_and_commit() { # label
   : > docs/BENCH_SCALE.json
   for r in 1x 10x 30x 100x 300x; do
-    [ -f "/root/scale/r13_bench_$r.json" ] && cat "/root/scale/r13_bench_$r.json" >> docs/BENCH_SCALE.json
+    [ -f "/root/scale/r14_bench_$r.json" ] && cat "/root/scale/r14_bench_$r.json" >> docs/BENCH_SCALE.json
   done
   git add docs/BENCH_SCALE.json
-  git commit -q -m "Bank the ${1} scale-ladder rung" || true
+  git commit -q -m "Bank the ${1} scale-ladder rung (dim-scaled)" || true
   log "committed rung ${1}"
 }
 
-# Heap discipline (round-13 finding): PIN the heap (-Xms == -Xmx,
-# AlwaysPreTouch). A growable G1 heap under allocation-heavy stages
-# (explode/regexp corpus passes) spends 40-70% CPU in the KERNEL
-# re-zeroing pages as G1 uncommits and re-grows — probed run times
-# swung 4s..48s on identical work at the 100x corpus; pinned+pre-
-# touched heap: stable 4.2-5.9s. See PERF_NOTES "heap churn".
 gen() { # factor dir mem
   local factor="$1" dir="$2" mem="$3"
-  log "scalegen ${factor}x -> $dir"
-  $JAVA "-Xms$mem" "-Xmx$mem" -XX:+AlwaysPreTouch graft.ScaleGen /root/testdata/sf0.1 "$dir" "$factor" \
-    > "/root/scale/r13_gen_${factor}x.log" 2>&1
+  log "scalegen ${factor}x (dims ${factor}x) -> $dir"
+  $JAVA "-Xms$mem" "-Xmx$mem" -XX:+AlwaysPreTouch graft.ScaleGen /root/testdata/sf0.1 "$dir" "$factor" "$factor" \
+    > "/root/scale/r14_gen_${factor}x.log" 2>&1
   log "scalegen ${factor}x rc=$?"
 }
 
@@ -73,15 +76,15 @@ bench() { # dir label mem extra_jvm...
   local dir="$1" label="$2" mem="$3"; shift 3
   log "bench $label (mem $mem)"
   SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_AQE=1 \
-  SPARK_GRAFT_BENCH_OUT="/root/scale/r13_bench_$label.json" \
-    $JAVA "-Xms$mem" "-Xmx$mem" -XX:+AlwaysPreTouch "$@" graft.Bench > "/root/scale/r13_bench_$label.log" 2>&1
-  log "bench $label rc=$? tail: $(tail -c 300 /root/scale/r13_bench_$label.json 2>/dev/null)"
+  SPARK_GRAFT_BENCH_OUT="/root/scale/r14_bench_$label.json" \
+    $JAVA "-Xms$mem" "-Xmx$mem" -XX:+AlwaysPreTouch "$@" graft.Bench > "/root/scale/r14_bench_$label.log" 2>&1
+  log "bench $label rc=$? tail: $(tail -c 300 /root/scale/r14_bench_$label.json 2>/dev/null)"
   assemble_and_commit "$label"
 }
 
 bench /root/testdata/sf0.1 1x 8g
 
-# x300 reused from the 11:37 generation (same generator, same bytes)
+gen 300 /root/scale/x300 48g
 export SPARK_GRAFT_BENCH_SKIP_CLASS=listing
 bench /root/scale/x300 300x 100g -Dspark.cleaner.periodicGC.interval=3min -Dspark.driver.maxResultSize=4g
 unset SPARK_GRAFT_BENCH_SKIP_CLASS
@@ -90,7 +93,7 @@ gen 100 /root/scale/x100 24g
 bench /root/scale/x100 100x 48g
 gen 30 /root/scale/x30 16g
 bench /root/scale/x30  30x  24g
-gen 10 /root/scale/x10 16g
+# x10 generated (dims 10x) during this session's pre-ladder smoke
 bench /root/scale/x10  10x  16g
 
 log "DONE"
