@@ -50,7 +50,17 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 CP="$SNAP:/opt/spark/jars/*"
-JAVA="java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"
+# zstd shuffle/spill/broadcast compression on EVERY rung JVM (one
+# config per ladder, as always). Round-14 finding: the dim-scaled 300x
+# fact build correctly degrades to sort-merge joins, and its two
+# full-fact shuffles coexist on disk — ~70 GB of lz4 shuffle files on
+# a box with ~75 GB of headroom took the first 300x attempt down with
+# "No space left on device" during warm-up. zstd roughly halves wide
+# row-shuffle bytes for a few % CPU — the standard cluster setting for
+# exactly this shape. Shuffle files of a RUNNING job are live (the
+# periodic cleaner GC can only drop finished jobs' files), so the
+# in-job peak has to fit; compression is the lever that makes it.
+JAVA="java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.io.compression.codec=zstd -cp $CP"
 
 log() { echo "[ladder14 $(date +%H:%M:%S)] $*"; }
 
@@ -66,9 +76,11 @@ assemble_and_commit() { # label
 
 gen() { # factor dir mem
   local factor="$1" dir="$2" mem="$3"
+  if [ -f "$dir/_GEN_OK" ]; then log "reuse existing $dir"; return; fi
   log "scalegen ${factor}x (dims ${factor}x) -> $dir"
   $JAVA "-Xms$mem" "-Xmx$mem" -XX:+AlwaysPreTouch graft.ScaleGen /root/testdata/sf0.1 "$dir" "$factor" "$factor" \
-    > "/root/scale/r14_gen_${factor}x.log" 2>&1
+    > "/root/scale/r14_gen_${factor}x.log" 2>&1 \
+    && touch "$dir/_GEN_OK"
   log "scalegen ${factor}x rc=$?"
 }
 
@@ -86,7 +98,7 @@ bench /root/testdata/sf0.1 1x 8g
 
 gen 300 /root/scale/x300 48g
 export SPARK_GRAFT_BENCH_SKIP_CLASS=listing
-bench /root/scale/x300 300x 100g -Dspark.cleaner.periodicGC.interval=3min -Dspark.driver.maxResultSize=4g
+bench /root/scale/x300 300x 100g -Dspark.cleaner.periodicGC.interval=2min -Dspark.driver.maxResultSize=4g
 unset SPARK_GRAFT_BENCH_SKIP_CLASS
 
 gen 100 /root/scale/x100 24g
