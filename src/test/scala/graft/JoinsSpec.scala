@@ -39,9 +39,23 @@ class JoinsSpec extends SparkSpec {
     // physical plan must show broadcast joins — the measured gate
     // choosing, where the static planner (opaque Dist-ranked stats)
     // would sort-merge a 1500-row dimension at any scale
-    val plan = graft.warehouse.Warehouse.fact(spark, sf)
+    val plan = graft.warehouse.Warehouse.buildFact(spark, sf)
       .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
       s"expected >= 3 broadcast dim joins in:\n$plan")
+  }
+
+  test("the served fact is a stored parquet scan, value-equal to the build") {
+    // the store discards the join lineage (the 300x ENOSPC lesson: a
+    // cached plan pins its shuffle files for the session's lifetime)
+    val served = graft.warehouse.Warehouse.fact(spark, sf)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("parquet"), s"expected a parquet scan serve path in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "served fact must not re-run the build joins")
+    val built = graft.warehouse.Warehouse.buildFact(spark, sf)
+    assert(served.count() == built.count())
+    assert(served.exceptAll(built).isEmpty && built.exceptAll(served).isEmpty,
+      "stored fact differs from a fresh build")
   }
 }

@@ -52,11 +52,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("fact build shuffles only on the order key (dims all broadcast)") {
-    // count Exchange operators in the UNCACHED fact plan: the only
+    // count Exchange operators in the fact BUILD plan (the served
+    // fact_sales is a parquet scan of the stored asset): the only
     // shuffle allowed is lineitem<->orders co-partitioning (2 exchange
     // nodes, one per side) plus the line_seq window which reuses the
     // same l_orderkey partitioning; dims must arrive via broadcast.
-    val plan = physicalPlan(SparkEntry.queries("fact_sales")(spark, sf))
+    val plan = physicalPlan(warehouse.Warehouse.buildFact(spark, sf))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(broadcasts >= 3, s"expected 3 broadcast dim joins, got $broadcasts")
     assert(!plan.contains("CartesianProduct"))
