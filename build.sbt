@@ -39,12 +39,35 @@ val jdk17AddOpens = Seq(
 // benchmarked JVM (measured: ext_total 38 s → 51 s). Test forks strip
 // the pin below: pre-touching 8 GB at startup is right for a timed
 // JVM but wrong for test forks and hosts with less free memory.
+//
+// GATED ON FREE MEMORY (round-15, the r14 post-mortem): on a host
+// where something else already holds the RAM, AlwaysPreTouch converts
+// "slow" into "OOM-killed at startup" — r14's driver Verify/Bench
+// forks were SIGKILLed while a 24g pinned ladder JVM coexisted, and
+// the round's gate artifacts came out empty. The pin is a measurement
+// nicety, never worth failing a run for: require MemAvailable to
+// cover the heap plus a 2 GiB margin (javaOptions is a TaskKey, so
+// this is re-read at each fork, not cached at sbt load).
+def memAvailableMiB(): Long =
+  try scala.io.Source.fromFile("/proc/meminfo").getLines()
+    .collectFirst { case l if l.startsWith("MemAvailable:") =>
+      l.trim.split("\\s+")(1).toLong / 1024 }
+    .getOrElse(Long.MaxValue)
+  catch { case _: Throwable => Long.MaxValue }
+def heapMiB(spec: String): Long = {
+  val s = spec.trim.toLowerCase
+  val n = s.takeWhile(_.isDigit).toLong
+  if (s.endsWith("g")) n * 1024 else if (s.endsWith("m")) n else n * 1024
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  "-XX:+AlwaysPreTouch",
-)
+) ++ {
+  val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+  if (memAvailableMiB() >= heapMiB(heap) + 2048)
+    Seq(s"-Xms$heap", "-XX:+AlwaysPreTouch")
+  else Seq.empty
+}
 Test / javaOptions := javaOptions.value
   .filterNot(o => o.startsWith("-Xms") || o == "-XX:+AlwaysPreTouch")

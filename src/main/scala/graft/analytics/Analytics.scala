@@ -14,9 +14,14 @@ import org.apache.spark.sql.types._
   * value ranges; every query is totally ordered and follows the [[Det]]
   * determinism conventions.
   *
-  * Scale notes: each query is one scan of the fact (lineitem⋈orders — the
-  * only shuffle-producing join) with all dims broadcast; aggregations are
-  * partial+final (map-side combine) by construction; top-k queries plan as
+  * Scale notes: each query is one scan of the stored fact; bounded dims
+  * (date — cardinality fixed by the 7-year calendar) broadcast
+  * unconditionally, SCALING dims (part, customer) go through the
+  * memoized measured-size gate ([[graft.Joins.broadcastIfSmall]]) so
+  * they broadcast while they fit and degrade to a shuffle join past the
+  * budget; aggregations are partial+final (map-side combine) by
+  * construction; COUNT(DISTINCT order) queries collapse to order grain
+  * first (q02/q07 — no Expand over the fact); top-k queries plan as
   * TakeOrderedAndProject (no global sort materialization).
   */
 object Analytics {
@@ -28,7 +33,7 @@ object Analytics {
   def q01(spark: SparkSession, dir: String): DataFrame = {
     val f = Warehouse.fact(spark, dir)
     val p = Warehouse.dimPart(spark, dir).select("product_key", "p_name", "p_brand")
-    f.join(broadcast(p), "product_key")
+    f.join(graft.Joins.broadcastIfSmall(p), "product_key") // scaling dim: measured-size gate
       .groupBy("p_name", "p_brand")
       .agg(
         Det.msum(col("line_total")).as("total_revenue"),
@@ -137,7 +142,7 @@ ORDER BY customer_count DESC, spending_segment""")
   def q04(spark: SparkSession, dir: String): DataFrame = {
     val f = Warehouse.fact(spark, dir)
     val p = Warehouse.dimPart(spark, dir).select("product_key", "p_type")
-    f.join(broadcast(p), "product_key")
+    f.join(graft.Joins.broadcastIfSmall(p), "product_key") // scaling dim: measured-size gate
       .groupBy(col("p_type").as("category"))
       .agg(
         Det.msum(col("line_total")).as("total_revenue"),
@@ -233,18 +238,37 @@ ORDER BY total_revenue DESC, nation""")
 
   /** Q7 customer lifetime value (analytical_queries.sql:104-115); fixed
     * as-of date replaces CURRENT_DATE (SURVEY §7.4); full_name ← c_name
-    * (the reference's Q7 references a column its DDL lost — SURVEY §6). */
+    * (the reference's Q7 references a column its DDL lost — SURVEY §6).
+    *
+    * Same Expand-elimination rewrite as [[q02]]: `COUNT(DISTINCT
+    * l_orderkey)` per customer plans an Expand that doubles the shuffled
+    * fact (measured 47.5 s at the dim-scaled 300× rung). Orders are the
+    * collapse grain — every line of an order shares its customer and
+    * order_date — so after a per-order pre-aggregation (keyed on the
+    * fact's own order partitioning) transaction_count is a plain count,
+    * first/last order dates are min/max of a constant, and the customer
+    * dim joins against ORDER-grain rows (~4× fewer probes). Decimal
+    * sums are associative and the round happens once at customer grain,
+    * exactly where the direct form (and the oracle) rounds — bit-equal.
+    */
   def q07(spark: SparkSession, dir: String): DataFrame = {
     val f = Warehouse.fact(spark, dir)
     val c = Warehouse.dimCustomer(spark, dir).select("customer_key", "c_custkey", "c_name")
-    f.join(graft.Joins.broadcastIfSmall(c), "customer_key") // scaling dim: measured-size gate
+    val perOrder = f.groupBy("l_orderkey")
+      .agg(
+        min("customer_key").as("customer_key"),  // constant within an order
+        min("order_date").as("order_date"),      // constant within an order
+        sum(Det.dec6(col("line_total"))).as("order_rev"),
+        count(lit(1)).as("n_lines"))
+    val spent = round(sum(col("order_rev")), 2).cast(DecimalType(18, 2))
+    perOrder.join(graft.Joins.broadcastIfSmall(c), "customer_key") // scaling dim: measured-size gate
       .groupBy(col("c_custkey").as("customer_id"), col("c_name").as("full_name"))
       .agg(
-        Det.msum(col("line_total")).as("total_spent"),
-        countDistinct(col("l_orderkey")).as("transaction_count"),
+        spent.cast(DoubleType).as("total_spent"),
+        count(lit(1)).as("transaction_count"),
         min(col("order_date")).as("first_order_date"),
         max(col("order_date")).as("last_order_date"),
-        Det.mavg(col("line_total")).as("avg_order_value"))
+        (spent.cast(DoubleType) / sum(col("n_lines"))).as("avg_order_value"))
       .select(
         col("customer_id"), col("full_name"), col("total_spent"),
         col("transaction_count"),
@@ -274,7 +298,7 @@ ORDER BY total_spent DESC, customer_id""")
   def q08(spark: SparkSession, dir: String): DataFrame = {
     val f = Warehouse.fact(spark, dir)
     val p = Warehouse.dimPart(spark, dir).select("product_key", "p_name", "p_brand")
-    f.join(broadcast(p), "product_key")
+    f.join(graft.Joins.broadcastIfSmall(p), "product_key") // scaling dim: measured-size gate
       .groupBy("product_key", "p_name", "p_brand")
       .agg(
         Det.msum(col("profit")).as("total_profit"),

@@ -61,8 +61,12 @@ object Warehouse {
   private val StoreVersion =
     "warehouse-v2;dims=natural-key-rank;fact=per-order-line-seq+size-gated-dim-joins"
 
+  /** Only the tables the warehouse actually derives from — supplier is
+    * read by nothing here, and including it meant a supplier-only
+    * regeneration spuriously invalidated (and re-built, 427 s at the
+    * 300× rung) every warehouse asset. */
   private def sourceFingerprint(spark: SparkSession, dir: String): String =
-    Seq("region", "nation", "customer", "part", "supplier", "orders", "lineitem")
+    Seq("region", "nation", "customer", "part", "orders", "lineitem")
       .map(graft.sim.IndexStore.tableFingerprint(spark, dir, _)).mkString("|")
 
   private def materialized(spark: SparkSession, dir: String, name: String)(
@@ -98,7 +102,13 @@ object Warehouse {
   def dimPart(spark: SparkSession, dir: String): DataFrame =
     materialized(spark, dir, "dim_part") { buildDimPart(spark, dir) }
 
-  private def buildDimPart(spark: SparkSession, dir: String): DataFrame = {
+  /** The dim BUILD plans (exposed like [[buildFact]] for the plan-shape
+    * and served-vs-fresh-equality specs — the served dims are parquet
+    * scans of the stored assets, so build-plan properties, e.g. "no
+    * single-partition window in the surrogate-key rank", are only
+    * visible here, and a derivation change with an unbumped
+    * [[StoreVersion]] is only catchable by comparing against them). */
+  private[graft] def buildDimPart(spark: SparkSession, dir: String): DataFrame = {
     val price = graft.Pricing.price(col("p_retailprice"))
     val cost  = graft.Pricing.cost(price)
     rankByUniqueKey(Tables.part(spark, dir), "p_partkey", "product_key").select(
@@ -119,7 +129,7 @@ object Warehouse {
   def dimCustomer(spark: SparkSession, dir: String): DataFrame =
     materialized(spark, dir, "dim_customer") { buildDimCustomer(spark, dir) }
 
-  private def buildDimCustomer(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def buildDimCustomer(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
@@ -145,7 +155,7 @@ object Warehouse {
   def dimDate(spark: SparkSession, dir: String): DataFrame =
     materialized(spark, dir, "dim_date") { buildDimDate(spark, dir) }
 
-  private def buildDimDate(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def buildDimDate(spark: SparkSession, dir: String): DataFrame = {
     val d = col("full_date")
     Tables.orders(spark, dir)
       .select(col("o_orderdate").cast(DateType).as("full_date")).distinct()
@@ -169,7 +179,7 @@ object Warehouse {
   def dimPayment(spark: SparkSession, dir: String): DataFrame =
     materialized(spark, dir, "dim_payment") { buildDimPayment(spark, dir) }
 
-  private def buildDimPayment(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def buildDimPayment(spark: SparkSession, dir: String): DataFrame =
     rankByUniqueKey(
       Tables.orders(spark, dir)
         .select(col("o_orderpriority").as("payment_method")).distinct(),

@@ -114,16 +114,33 @@ class PlanSpec extends SparkSpec {
   test("no single-partition window anywhere in dim builds or q05") {
     // a WindowExec with an empty partitionSpec funnels ALL rows through
     // one task — the dim surrogate keys use partition-offset numbering
-    // and q05 a broadcast grand-total join precisely to avoid this
-    Seq("dim_part", "dim_customer", "dim_payment", "q05_payment_distribution")
-      .foreach { q =>
-        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
-        val global = plan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w
-        }
-        assert(global.isEmpty, s"$q has a zero-partition window:\n$plan")
-      }
+    // and q05 a broadcast grand-total join precisely to avoid this.
+    // The dim plans come from the BUILD functions, not SparkEntry: the
+    // served dims are parquet scans of the stored assets, so asserting
+    // on those would be vacuous (any window lives in the build plan).
+    val w = warehouse.Warehouse
+    val dimBuilds: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "dim_part build"     -> w.buildDimPart(spark, sf),
+      "dim_customer build" -> w.buildDimCustomer(spark, sf),
+      "dim_date build"     -> w.buildDimDate(spark, sf),
+      "dim_payment build"  -> w.buildDimPayment(spark, sf),
+      "q05_payment_distribution" -> SparkEntry.queries("q05_payment_distribution")(spark, sf))
+    dimBuilds.foreach { case (q, df) =>
+      val global = windowsOf(df.queryExecution.executedPlan)
+        .filter(_.partitionSpec.isEmpty)
+      assert(global.isEmpty,
+        s"$q has a zero-partition window:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("q07 aggregates at order grain — no Expand over the fact") {
+    // COUNT(DISTINCT l_orderkey) per customer plans an Expand that
+    // doubles the shuffled fact; the q02-style per-order collapse makes
+    // it a plain count. A reintroduced distinct-over-lines would bring
+    // Expand back — fail the build, not just drift the 300× bench.
+    val plan = physicalPlan(Analytics.q07(spark, sf))
+    assert(!plan.contains("Expand"),
+      s"q07 re-grew a fact-wide Expand:\n${plan.take(2000)}")
   }
 
   test("no query plan contains a cartesian product") {
