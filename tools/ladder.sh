@@ -1,45 +1,74 @@
 #!/usr/bin/env bash
-# Round-14 scale ladder: 1x/10x/30x/100x/300x replicas of sf0.1, full
-# Bench per rung, detail JSON per rung, ONE session config at every
-# rung: SPARK_GRAFT_AQE=1 (AQE coalescing from a high initial
-# partition count).
+# Round-15 scale ladder: 1x/10x/30x/100x/300x replicas of sf0.1 with
+# dim-scaled dimensions (dimFactor=factor), full Bench per rung, ONE
+# session config at every rung: SPARK_GRAFT_AQE=1.
 #
-# Round-14 changes vs the round-13 script:
-#   - DIM-SCALED RUNGS: every generated rung passes dimFactor=factor,
-#     so customer/part/supplier grow with the rung (TPC-H-realistic).
-#     This is the rung shape that actually tests the measured-size
-#     broadcast gate (graft.Joins.broadcastIfSmall): at 10x/30x the
-#     scaled dims still fit the 1M-row budget and broadcast; at 100x
-#     (1.5M customers, 2M parts) and 300x the gate degrades the fact
-#     build and q06/q07-class joins to shuffle joins — the r13 verdict
-#     called out that shared dims never tested this path.
-#   - FRESH CORPORA EVERYWHERE: the VM was reimaged; every rung is
-#     regenerated this round by the current generator (winnow passage
-#     piles + media piles + seasonality spikes), so
-#     winnow_overlap_pairs is output-bearing at every rung for the
-#     first time (r13's x300 predated the passage-pile plant).
-#   - x300 bench re-measures pq_search / embedding_drift on a quiet
-#     box (their committed r13 medians were polluted by that round's
-#     own foreground work — PERF_NOTES §r13 "honest blemish").
-#   - x10 is REUSED from this session's smoke generation (same
-#     generator build, dims 10x, generated 09:44 before the ladder).
+# Round-15 changes vs the round-14 script — all process hygiene, the
+# r14 post-mortem (the ladder ran into the end-of-round driver gate,
+# its 24g pinned JVM got the driver's Verify/Bench OOM-killed, and the
+# round's artifacts came out empty):
+#   - LOCK + TRAP: one ladder at a time (flock on /tmp/graft_ladder
+#     .lock); on EXIT/TERM/INT every child JVM of this script is
+#     killed, so an interrupted ladder can never leave a pinned
+#     pre-touched JVM squatting on the box.
+#   - DEADLINE: GRAFT_LADDER_DEADLINE (epoch seconds; default now+4h).
+#     No new gen/prebuild/bench phase STARTS past the deadline, and a
+#     watchdog kills the whole process group shortly after it — the
+#     ladder structurally cannot run into the round snapshot.
+#   - DISK HEADROOM: each phase checks `df --output=avail` first and
+#     skips (recording why) when the margin is gone — an ENOSPC'd
+#     rung burns hours and banks -1s (r14 lost dedup_exact /
+#     dedup_minhash_lsh / triangle_doulion_copurchase medians to two
+#     ENOSPC windows).
+#   - PREBUILD PHASE: every store (warehouse, copurchase, bpe_vocab,
+#     bm25, ivf/pq) builds in a DEDICATED JVM (graft.Prebuild) before
+#     the bench JVM starts — build-time shuffle/spill is force-freed
+#     at process exit instead of coexisting with timed queries' disk
+#     peaks (the r14 ENOSPC mechanism).
+#   - GEN SENTINEL CARRIES ARGS: _GEN_OK records "factor:dimFactor";
+#     reuse only on exact match, and a failed gen (rc!=0) never writes
+#     the sentinel, so a partial corpus is regenerated, not benched.
 #
-# Carried r13 discipline: ROSTER BY TAG (eval/recall rows off
-# BenchExt.ops, enforced by RosterSpec; the only rung-conditional skip
-# is the output-quadratic pair-LISTING class at 300x via
-# SPARK_GRAFT_BENCH_SKIP_CLASS=listing), FROZEN CLASSPATH (classes
-# snapshotted before the first rung), PROGRESSIVE COMMITS (each rung
-# reassembles docs/BENCH_SCALE.json and commits), PINNED PRE-TOUCHED
-# HEAPS on every judged JVM (growable G1 spent 40-70% CPU in kernel
-# page re-zeroing — PERF_NOTES "heap churn"), and NOTHING ELSE RUNS
-# FOREGROUND while a judged rung executes.
-#
-# 300x recipe (round-10 lessons): -Xmx100g, periodic cleaner GC 3min,
-# 4g driver result cap.
+# Carried discipline: roster by tag (SPARK_GRAFT_BENCH_SKIP_CLASS=
+# listing at 300x only), frozen classpath (classes snapshotted before
+# the first rung), progressive commits (each rung reassembles
+# docs/BENCH_SCALE.json and commits), pinned pre-touched heaps on
+# judged JVMs, zstd shuffle compression, nothing else foreground.
 set -uo pipefail
 cd /root/repo
 
-SNAP=/root/scale/classes_r14
+exec 9>/tmp/graft_ladder.lock
+if ! flock -n 9; then echo "another ladder holds the lock; refusing"; exit 1; fi
+
+DEADLINE="${GRAFT_LADDER_DEADLINE:-$(( $(date +%s) + 4*3600 ))}"
+# watchdog: whatever happens, nothing of ours survives 10min past the deadline
+( while [ "$(date +%s)" -lt $(( DEADLINE + 600 )) ]; do sleep 30; done
+  pkill -TERM -f 'graft\.(Bench|BenchExt|Prebuild|ScaleGen|Verify)' ) &
+WATCHDOG=$!
+cleanup() {
+  pkill -TERM -P $$ 2>/dev/null
+  kill "$WATCHDOG" 2>/dev/null
+  pkill -TERM -f 'graft\.(Bench|BenchExt|Prebuild|ScaleGen)' 2>/dev/null
+}
+trap cleanup EXIT TERM INT
+
+log() { echo "[ladder15 $(date +%H:%M:%S)] $*"; }
+
+time_left() { # phase gate: false once past the deadline
+  [ "$(date +%s)" -lt "$DEADLINE" ]
+}
+
+disk_ok() { # min GiB available on /root
+  local need_gib="$1"
+  local avail_kib; avail_kib=$(df --output=avail /root | tail -1 | tr -d ' ')
+  if [ "$avail_kib" -lt $(( need_gib * 1024 * 1024 )) ]; then
+    log "SKIP: only $(( avail_kib / 1024 / 1024 )) GiB free, need ${need_gib}"
+    return 1
+  fi
+}
+
+SNAP=/root/scale/classes_r15
+mkdir -p /root/scale
 rm -rf "$SNAP"
 cp -r /root/repo/target/scala-2.13/classes "$SNAP"
 
@@ -50,62 +79,75 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 CP="$SNAP:/opt/spark/jars/*"
-# zstd shuffle/spill/broadcast compression on EVERY rung JVM (one
-# config per ladder, as always). Round-14 finding: the dim-scaled 300x
-# fact build correctly degrades to sort-merge joins, and its two
-# full-fact shuffles coexist on disk — ~70 GB of lz4 shuffle files on
-# a box with ~75 GB of headroom took the first 300x attempt down with
-# "No space left on device" during warm-up. zstd roughly halves wide
-# row-shuffle bytes for a few % CPU — the standard cluster setting for
-# exactly this shape. Shuffle files of a RUNNING job are live (the
-# periodic cleaner GC can only drop finished jobs' files), so the
-# in-job peak has to fit; compression is the lever that makes it.
 JAVA="java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.io.compression.codec=zstd -cp $CP"
-
-log() { echo "[ladder14 $(date +%H:%M:%S)] $*"; }
 
 assemble_and_commit() { # label
   : > docs/BENCH_SCALE.json
   for r in 1x 10x 30x 100x 300x; do
-    [ -f "/root/scale/r14_bench_$r.json" ] && cat "/root/scale/r14_bench_$r.json" >> docs/BENCH_SCALE.json
+    [ -f "/root/scale/r15_bench_$r.json" ] && cat "/root/scale/r15_bench_$r.json" >> docs/BENCH_SCALE.json
   done
   git add docs/BENCH_SCALE.json
-  git commit -q -m "Bank the ${1} scale-ladder rung (dim-scaled)" || true
+  git commit -q -m "Bank the ${1} scale-ladder rung (dim-scaled, sequenced store builds)" || true
   log "committed rung ${1}"
 }
 
-gen() { # factor dir mem
-  local factor="$1" dir="$2" mem="$3"
-  if [ -f "$dir/_GEN_OK" ]; then log "reuse existing $dir"; return; fi
+gen() { # factor dir mem need_gib
+  local factor="$1" dir="$2" mem="$3" need="$4"
+  local want="${factor}:${factor}"
+  if [ -f "$dir/_GEN_OK" ] && [ "$(cat "$dir/_GEN_OK")" = "$want" ]; then
+    log "reuse existing $dir (sentinel $want)"; return 0
+  fi
+  time_left || { log "SKIP gen ${factor}x: past deadline"; return 1; }
+  disk_ok "$need" || return 1
+  rm -rf "$dir"
   log "scalegen ${factor}x (dims ${factor}x) -> $dir"
   $JAVA "-Xms$mem" "-Xmx$mem" -XX:+AlwaysPreTouch graft.ScaleGen /root/testdata/sf0.1 "$dir" "$factor" "$factor" \
-    > "/root/scale/r14_gen_${factor}x.log" 2>&1 \
-    && touch "$dir/_GEN_OK"
-  log "scalegen ${factor}x rc=$?"
+    > "/root/scale/r15_gen_${factor}x.log" 2>&1
+  local rc=$?
+  if [ $rc -eq 0 ]; then echo "$want" > "$dir/_GEN_OK"; else
+    log "scalegen ${factor}x FAILED rc=$rc — corpus NOT benchable"; return 1; fi
 }
 
-bench() { # dir label mem extra_jvm...
-  local dir="$1" label="$2" mem="$3"; shift 3
+prebuild() { # dir mem extra_jvm...
+  local dir="$1" mem="$2"; shift 2
+  time_left || { log "SKIP prebuild: past deadline"; return 1; }
+  log "prebuild stores for $dir (mem $mem)"
+  SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_AQE=1 \
+    $JAVA "-Xms$mem" "-Xmx$mem" -XX:+AlwaysPreTouch "$@" graft.Prebuild "$dir" \
+    > "/root/scale/r15_prebuild_$(basename "$dir").log" 2>&1
+  local rc=$?
+  log "prebuild rc=$rc: $(grep '\[prebuild\]' "/root/scale/r15_prebuild_$(basename "$dir").log" | tail -2 | tr '\n' ' ')"
+  return $rc
+}
+
+bench() { # dir label mem need_gib extra_jvm...
+  local dir="$1" label="$2" mem="$3" need="$4"; shift 4
+  time_left || { log "SKIP bench $label: past deadline"; return 1; }
+  disk_ok "$need" || return 1
+  prebuild "$dir" "$mem" "$@" || log "prebuild $label imperfect; bench will rebuild inline"
+  time_left || { log "SKIP bench $label: past deadline"; return 1; }
   log "bench $label (mem $mem)"
   SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_AQE=1 \
-  SPARK_GRAFT_BENCH_OUT="/root/scale/r14_bench_$label.json" \
-    $JAVA "-Xms$mem" "-Xmx$mem" -XX:+AlwaysPreTouch "$@" graft.Bench > "/root/scale/r14_bench_$label.log" 2>&1
-  log "bench $label rc=$? tail: $(tail -c 300 /root/scale/r14_bench_$label.json 2>/dev/null)"
+  SPARK_GRAFT_BENCH_OUT="/root/scale/r15_bench_$label.json" \
+    $JAVA "-Xms$mem" "-Xmx$mem" -XX:+AlwaysPreTouch "$@" graft.Bench > "/root/scale/r15_bench_$label.log" 2>&1
+  log "bench $label rc=$? tail: $(tail -c 300 /root/scale/r15_bench_$label.json 2>/dev/null)"
   assemble_and_commit "$label"
 }
 
-bench /root/testdata/sf0.1 1x 8g
+bench /root/testdata/sf0.1 1x 8g 10
 
-gen 300 /root/scale/x300 48g
-export SPARK_GRAFT_BENCH_SKIP_CLASS=listing
-bench /root/scale/x300 300x 100g -Dspark.cleaner.periodicGC.interval=2min -Dspark.driver.maxResultSize=4g
-unset SPARK_GRAFT_BENCH_SKIP_CLASS
+# 300x first: the rung that owes medians (r14 banked -1 for dedup_exact,
+# dedup_minhash_lsh, triangle_doulion_copurchase) and the one the q01/
+# q08 gate + q07 collapse changes target.
+gen 300 /root/scale/x300 48g 60 || true
+if [ -f /root/scale/x300/_GEN_OK ]; then
+  export SPARK_GRAFT_BENCH_SKIP_CLASS=listing
+  bench /root/scale/x300 300x 100g 40 -Dspark.cleaner.periodicGC.interval=2min -Dspark.driver.maxResultSize=4g
+  unset SPARK_GRAFT_BENCH_SKIP_CLASS
+fi
 
-gen 100 /root/scale/x100 24g
-bench /root/scale/x100 100x 48g
-gen 30 /root/scale/x30 16g
-bench /root/scale/x30  30x  24g
-# x10 generated (dims 10x) during this session's pre-ladder smoke
-bench /root/scale/x10  10x  16g
+gen 100 /root/scale/x100 24g 25 && bench /root/scale/x100 100x 48g 20
+gen 30  /root/scale/x30  16g 10 && bench /root/scale/x30  30x  24g 10
+gen 10  /root/scale/x10  12g  5 && bench /root/scale/x10  10x  16g  5
 
 log "DONE"
