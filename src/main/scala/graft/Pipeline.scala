@@ -67,6 +67,18 @@ object Pipeline {
         warehouse.WarehouseQueries.inventory.foreach { case (name, q) =>
           q(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/warehouse/$name")
         }
+        // loader-as-a-step: per-table row counts vs source expectation
+        // into the execution flow (load_warehouse.py logs the same
+        // reconciliation into its report; the reference fails the stage
+        // on a mismatch — so do we, which also makes the retry honest)
+        val rep = warehouse.WarehouseQueries.loadReport(spark, sfDir).collect()
+        sources.Sources.writeJsonReport(
+          rep.map(r => s""""${r.getString(0)}":{"rows":${r.getLong(1)},""" +
+              s""""source_rows":${r.getLong(2)},"status":"${r.getString(3)}"}""")
+            .mkString("{", ",", "}"),
+          s"$outDir/warehouse/load_report.json")
+        require(rep.forall(_.getString(3) == "loaded"),
+          s"warehouse load mismatch: ${rep.filter(_.getString(3) != "loaded").mkString(",")}")
       },
       "analytics" -> { () =>
         analytics.Analytics.inventory.foreach { case (name, q) =>

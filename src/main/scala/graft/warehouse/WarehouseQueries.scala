@@ -34,7 +34,66 @@ object WarehouseQueries {
     df.select(cols: _*)
   }
 
+  /** The warehouse LOAD as a verified step (reference: scripts/
+    * transformation/load_warehouse.py logs per-table row counts into
+    * the execution report and validates them against the source) —
+    * one row per warehouse table: the SERVED (stored-vintage) row
+    * count against the source-derived expectation, with a loaded/
+    * mismatch status. The oracle recomputes both sides from the raw
+    * parquet, so a stale or truncated stored asset hash-fails here
+    * even though every per-table content query would also catch it —
+    * this is the loader-as-a-step contract, not a content check.
+    * Shape: five one-row aggregates (dim counts answer from the store
+    * they materialize anyway; source counts from parquet footers)
+    * unioned — nothing corpus-sized moves. */
+  def loadReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    def row(name: String, served: DataFrame, source: DataFrame, srcCnt: Column): DataFrame =
+      served.agg(count(lit(1)).as("row_count"))
+        .crossJoin(broadcast(source.agg(srcCnt.cast(LongType).as("source_rows"))))
+        .select(
+          lit(name).as("table_name"), col("row_count"), col("source_rows"),
+          when(col("row_count") === col("source_rows"), "loaded")
+            .otherwise("mismatch").as("status"))
+    val o = Tables.orders(spark, dir)
+    row("dim_customer", Warehouse.dimCustomer(spark, dir),
+        Tables.customer(spark, dir), count(lit(1)))
+      .unionByName(row("dim_date", Warehouse.dimDate(spark, dir),
+        o, countDistinct(col("o_orderdate").cast("date"))))
+      .unionByName(row("dim_part", Warehouse.dimPart(spark, dir),
+        Tables.part(spark, dir), count(lit(1))))
+      .unionByName(row("dim_payment", Warehouse.dimPayment(spark, dir),
+        o, countDistinct(col("o_orderpriority"))))
+      .unionByName(row("fact_sales", Warehouse.fact(spark, dir),
+        Tables.lineitem(spark, dir), count(lit(1))))
+      .orderBy("table_name")
+  }
+
+  val loadReportSql: String = OracleSql.q("""
+SELECT table_name, row_count, source_rows,
+       CASE WHEN row_count = source_rows THEN 'loaded' ELSE 'mismatch' END AS status
+FROM (
+  SELECT 'dim_customer' AS table_name,
+         (SELECT COUNT(*) FROM dim_customer) AS row_count,
+         (SELECT COUNT(*) FROM customer) AS source_rows
+  UNION ALL
+  SELECT 'dim_date', (SELECT COUNT(*) FROM dim_date),
+         (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM orders)
+  UNION ALL
+  SELECT 'dim_part', (SELECT COUNT(*) FROM dim_part),
+         (SELECT COUNT(*) FROM part)
+  UNION ALL
+  SELECT 'dim_payment', (SELECT COUNT(*) FROM dim_payment),
+         (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+  UNION ALL
+  SELECT 'fact_sales', (SELECT COUNT(*) FROM fact),
+         (SELECT COUNT(*) FROM lineitem)) t
+ORDER BY table_name""")
+
   val inventory: Map[String, Q] = Map(
+    "warehouse_load_report" -> (loadReport _),
     "dim_part"     -> ((s: SparkSession, d: String) => publish(Warehouse.dimPart(s, d))),
     "dim_customer" -> ((s: SparkSession, d: String) => publish(Warehouse.dimCustomer(s, d))),
     "dim_date"     -> ((s: SparkSession, d: String) => publish(Warehouse.dimDate(s, d))),
@@ -46,6 +105,7 @@ object WarehouseQueries {
     "scd2_pit_orders" -> ((s: SparkSession, d: String) => Scd2.pitOrders(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "warehouse_load_report" -> loadReportSql,
     "dim_part"     -> OracleSql.q("""
 SELECT product_key, p_partkey, p_name, p_brand, p_type, p_size,
        CAST(price AS DOUBLE) AS price, CAST(cost AS DOUBLE) AS cost,
