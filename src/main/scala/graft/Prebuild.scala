@@ -46,6 +46,17 @@ object Prebuild {
           failed += 1
           println(s"[prebuild] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
       }
+      // A finished build's ShuffleDependencies become unreachable the
+      // moment its plan references drop, but the FILES live until the
+      // ContextCleaner processes the reference queue — which needs a GC
+      // to enqueue them. Without this, the 300× warehouse build's
+      // ~50 GB of sort-merge shuffle coexisted on disk with the
+      // co-purchase pair build's peak and ENOSPC'd it (measured r15:
+      // the two builds fit individually in ~40 GB of headroom, not
+      // stacked). One GC + a beat for the async deletion between steps
+      // sequences the DISK peaks, not just the CPU phases.
+      System.gc()
+      Thread.sleep(5000)
     }
 
     buildAll(spark, dir, step)
