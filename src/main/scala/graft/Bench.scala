@@ -34,6 +34,7 @@ object Bench {
       shufflePartitions = shufflePartitions.toInt,
       adaptive = sys.env.get("SPARK_GRAFT_AQE").contains("1"))
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.muteBoundedWindowWarning() // setLogLevel rewrites all logger configs
 
     val qs = headline.filter(SparkEntry.queries.contains)
     // Warm-up: materialize the star schema once (the reference times its

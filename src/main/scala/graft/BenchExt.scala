@@ -93,6 +93,7 @@ object BenchExt {
     }
     val spark = Sessions.local(cores = 32, shufflePartitions = 8)
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.muteBoundedWindowWarning() // setLogLevel rewrites all logger configs
 
     val (qs, missing) = ops.partition(SparkEntry.queries.contains)
     if (missing.nonEmpty) {

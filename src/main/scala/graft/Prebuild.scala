@@ -33,6 +33,7 @@ object Prebuild {
       shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt,
       adaptive = sys.env.get("SPARK_GRAFT_AQE").contains("1"))
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.muteBoundedWindowWarning() // setLogLevel rewrites all logger configs
 
     val t0 = System.nanoTime()
     var failed = 0

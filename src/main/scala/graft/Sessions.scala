@@ -60,10 +60,34 @@ object Sessions {
       else b
         .config("spark.sql.shuffle.partitions", shufflePartitions)
         .config("spark.sql.adaptive.enabled", "false")
-    tuned
+    val s = tuned
       .withExtensions(new functions.GraftExtensions)
       .getOrCreate()
+    muteBoundedWindowWarning()
+    s
   }
+
+  /** Every unpartitioned window a registered query plans runs over a
+    * provably BOUNDED frame — a top-k result after a limit
+    * (`analytics/Stats.scala:47`: 5 rows), distinct-value slabs of a
+    * fixed domain (`Stats.scala:268`: ≤101 discount / ~50 quantity
+    * values), a ≤30-row daily roster (`monitor/Monitor.scala:113`),
+    * letter-pair and vocab-bounded BPE ranks (`text/TextOps.scala:1117,
+    * 1445`) — anything corpus-sized goes through [[Dist]]'s
+    * range-partitioned cumsums instead. WindowExec cannot see that
+    * invariant, so its per-instance "No Partition Defined" WARN is pure
+    * noise here, and dozens of them flooded the r15 bench tail, burying
+    * real plan warnings. Pin that ONE logger package to ERROR.
+    *
+    * `sparkContext.setLogLevel` goes through log4j2's `setAllLevels`,
+    * which rewrites EVERY existing logger config — including this one —
+    * so mains that lower their log level (Bench/Verify/Prebuild) must
+    * re-apply the mute AFTER that call; the registration here covers
+    * sessions that never touch the log level. */
+  private[graft] def muteBoundedWindowWarning(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 
   /** Cluster profile (the 100 TB posture — values are the starting
     * point a deployment tunes from, applied via builder so a spark-submit

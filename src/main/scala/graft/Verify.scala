@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.muteBoundedWindowWarning() // setLogLevel rewrites all logger configs
     // queries may reference graft SQL functions by name (nfc_normalize
     // in the canonical-dedup digest); register on the running session
     functions.GraftExtensions.register(spark)

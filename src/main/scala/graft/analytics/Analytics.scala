@@ -20,8 +20,9 @@ import org.apache.spark.sql.types._
   * memoized measured-size gate ([[graft.Joins.broadcastIfSmall]]) so
   * they broadcast while they fit and degrade to a shuffle join past the
   * budget; aggregations are partial+final (map-side combine) by
-  * construction; COUNT(DISTINCT order) queries collapse to order grain
-  * first (q02/q07 — no Expand over the fact); top-k queries plan as
+  * construction; COUNT(DISTINCT key) queries collapse to that key's
+  * grain first (q02/q05/q07/q09 to order grain, q06 to customer grain —
+  * no distinct-aggregate Expand over the fact anywhere); top-k plans as
   * TakeOrderedAndProject (no global sort materialization).
   */
 object Analytics {
@@ -176,13 +177,28 @@ ORDER BY total_revenue DESC, category""")
     * The grand totals come from a scalar aggregate broadcast back onto
     * the groups rather than an unpartitioned window — same exact sums
     * (bigint / decimal, order-independent), but no single-partition
-    * WindowExec: the plan stays parallel however many groups exist. */
+    * WindowExec: the plan stays parallel however many groups exist.
+    *
+    * Same Expand-elimination rewrite as [[q02]]/[[q07]]: payment_method
+    * is an order attribute (constant within l_orderkey), so a per-order
+    * pre-aggregation makes transaction_count a plain count — no
+    * distinct-aggregate Expand doubling the shuffled fact. The decimal
+    * sum is associative and rounds once at payment grain, exactly where
+    * the direct form (and the oracle) rounds — bit-equal. */
   def q05(spark: SparkSession, dir: String): DataFrame = {
-    val g = Warehouse.fact(spark, dir)
+    val f = Warehouse.fact(spark, dir)
+    // payment_method rides in the GROUP KEY, not a min() carry-along:
+    // min over a string is not hash-aggregatable (the agg buffer isn't
+    // fixed-size) and planned a SortAggregate — a full sort of the fact,
+    // worse than the Expand this rewrite removes. Same grain either way:
+    // payment_method is constant within an order.
+    val perOrder = f.groupBy("l_orderkey", "payment_method")
+      .agg(sum(Det.dec6(col("line_total"))).as("order_rev"))
+    val g = perOrder
       .groupBy("payment_method")
       .agg(
-        countDistinct(col("l_orderkey")).as("transaction_count"),
-        Det.msumDec(col("line_total")).as("rev_dec"))
+        count(lit(1)).as("transaction_count"),
+        round(sum(col("order_rev")), 2).cast(DecimalType(18, 2)).as("rev_dec"))
     val totals = g.agg(
       sum(col("transaction_count")).as("__tot_txn"),
       sum(col("rev_dec")).as("__tot_rev"))
@@ -210,15 +226,27 @@ FROM (
   FROM fact GROUP BY payment_method) t
 ORDER BY payment_method""")
 
-  /** Q6 geographic revenue (analytical_queries.sql:90-99); state→nation. */
+  /** Q6 geographic revenue (analytical_queries.sql:90-99); state→nation.
+    *
+    * nation/region are functions of customer_key, so the fact collapses
+    * to CUSTOMER grain first (exact decimal revenue per customer — one
+    * row per customer with at least one sale), the gated dim joins
+    * against ~|customers| rows instead of the full fact, and
+    * total_customers is a plain count — no distinct-aggregate Expand
+    * doubling the shuffled fact. The decimal sum is associative and
+    * rounds once at (region, nation) grain, exactly where the direct
+    * form (and the oracle) rounds — bit-equal. */
   def q06(spark: SparkSession, dir: String): DataFrame = {
     val f = Warehouse.fact(spark, dir)
     val c = Warehouse.dimCustomer(spark, dir).select("customer_key", "nation", "region")
-    f.join(graft.Joins.broadcastIfSmall(c), "customer_key") // scaling dim: measured-size gate
+    val perCust = f.groupBy("customer_key")
+      .agg(sum(Det.dec6(col("line_total"))).as("cust_rev"))
+    perCust.join(graft.Joins.broadcastIfSmall(c), "customer_key") // scaling dim: measured-size gate
       .groupBy("region", "nation")
       .agg(
-        Det.msum(col("line_total")).as("total_revenue"),
-        countDistinct(col("customer_key")).as("total_customers"))
+        round(sum(col("cust_rev")), 2).cast(DecimalType(18, 2))
+          .cast(DoubleType).as("total_revenue"),
+        count(lit(1)).as("total_customers"))
       .select(
         col("region"), col("nation"), col("total_revenue"), col("total_customers"),
         (col("total_revenue") / col("total_customers")).as("avg_revenue_per_customer"))
@@ -329,15 +357,25 @@ ORDER BY total_profit DESC, product_key""")
 
   /** Q9 day-of-week pattern — aggregate of aggregate
     * (analytical_queries.sql:136-153). Daily revenues stay DECIMAL through
-    * the outer mean so the result is partition-order independent. */
+    * the outer mean so the result is partition-order independent.
+    *
+    * Same Expand-elimination rewrite as [[q02]]/[[q07]]: the fact
+    * collapses to (date_key, l_orderkey) grain first — one row per
+    * order per date unconditionally (even if an order spanned dates) —
+    * so daily_transactions is a plain count per (day_name, date_key)
+    * and no distinct-aggregate Expand doubles the shuffled fact. The
+    * decimal sum is associative and rounds once at daily grain, exactly
+    * where the direct form (and the oracle) rounds — bit-equal. */
   def q09(spark: SparkSession, dir: String): DataFrame = {
     val f = Warehouse.fact(spark, dir)
     val d = Warehouse.dimDate(spark, dir).select("date_key", "day_name")
-    f.join(broadcast(d), "date_key")
+    val perOrder = f.groupBy("date_key", "l_orderkey")
+      .agg(sum(Det.dec6(col("line_total"))).as("order_rev"))
+    perOrder.join(broadcast(d), "date_key")
       .groupBy("day_name", "date_key")
       .agg(
-        Det.msumDec(col("line_total")).as("daily_revenue"),
-        countDistinct(col("l_orderkey")).as("daily_transactions"))
+        round(sum(col("order_rev")), 2).cast(DecimalType(18, 2)).as("daily_revenue"),
+        count(lit(1)).as("daily_transactions"))
       .groupBy("day_name")
       .agg(
         (sum(col("daily_revenue")).cast(DoubleType) / count(lit(1))).as("avg_daily_revenue"),

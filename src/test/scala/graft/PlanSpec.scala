@@ -133,14 +133,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q07 aggregates at order grain — no Expand over the fact") {
-    // COUNT(DISTINCT l_orderkey) per customer plans an Expand that
-    // doubles the shuffled fact; the q02-style per-order collapse makes
-    // it a plain count. A reintroduced distinct-over-lines would bring
-    // Expand back — fail the build, not just drift the 300× bench.
-    val plan = physicalPlan(Analytics.q07(spark, sf))
-    assert(!plan.contains("Expand"),
-      s"q07 re-grew a fact-wide Expand:\n${plan.take(2000)}")
+  test("q05/q06/q07/q09 aggregate at collapse grain — no Expand over the fact") {
+    // COUNT(DISTINCT key) in the same aggregate as a sum plans an
+    // Expand that doubles the shuffled fact (measured 47.5 s at the
+    // dim-scaled 300× rung before q07's collapse); the q02-style
+    // pre-aggregation to the distinct key's grain makes it a plain
+    // count. A reintroduced distinct-over-lines would bring Expand
+    // back — fail the build, not just drift the 300× bench.
+    Seq("q05" -> Analytics.q05 _, "q06" -> Analytics.q06 _,
+        "q07" -> Analytics.q07 _, "q09" -> Analytics.q09 _).foreach {
+      case (name, q) =>
+        val plan = physicalPlan(q(spark, sf))
+        assert(!plan.contains("Expand"),
+          s"$name re-grew a fact-wide Expand:\n${plan.take(2000)}")
+    }
+  }
+
+  test("q05 grand totals reuse the grouped aggregation's exchange") {
+    // totals aggregates the ~|payment methods| grouped result; without
+    // exchange reuse the plan re-scans and re-aggregates the whole fact
+    // a second time just to compute the denominators. Under AQE the
+    // reuse decision lands at stage materialization, not in the static
+    // plan — execute first, then assert on the FINAL adaptive plan.
+    val df = Analytics.q05(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"q05 recomputes the fact aggregation for its grand totals:\n${plan.take(4000)}")
+  }
+
+  test("q05/q09 per-order collapse hash-aggregates (no SortAggregate over the fact)") {
+    // the collapse key set must stay hash-aggregatable: carrying a
+    // STRING through min() (not a fixed-size agg buffer) silently
+    // degrades the per-order pre-aggregation to a SortAggregate — a
+    // full sort of the fact, worse than the Expand the rewrite removes.
+    Seq("q05" -> Analytics.q05 _, "q09" -> Analytics.q09 _).foreach {
+      case (name, q) =>
+        val plan = physicalPlan(q(spark, sf))
+        assert(!plan.contains("SortAggregate"),
+          s"$name sort-aggregates the fact collapse:\n${plan.take(3000)}")
+    }
   }
 
   test("no query plan contains a cartesian product") {
