@@ -31,29 +31,6 @@ object Rfm {
 
   private val qs = Seq(0.2, 0.4, 0.6, 0.8)
 
-  /** Four type-1 quintile bounds of `v` over a (v) frame, as one row
-    * q1..q4 — the [[Quantiles.rankSelect]] slab trick over a GLOBAL
-    * group. The cumulative count comes from [[graft.Dist.exclusiveCumsum]]
-    * (range-partition + per-partition offsets), NOT a global
-    * `Window.orderBy` — the monetary dimension's distinct-value frame
-    * is customer-cardinality at scale, and a single-partition running
-    * sum over it would serialize the whole bounds computation (recency
-    * and frequency frames are small; monetary is the one that grows).
-    * Identical values: v is distinct after the value-count aggregation,
-    * so inclusive-running-sum == exclusive cumsum + own count. */
-  private def boundsOf(vals: DataFrame): DataFrame = {
-    val counts = vals.groupBy("v").agg(count(lit(1)).cast(LongType).as("c"))
-    val n = counts.agg(sum("c").cast(LongType).as("n"))
-    val ranked = graft.Dist.exclusiveCumsum(counts, "v", "c", "cum_before")
-      .withColumn("cum", col("cum_before") + col("c"))
-      .crossJoin(broadcast(n))
-    val cells = qs.zipWithIndex.map { case (p, i) =>
-      max(when(col("cum") - col("c") < ceil(col("n") * lit(p))
-            && col("cum") >= ceil(col("n") * lit(p)), col("v"))).as(s"q${i + 1}")
-    }
-    ranked.agg(cells.head, cells.tail: _*)
-  }
-
   /** score 1–5: 1 + number of quintile bounds strictly below v. */
   private def scoreUp(v: Column, q: String): Column =
     lit(1) + (v > col(s"${q}_q1")).cast(IntegerType) +
@@ -63,11 +40,6 @@ object Rfm {
 
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val asOf = to_date(lit(Det.AsOfDate))
-    // ONE per-customer aggregation, persisted: the three quintile-bounds
-    // passes (R/F/M) and the scoring pass all read it — without this the
-    // plan re-scans and re-aggregates orders four times (the steady
-    // slowest ext op at 1.74 s before sharing). Customer-grain frame →
-    // bounded by |customers|, spills to disk past memory.
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(
@@ -75,16 +47,52 @@ object Rfm {
         count(lit(1)).as("frequency"),
         // cents as an exact long — the rankable monetary measure
         (Det.msumDec(col("o_totalprice")) * 100).cast(LongType).as("monetary_cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def named(d: DataFrame, c: String, pfx: String) = {
-      val b = boundsOf(d.select(col(c).as("v")))
-      (1 to 4).foldLeft(b) { (df, i) => df.withColumnRenamed(s"q$i", s"${pfx}_q$i") }
+    // ONE quintile-bounds subtree for all three dimensions instead of
+    // three separate per-dimension passes: each pass paid an eager
+    // partition-offsets collect inside [[graft.Dist.exclusiveCumsumBy]]
+    // that re-aggregated orders at CONSTRUCTION, so the unshared form
+    // ran the per-customer aggregation ~7× per invocation (3 eager
+    // cumsum collects + 4 co-planned subtrees at action) — the steady
+    // slowest ext op at 1.74 s. Stacking (dim, v) and cumsumming once
+    // in lexicographic (dim, v) order cuts that to 3 (one construction
+    // collect, bounds + scoring at action) with the identical bounds:
+    // within a dim the rows are v-ordered and the per-dim cumulative
+    // count is the global one minus the dim's base offset (the cumsum
+    // still comes from range-partition + per-partition offsets, never a
+    // single-partition window — the monetary distinct-value frame is
+    // customer-cardinality at scale). Deliberately NOT persist-shared:
+    // a persist left registered would serve later invocations (a
+    // bench's timed runs after its warm-up) from memory instead of the
+    // parquet inputs, and an eager collect-the-bounds variant measured
+    // SLOWER (2.14 s) than this lazy shape — serialized small jobs lose
+    // to one action with parallel broadcast builds.
+    val stacked = per.select(explode(array(
+        struct(lit("f").as("dim"), col("frequency").as("v")),
+        struct(lit("m").as("dim"), col("monetary_cents").as("v")),
+        struct(lit("r").as("dim"), col("recency_days").as("v")))).as("x"))
+      .select(col("x.dim").as("dim"), col("x.v").as("v"))
+    val counts = stacked.groupBy("dim", "v")
+      .agg(count(lit(1)).cast(LongType).as("c"))
+    val cum0 = graft.Dist.exclusiveCumsumBy(counts, Seq("dim", "v"), "c", "gcum_before")
+    // per-dim total n and base offset (the global cumsum at the dim's
+    // first row); 3 rows — broadcast back onto the value-count frame
+    val dimTot = cum0.groupBy("dim").agg(
+      sum("c").cast(LongType).as("n"),
+      min("gcum_before").cast(LongType).as("base"))
+    val ranked = cum0.join(broadcast(dimTot), "dim")
+      .withColumn("cum", col("gcum_before") - col("base") + col("c"))
+    val cells = qs.zipWithIndex.map { case (p, i) =>
+      max(when(col("cum") - col("c") < ceil(col("n") * lit(p))
+            && col("cum") >= ceil(col("n") * lit(p)), col("v"))).as(s"q${i + 1}")
     }
-    val rB = named(per, "recency_days", "r")
-    val fB = named(per, "frequency", "f")
-    val mB = named(per, "monetary_cents", "m")
+    val perDim = ranked.groupBy("dim").agg(cells.head, cells.tail: _*)
+    // pivot the ≤3 bound rows into the one wide row the scoring
+    // comparisons expect (r_q1..m_q4) — max(when) over ≤3 rows
+    val boundCells = Seq("r", "f", "m").flatMap(pfx => (1 to 4).map(i =>
+      max(when(col("dim") === pfx, col(s"q$i"))).as(s"${pfx}_q$i")))
+    val oneRow = perDim.agg(boundCells.head, boundCells.tail: _*)
     val scored = per
-      .crossJoin(broadcast(rB)).crossJoin(broadcast(fB)).crossJoin(broadcast(mB))
+      .crossJoin(broadcast(oneRow))
       .select(col("o_custkey"),
         // recency: LOW days = GOOD → invert the up-count
         (lit(6) - scoreUp(col("recency_days"), "r")).as("r_score"),

@@ -162,6 +162,21 @@ class PlanSpec extends SparkSpec {
       s"q05 recomputes the fact aggregation for its grand totals:\n${plan.take(4000)}")
   }
 
+  test("rfm_segments serves ONE orders aggregation; the bounds cache never leaks") {
+    // the per-customer aggregate is shared at CONSTRUCTION (persist →
+    // three 1-row bounds collects → unpersist), so the returned plan
+    // must hold exactly one orders scan and no InMemoryTableScan: a
+    // persist left registered would make a LATER invocation (a bench's
+    // timed runs after its warm-up) serve from memory instead of the
+    // parquet inputs — memoization, not sharing.
+    val plan = physicalPlan(analytics.Rfm.rfmSegments(spark, sf))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("orders"))
+    assert(scans == 1, s"expected exactly one orders scan, got $scans:\n${plan.take(3000)}")
+    assert(!plan.contains("InMemoryTableScan"),
+      s"rfm bounds cache leaked into the served plan:\n${plan.take(3000)}")
+  }
+
   test("q05/q09 per-order collapse hash-aggregates (no SortAggregate over the fact)") {
     // the collapse key set must stay hash-aggregatable: carrying a
     // STRING through min() (not a fixed-size agg buffer) silently
