@@ -508,19 +508,47 @@ FROM documents GROUP BY 1"""
     * corpora — JaccardCapSpec exercises a corpus where it does. */
   val HotShingleDfCap = 100
 
-  /** Jaccard >= `threshold` near-dup pairs over a (doc_id, s) shingle
-    * relation, with the df > `dfCap` hot shingles removed from the
-    * representation before the self-join. */
-  def jaccardPairsOverShingles(sh: DataFrame, dfCap: Int = HotShingleDfCap,
-                               threshold: Double = 0.7): DataFrame = {
+  /** Shared candidate-pair core of the Jaccard and containment ops:
+    * per-pair intersection counts and capped per-doc set sizes over a
+    * (doc_id, s) DISTINCT-shingle relation. Pass 1 computes df per
+    * shingle and drops the > `dfCap` hot set (broadcast anti-join) —
+    * this stays a count-only pass so no boilerplate shingle ever
+    * collects a corpus-sized doc list. Pass 2 groups the capped stream
+    * into per-shingle sorted doc arrays (≤ dfCap elements) and
+    * materializes pairs INSIDE each array via the combination HOF —
+    * the Basket discipline. Versus the previous shingle-equality
+    * self-join this removes two full scan+shingle explodes (the plan
+    * read documents 4×: hot, both join sides, sizes; now 2×) and the
+    * join itself: one (s)-keyed exchange carries doc ids only, pairs
+    * never shuffle as join probes, and the per-doc sizes re-derive
+    * from the same grouped cells (ReusedExchange), not a third scan.
+    * Pair stream and results are identical: sorted-array combinations
+    * enumerate exactly the a.s = b.s ∧ doc_a < doc_b matches. */
+  private def cappedPairCore(sh: DataFrame, dfCap: Int): (DataFrame, DataFrame) = {
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("s")
     val capped = sh.join(broadcast(hot), Seq("s"), "left_anti")
-    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = capped.as("a")
-      .join(capped.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val cells = capped.groupBy("s")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+    val inter = cells
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val sizes = cells.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    (inter, sizes)
+  }
+
+  /** Jaccard >= `threshold` near-dup pairs over a (doc_id, s) shingle
+    * relation, with the df > `dfCap` hot shingles removed from the
+    * representation before pairing ([[cappedPairCore]]). */
+  def jaccardPairsOverShingles(sh: DataFrame, dfCap: Int = HotShingleDfCap,
+                               threshold: Double = 0.7): DataFrame = {
+    val (inter0, sizes) = cappedPairCore(sh, dfCap)
+    val inter = inter0.withColumnRenamed("i", "inter")
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
@@ -531,9 +559,9 @@ FROM documents GROUP BY 1"""
   }
 
   /** Exact word-trigram Jaccard near-duplicate pairs (J >= 0.7): explode
-    * distinct shingles, drop hot shingles ([[HotShingleDfCap]]), sparse
-    * self-join on shingle equality, count intersections, compute
-    * |A∩B| / (|A|+|B|-|A∩B|). */
+    * distinct shingles, drop hot shingles ([[HotShingleDfCap]]), pair
+    * docs inside each shingle cell ([[cappedPairCore]]), count
+    * intersections, compute |A∩B| / (|A|+|B|-|A∩B|). */
   def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsOverShingles(
       docs(spark, dir).select(col("doc_id"), explode(shinglesNative).as("s")))
@@ -576,22 +604,16 @@ WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.7"""
     * Scraped corpora are full of exactly this shape (article + chrome,
     * quote inclusion, boilerplate wrapping), and a dedup ladder that
     * only tests resemblance ships the duplicate. Same distributed
-    * shape and cost as the Jaccard op: candidates from the
-    * shingle-equality self-join (never all-pairs; the df cap bounds
-    * the worst key at cap²), sizes from a doc-grain aggregate, one
-    * exact integer divide per surviving pair (IEEE-identical across
-    * engines, no summation to snap). */
+    * shape and cost as the Jaccard op: candidates paired inside the
+    * df-capped shingle cells ([[cappedPairCore]] — never all-pairs;
+    * the cap bounds the worst cell at cap² pairs), sizes from the same
+    * grouped cells, one exact integer divide per surviving pair
+    * (IEEE-identical across engines, no summation to snap). */
   def containmentPairsOverShingles(sh: DataFrame,
                                    dfCap: Int = HotShingleDfCap,
                                    threshold: Double = ContainmentThreshold): DataFrame = {
-    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("s")
-    val capped = sh.join(broadcast(hot), Seq("s"), "left_anti")
-    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = capped.as("a")
-      .join(capped.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val (inter0, sizes) = cappedPairCore(sh, dfCap)
+    val inter = inter0.withColumnRenamed("i", "n_common")
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
