@@ -895,12 +895,18 @@ FROM c"""
       .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
+      // score BEFORE deduplicating the multi-band candidates: a pair's
+      // est_jaccard is the same from whichever band certified it, so
+      // max() over the pair group is the one shared value — and unlike
+      // the previous dropDuplicates (a first() over the carried mhs
+      // ARRAYS, not hash-aggregatable → two SortAggregate passes with
+      // 2×16-long rows through the exchange), a (long, long, double)
+      // HashAggregate combines map-side and shuffles 8-byte scores
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.mhs").as("ma"), col("b.mhs").as("mb"))
-      .dropDuplicates("doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v))").cast("double")
+        (expr("size(filter(zip_with(a.mhs, b.mhs, (x, y) -> x = y), v -> v))").cast("double")
           / lit(16.0)).as("est_jaccard"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Shared DuckDB CTE block reproducing [[minhashBands]]'s
