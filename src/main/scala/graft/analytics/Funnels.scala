@@ -248,10 +248,17 @@ GROUP BY cohort ORDER BY cohort"""
         date_add(col("day"), col("k")).as("report_day"), col("k"))
       .crossJoin(broadcast(hi))
       .filter(col("report_day") <= col("hi"))
-    fanned.groupBy("report_day").agg(
-        countDistinct(when(col("k") === 0, col("user_id"))).as("dau"),
-        countDistinct(when(col("k") <= 6, col("user_id"))).as("wau"),
-        countDistinct(col("user_id")).as("mau"))
+    // collapse to (report_day, user) grain BEFORE counting — the
+    // q02/q05/q07 Expand-elimination convention: three countDistinct
+    // variants here planned a ×3 Expand over the 28×-fanned frame. A
+    // user's windows are decided by their NEAREST activity day
+    // (min k ≥ 0): dau ⇔ min_k = 0, wau ⇔ min_k ≤ 6, mau ⇔ present —
+    // plain counts over one hash-aggregated pre-pass, same values.
+    fanned.groupBy("report_day", "user_id").agg(min(col("k")).as("min_k"))
+      .groupBy("report_day").agg(
+        count(when(col("min_k") === 0, 1)).as("dau"),
+        count(when(col("min_k") <= 6, 1)).as("wau"),
+        count(lit(1)).as("mau"))
       .select(
         date_format(col("report_day"), "yyyy-MM-dd").as("day"),
         col("dau"), col("wau"), col("mau"),
