@@ -909,11 +909,21 @@ FROM rch r JOIN sizes s ON r.label = s.cluster_id"""
         }
       }
       .toDF("kind", "id", "cnt", "minc", "maxc")
+      // collapse to (kind, id) grain first — the q02/q05/q07 convention:
+      // two countDistincts in the global aggregate planned a ×3 Expand
+      // over the emitted stats stream; after the grain collapse the
+      // distinct side counts become plain row counts, and the pair-count
+      // sums/extrema re-aggregate associatively (kind-0 rows all carry
+      // id 0, so their group preserves exact sums and min/max)
+      .groupBy("kind", "id").agg(
+        sum(col("cnt")).as("cnt"),
+        min(col("minc")).as("minc"),
+        max(col("maxc")).as("maxc"))
       .agg(
         coalesce(sum(when(col("kind") === 0, col("cnt"))), lit(0L))
           .as("n_pairs"),
-        countDistinct(when(col("kind") === 1, col("id"))).as("n_vec_a"),
-        countDistinct(when(col("kind") === 2, col("id"))).as("n_vec_b"),
+        count(when(col("kind") === 1, 1)).as("n_vec_a"),
+        count(when(col("kind") === 2, 1)).as("n_vec_b"),
         min(when(col("kind") === 0, col("minc"))).as("min_cosine"),
         max(when(col("kind") === 0, col("maxc"))).as("max_cosine"))
   }
