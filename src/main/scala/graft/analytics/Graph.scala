@@ -87,14 +87,53 @@ object Graph {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** Driver-local twin of [[pagerank]] for SCHEMA-BOUNDED graphs: the
+    * identical integer recurrence over an in-memory edge list. Scala's
+    * `/` and `%` on non-negative Longs are the same floor-division /
+    * modulus Spark's `div`/`%` and DuckDB's `//`/`%` compute, so the
+    * ranks are bit-equal to the distributed loop (GraphSpec pins the
+    * equivalence on the real trade graph). Iteration order never
+    * matters: each step is a pure sum over edges. */
+  private[graft] def pagerankLocal(edges: Seq[(String, String, Long)],
+                                   iters: Int = Iters): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val ow = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = nodes.map(_ -> RankInit).toMap
+    val base = 15L * RankInit / 100L
+    for (_ <- 1 to iters) {
+      val contrib = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d, w) =>
+        val (rs, o) = (r(s), ow(s))
+        contrib(d) += (rs / o) * w + ((rs % o) * w) / o
+      }
+      r = nodes.map(n => n -> (base + 85L * contrib(n) / 100L)).toMap
+    }
+    r
+  }
+
   /** Served from the persisted trade-edge asset ([[CopurchaseStore]]):
     * the order-key shuffle that derives the nation graph is paid once
     * per collection vintage, every ranking run reads the ≤ 25²-row
-    * stored edge table. [[tradeEdges]] remains the build-side core. */
-  def pagerankNationTrade(spark: SparkSession, dir: String): DataFrame =
-    pagerank(CopurchaseStore.tables(spark, dir)("trade_edges"))
-      .select(col("node").as("nation"), col("r").as("rank_units"))
-      .orderBy(col("rank_units").desc, col("nation"))
+    * stored edge table. [[tradeEdges]] remains the build-side core.
+    *
+    * The rank loop itself runs on the DRIVER over the collected edge
+    * frame: the graph is bounded by the nation SCHEMA (25 nations →
+    * ≤ 625 edges at any corpus scale — the same boundedness argument
+    * as the hard `broadcast(nation)` hints), so iterating Spark jobs
+    * over it is pure scheduling overhead — the previous distributed
+    * form planned 18 Exchanges / 14 scans of a ≤ 625-row parquet
+    * (plans/r16/pagerank_nation_trade_before.txt). The distributed
+    * [[pagerank]] core remains the form for unbounded edge lists and
+    * GraphSpec pins local ≡ distributed on this graph bit-for-bit. */
+  def pagerankNationTrade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = CopurchaseStore.tables(spark, dir)("trade_edges")
+      .select(col("src"), col("dst"), col("w").cast(LongType))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    pagerankLocal(edges).toSeq
+      .sortBy { case (n, r) => (-r, n) }
+      .toDF("nation", "rank_units")
+  }
 
   val pagerankNationTradeSql: String = {
     val iterCtes = (1 to Iters).map { i =>

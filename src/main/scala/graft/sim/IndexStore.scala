@@ -135,6 +135,24 @@ object IndexStore {
     * temp-dir + rename protocol covers cross-process readers. */
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Per-session memo of the SERVE handles — the warehouse-store
+    * pattern ([[graft.warehouse.Warehouse]]'s `cache`), hoisted into the
+    * store itself so every family gets it: a hit costs a map lookup
+    * instead of a stale-vintage sweep + manifest read + one
+    * `spark.read.parquet` (file listing + footer) PER TABLE — measured
+    * 0.29–0.37 s per serve call on a 4-table store at sf0.1, pure
+    * metadata IO repeated identically on every call. The memo holds
+    * DataFrame HANDLES, not results: every action still reads the
+    * stored parquet. Staleness detection is untouched because the
+    * caller-computed source FINGERPRINT is part of the key — callers
+    * still fingerprint their source tables per call (O(#files)
+    * listing), and any collection rewrite changes the fingerprint,
+    * missing the memo and re-entering the full manifest/rebuild path.
+    * Keyed by applicationId and evicted across sessions so a stopped
+    * session's plans are never served to a new one. */
+  private val served = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, String, String), Map[String, DataFrame]]()
+
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -159,6 +177,24 @@ object IndexStore {
     * and miss paths). */
   def loadOrBuild(spark: SparkSession, dataDir: String, name: String,
                   version: String, fingerprint: String, tables: Seq[String])
+                 (build: => Map[String, DataFrame]): Map[String, DataFrame] = {
+    val appId = spark.sparkContext.applicationId
+    val key = (appId, dataDir, name,
+      s"$version\n${tables.mkString(",")}", fingerprint)
+    val hit = served.get(key)
+    if (hit != null) return hit
+    // evict other sessions' handles (their plans are unusable and would
+    // pin DataFrames for the JVM's lifetime)
+    served.keySet().removeIf(k => k._1 != appId)
+    val loaded = loadOrBuildUncached(spark, dataDir, name, version,
+      fingerprint, tables)(build)
+    served.put(key, loaded)
+    loaded
+  }
+
+  private def loadOrBuildUncached(spark: SparkSession, dataDir: String,
+                                  name: String, version: String,
+                                  fingerprint: String, tables: Seq[String])
                  (build: => Map[String, DataFrame]): Map[String, DataFrame] = {
     val dir = indexDir(dataDir, name)
     val lock = locks.computeIfAbsent(dir, _ => new Object)

@@ -31,6 +31,22 @@ class GraphSpec extends SparkSpec {
     assert(total <= ranks.length * Graph.RankInit)
   }
 
+  test("driver-local rank loop is bit-equal to the distributed core") {
+    // pagerankNationTrade runs the integer recurrence on the driver
+    // (the nation graph is schema-bounded); the distributed pagerank
+    // over the same edges must produce the identical rank map
+    val edgesDf = Graph.tradeEdges(spark, sf)
+    val dist = Graph.pagerank(edgesDf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val local = Graph.pagerankLocal(
+      edgesDf.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq)
+    assert(local == dist, "local and distributed ranks diverged")
+    // and the registered query returns exactly the distributed ranks
+    val served = Graph.pagerankNationTrade(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served == dist)
+  }
+
   test("iteration is deterministic under repartitioning") {
     val edges = Graph.tradeEdges(spark, sf)
     val a = Graph.pagerank(edges, 3).orderBy("node").collect().toSeq
