@@ -309,18 +309,29 @@ class PlanSpec extends SparkSpec {
       "bucket classification should arrive broadcast")
   }
 
-  test("triangle wedge pipeline joins on keys — no cartesian, no nested-loop") {
+  test("triangle pipeline joins on keys — no cartesian, no nested-loop, no wedge rows") {
     import org.apache.spark.sql.functions.col
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_partkey"))
     val edges = analytics.Graph.undirectedEdges(li)
     val oriented = analytics.Graph.orientedOver(edges,
       analytics.Graph.degreesOf(edges))
-    val plan = physicalPlan(analytics.Graph.wedgeClose(oriented))
+    val plan = physicalPlan(analytics.Graph.triangleBaseCounts(oriented))
     assert(!plan.contains("CartesianProduct"),
-      "wedge enumeration degenerated to all-pairs")
+      "triangle counting degenerated to all-pairs")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
-      "closing join fell to nested-loop")
+      "adjacency join fell to nested-loop")
+    // the wedge stream must stay virtual: an Explode/Generate in the
+    // counting stage would mean C(outdeg,2) wedges materialize as rows.
+    // Checked over a plain oriented frame (the lineitem edge DERIVATION
+    // legitimately contains the basket-pair explode)
+    import spark.implicits._
+    val syntheticOriented = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    val countPlan =
+      physicalPlan(analytics.Graph.triangleBaseCounts(syntheticOriented))
+    assert(!countPlan.contains("Generate"),
+      "wedge stream materialized as rows")
   }
 
   test("pii referential rollup is a key equi-join on the pseudonym") {
