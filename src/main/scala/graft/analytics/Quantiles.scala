@@ -47,11 +47,20 @@ object Quantiles {
                                     suffix: String, nCol: String): DataFrame = {
     val counts = vals.groupBy(group, "v").agg(count(lit(1)).as("c"))
     val byG = Window.partitionBy(group)
+    // group totals via a tiny re-aggregation of the cells (one row per
+    // group — bounded by the group domain: payment methods, languages,
+    // priorities), broadcast back onto the stream. The previous
+    // `sum(c) over (partition by group)` window was an unbounded-frame
+    // SECOND Window pass that buffered every cell of the partition
+    // before emitting a single repeated constant; the cells exchange is
+    // reused between the two branches, so this costs a 5-row aggregate
+    // instead of a full buffered pass over the stream.
+    val totals = counts.groupBy(group).agg(sum("c").as("n"))
     // v is distinct within each group after the aggregation, so the
     // running sum's default RANGE frame has no peers and cum is exact
     val ranked = counts
       .withColumn("cum", sum("c").over(byG.orderBy("v")))
-      .withColumn("n", sum("c").over(byG))
+      .join(broadcast(totals), group)
     val cells = ps.map { case (name, p) =>
       // rank ceil(p·n) lands in this value's slab [cum - c + 1, cum]
       max(when(col("cum") - col("c") < ceil(col("n") * lit(p))
@@ -111,9 +120,12 @@ ORDER BY payment_method""")
                                             suffix: String, wCol: String): DataFrame = {
     val counts = vals.groupBy(group, "v").agg(sum("w").cast(LongType).as("c"))
     val byG = Window.partitionBy(group)
+    // broadcast-joined group totals, not an unbounded-frame window —
+    // see rankSelect
+    val totals = counts.groupBy(group).agg(sum("c").as("n"))
     val ranked = counts
       .withColumn("cum", sum("c").over(byG.orderBy("v")))
-      .withColumn("n", sum("c").over(byG))
+      .join(broadcast(totals), group)
     val cells = ps.map { case (name, p) =>
       max(when(col("cum") - col("c") < ceil(col("n") * lit(p))
             && col("cum") >= ceil(col("n") * lit(p)), col("v")))
@@ -221,9 +233,12 @@ ORDER BY lang"""
       (col("line_total") * lit(1000000)).cast(LongType).as("v"))
     val counts = f.groupBy("payment_method", "v").agg(count(lit(1)).as("c"))
     val byPm = Window.partitionBy("payment_method")
+    // broadcast-joined group totals, not an unbounded-frame window —
+    // see rankSelect
+    val totals = counts.groupBy("payment_method").agg(sum("c").as("n"))
     val ranked = counts
       .withColumn("cum", sum("c").over(byPm.orderBy("v")))
-      .withColumn("n", sum("c").over(byPm))
+      .join(broadcast(totals), "payment_method")
     // rank slack: the sketch guarantees rank error <= n/accuracy; +1
     // covers the ceil/slab discretization at the boundary
     val slack = ceil(col("n") * lit(1.0 / SketchAccuracy)) + lit(1)
